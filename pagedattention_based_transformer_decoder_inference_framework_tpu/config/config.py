@@ -1,0 +1,275 @@
+"""Typed configuration system, actually wired into every layer.
+
+Replaces the reference's declared-but-unwired YAML directory
+(``config/model_config.yaml``, ``runtime_config.yaml``,
+``weight_paths.yaml``, ``chat_template.json`` — cf. reference
+``config/README.md:27-28`` "Fields need to be injected"): here a single
+:class:`FrameworkConfig` is loaded from YAML/JSON (same section split as
+the reference) with CLI overrides, and is consumed by the model, engine,
+KV-cache manager, scheduler, servers and CLIs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import pathlib
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+
+def _asdict(obj: Any) -> Any:
+    if dataclasses.is_dataclass(obj):
+        return {k: _asdict(v) for k, v in dataclasses.asdict(obj).items()}
+    return obj
+
+
+@dataclass
+class ModelConfig:
+    """Architecture of a decoder-only transformer.
+
+    Defaults describe the reference's GPT-2-124M target
+    (reference ``config/model_config.yaml:1-12``).
+    """
+
+    name: str = "gpt2-124m"
+    vocab_size: int = 50257
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    num_kv_heads: int = 12          # < num_heads => GQA (Llama-3 family)
+    head_dim: int = 64
+    intermediate_size: int = 3072   # MLP width (4*hidden for GPT-2)
+    max_seq_len: int = 2048
+
+    norm: str = "layernorm"         # "layernorm" | "rmsnorm"
+    norm_eps: float = 1e-5
+    activation: str = "gelu"        # "gelu" | "relu" | "swiglu" | "silu"
+    position: str = "learned"       # "learned" | "rope"
+    rope_theta: float = 10000.0
+    use_qkv_bias: bool = True
+    use_mlp_bias: bool = True
+    tie_embeddings: bool = True     # LM head = embedding^T
+
+    dtype: str = "bfloat16"         # activation / weight compute dtype
+    quant: str = "none"             # "none" | "int8" (weights + matmuls)
+
+    # derived ---------------------------------------------------------------
+    @property
+    def q_per_kv(self) -> int:
+        assert self.num_heads % self.num_kv_heads == 0
+        return self.num_heads // self.num_kv_heads
+
+    def validate(self) -> "ModelConfig":
+        assert self.hidden_size == self.num_heads * self.head_dim or True
+        assert self.num_heads % self.num_kv_heads == 0
+        assert self.norm in ("layernorm", "rmsnorm")
+        assert self.activation in ("gelu", "relu", "swiglu", "silu")
+        assert self.position in ("learned", "rope")
+        assert self.quant in ("none", "int8")
+        return self
+
+
+@dataclass
+class CacheConfig:
+    """Paged KV cache geometry.
+
+    The reference's tile size is 32 tokens (``config/weight_paths.yaml:19-21``)
+    with LRU eviction; here pages are exact (never silently dropped for live
+    sequences — unlike reference ``kv_cache/kv_tile_cache.cpp:90-98``), LRU
+    applies only to *freed* prefix-cache pages.
+    """
+
+    page_size: int = 32             # tokens per KV page
+    num_pages: int = 2048           # pool capacity (per shard)
+    max_pages_per_seq: int = 64     # block-table width
+    kv_dtype: str = "bfloat16"      # "bfloat16" | "int8" (per-page scales)
+    eviction: str = "lru"           # for freed prefix-cache pages
+    enable_prefix_cache: bool = False
+
+    def validate(self) -> "CacheConfig":
+        assert self.page_size > 0 and self.num_pages > 0
+        assert self.kv_dtype in ("bfloat16", "float32", "int8")
+        return self
+
+
+@dataclass
+class RuntimeConfig:
+    """Sampling / serving knobs (reference ``config/runtime_config.yaml:1-17``)."""
+
+    temperature: float = 1.0
+    top_k: int = 0                  # 0 = disabled
+    top_p: float = 1.0              # 1.0 = disabled
+    max_new_tokens: int = 64
+    eos_token_id: int = 50256
+    eos_threshold: float = 0.0      # if P(eos) >= threshold > 0, force EOS
+    stream_delay_ms: int = 0        # artificial pacing knob (ref: 30)
+    seed: int = 0
+
+    use_reranker: bool = False
+    enable_beam_search: bool = False
+    beam_width: int = 4
+
+    log_level: str = "info"
+    enable_logging: bool = True
+
+    # scheduler
+    max_batch_size: int = 8
+    prefill_chunk: int = 512        # chunked-prefill token budget per step
+
+
+@dataclass
+class ParallelConfig:
+    """Mesh layout: TP over ICI ('model'), DP across hosts ('data')."""
+
+    dp: int = 1
+    tp: int = 1
+    data_axis: str = "data"
+    model_axis: str = "model"
+
+    @property
+    def num_devices(self) -> int:
+        return self.dp * self.tp
+
+
+@dataclass
+class ServerConfig:
+    host: str = "0.0.0.0"
+    port: int = 8000
+    backend: str = "auto"           # "tpu" | "cpu" | "auto" (ref BACKEND_MODE)
+
+
+@dataclass
+class ChatTemplate:
+    """Chat roles + system prompt (reference ``config/chat_template.json:1-17``)."""
+
+    system_prompt: str = "You are a helpful assistant."
+    user_role: str = "User"
+    assistant_role: str = "Assistant"
+    separator: str = "\n"
+
+    def render(self, messages) -> str:
+        parts = [self.system_prompt]
+        for m in messages:
+            role = m.get("role", "user")
+            name = self.assistant_role if role == "assistant" else self.user_role
+            parts.append(f"{name}: {m.get('content', '')}")
+        parts.append(f"{self.assistant_role}:")
+        return self.separator.join(parts)
+
+
+@dataclass
+class FrameworkConfig:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    cache: CacheConfig = field(default_factory=CacheConfig)
+    runtime: RuntimeConfig = field(default_factory=RuntimeConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    server: ServerConfig = field(default_factory=ServerConfig)
+    chat: ChatTemplate = field(default_factory=ChatTemplate)
+    weights_path: Optional[str] = None
+    tokenizer: str = "byte"         # "byte" | HF tokenizer name/path
+
+    def validate(self) -> "FrameworkConfig":
+        self.model.validate()
+        self.cache.validate()
+        return self
+
+    def to_dict(self) -> Dict[str, Any]:
+        return _asdict(self)
+
+    def save(self, path: str) -> None:
+        p = pathlib.Path(path)
+        if p.suffix in (".yaml", ".yml"):
+            import yaml
+
+            p.write_text(yaml.safe_dump(self.to_dict(), sort_keys=False))
+        else:
+            p.write_text(json.dumps(self.to_dict(), indent=2))
+
+
+def _update_dataclass(obj: Any, data: Dict[str, Any]) -> Any:
+    names = {f.name: f for f in dataclasses.fields(obj)}
+    for k, v in data.items():
+        if k not in names:
+            raise KeyError(f"unknown config key {k!r} for {type(obj).__name__}")
+        cur = getattr(obj, k)
+        if dataclasses.is_dataclass(cur) and isinstance(v, dict):
+            _update_dataclass(cur, v)
+        else:
+            setattr(obj, k, v)
+    return obj
+
+
+def load_config(path: Optional[str] = None, overrides: Optional[Dict[str, Any]] = None,
+                base: Optional[FrameworkConfig] = None) -> FrameworkConfig:
+    """Load a FrameworkConfig from YAML/JSON with dotted-key overrides.
+
+    ``overrides`` accepts dotted keys, e.g. ``{"runtime.top_k": 5}``.
+    """
+    cfg = base or FrameworkConfig()
+    if path:
+        text = pathlib.Path(path).read_text()
+        if str(path).endswith((".yaml", ".yml")):
+            import yaml
+
+            data = yaml.safe_load(text) or {}
+        else:
+            data = json.loads(text)
+        if "model" in data and isinstance(data["model"], str):
+            cfg.model = dataclasses.replace(PRESETS[data.pop("model")])
+        _update_dataclass(cfg, data)
+    for dotted, v in (overrides or {}).items():
+        obj = cfg
+        *parents, leaf = dotted.split(".")
+        for part in parents:
+            obj = getattr(obj, part)
+        if not hasattr(obj, leaf):
+            raise KeyError(f"unknown override {dotted!r}")
+        setattr(obj, leaf, v)
+    return cfg.validate()
+
+
+# ---------------------------------------------------------------------------
+# Model presets (BASELINE.json configs)
+# ---------------------------------------------------------------------------
+
+PRESETS: Dict[str, ModelConfig] = {
+    "gpt2-124m": ModelConfig(),
+    "gpt2-tiny": ModelConfig(
+        name="gpt2-tiny", vocab_size=512, hidden_size=64, num_layers=2,
+        num_heads=2, num_kv_heads=2, head_dim=32, intermediate_size=256,
+        max_seq_len=256,
+    ),
+    "tinyllama-1.1b": ModelConfig(
+        name="tinyllama-1.1b", vocab_size=32000, hidden_size=2048,
+        num_layers=22, num_heads=32, num_kv_heads=4, head_dim=64,
+        intermediate_size=5632, max_seq_len=2048, norm="rmsnorm",
+        activation="swiglu", position="rope", use_qkv_bias=False,
+        use_mlp_bias=False, tie_embeddings=False, rope_theta=10000.0,
+    ),
+    "llama3-8b": ModelConfig(
+        name="llama3-8b", vocab_size=128256, hidden_size=4096,
+        num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128,
+        intermediate_size=14336, max_seq_len=8192, norm="rmsnorm",
+        activation="swiglu", position="rope", use_qkv_bias=False,
+        use_mlp_bias=False, tie_embeddings=False, rope_theta=500000.0,
+    ),
+    "llama3-70b": ModelConfig(
+        name="llama3-70b", vocab_size=128256, hidden_size=8192,
+        num_layers=80, num_heads=64, num_kv_heads=8, head_dim=128,
+        intermediate_size=28672, max_seq_len=8192, norm="rmsnorm",
+        activation="swiglu", position="rope", use_qkv_bias=False,
+        use_mlp_bias=False, tie_embeddings=False, rope_theta=500000.0,
+    ),
+    "llama-tiny": ModelConfig(
+        name="llama-tiny", vocab_size=512, hidden_size=64, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=16, intermediate_size=128,
+        max_seq_len=256, norm="rmsnorm", activation="swiglu",
+        position="rope", use_qkv_bias=False, use_mlp_bias=False,
+        tie_embeddings=False,
+    ),
+}
+
+
+def preset(name: str) -> ModelConfig:
+    return dataclasses.replace(PRESETS[name])

@@ -1,0 +1,203 @@
+"""Unified decoder-only transformer model (functional JAX).
+
+One model implementation covers both config families:
+
+* GPT-2 style — LayerNorm, learned positions, gelu MLP, MHA, tied head
+  (the reference's target: ``config/model_config.yaml:1-12``); and
+* Llama style — RMSNorm, RoPE, SwiGLU, GQA, untied head.
+
+It implements the *intended* block of the reference's ``DecoderBlock``
+(``decoder/decoder_block.hpp:22-69`` + ``weights/README.md:31-34``):
+pre-LN -> q/k/v projections -> RoPE -> KV append -> paged attention ->
+O projection -> residual -> pre-LN -> MLP -> residual, plus the LM head
+the reference omits entirely (Appendix A: sampling argmaxed hidden
+states, ``decoder/cuda_decoder.cu:58``).
+
+Layer parameters are stacked on a leading ``[L, ...]`` axis and the
+block runs under ``jax.lax.scan`` so XLA traces/compiles one block
+regardless of depth. The attention backend is injected as a callable so
+the same model runs with the dense XLA oracle or the Pallas paged
+kernel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..ops.common import layernorm, rmsnorm
+from ..ops.linear import linear
+from ..ops.rope import apply_rope, rope_table
+from ..quant.tensor import QTensor, quantize_per_channel
+from ..utils.common import jnp_dtype
+
+Params = Dict[str, Any]
+
+# attn_fn(q[B,T,H,D], k[B,T,KH,D], v[B,T,KH,D], kv_layer_state, positions[B,T])
+#   -> (out[B,T,H,D], new_kv_layer_state)
+AttentionFn = Callable[..., Tuple[jax.Array, Any]]
+
+
+def init_params(cfg: ModelConfig, key: jax.Array) -> Params:
+    """Random-init parameters (stacked layers)."""
+    dt = jnp_dtype(cfg.dtype)
+    D, H, KH, dh, I_ = (cfg.hidden_size, cfg.num_heads, cfg.num_kv_heads,
+                        cfg.head_dim, cfg.intermediate_size)
+    L = cfg.num_layers
+    keys = jax.random.split(key, 16)
+
+    def w(k, *shape, scale=0.02):
+        return (scale * jax.random.normal(k, shape, jnp.float32)).astype(dt)
+
+    layers: Params = {
+        "ln1_scale": jnp.ones((L, D), dt),
+        "ln2_scale": jnp.ones((L, D), dt),
+        "wq": w(keys[0], L, D, H * dh),
+        "wk": w(keys[1], L, D, KH * dh),
+        "wv": w(keys[2], L, D, KH * dh),
+        "wo": w(keys[3], L, H * dh, D),
+    }
+    if cfg.norm == "layernorm":
+        layers["ln1_bias"] = jnp.zeros((L, D), dt)
+        layers["ln2_bias"] = jnp.zeros((L, D), dt)
+    if cfg.use_qkv_bias:
+        layers["bq"] = jnp.zeros((L, H * dh), dt)
+        layers["bk"] = jnp.zeros((L, KH * dh), dt)
+        layers["bv"] = jnp.zeros((L, KH * dh), dt)
+        layers["bo"] = jnp.zeros((L, D), dt)
+    if cfg.activation == "swiglu":
+        layers["w_gate"] = w(keys[4], L, D, I_)
+        layers["w_up"] = w(keys[5], L, D, I_)
+        layers["w_down"] = w(keys[6], L, I_, D)
+    else:
+        layers["w_up"] = w(keys[5], L, D, I_)
+        layers["w_down"] = w(keys[6], L, I_, D)
+        if cfg.use_mlp_bias:
+            layers["b_up"] = jnp.zeros((L, I_), dt)
+            layers["b_down"] = jnp.zeros((L, D), dt)
+
+    params: Params = {
+        "embedding": w(keys[7], cfg.vocab_size, D),
+        "final_norm_scale": jnp.ones((D,), dt),
+        "layers": layers,
+    }
+    if cfg.norm == "layernorm":
+        params["final_norm_bias"] = jnp.zeros((D,), dt)
+    if cfg.position == "learned":
+        params["pos_embedding"] = w(keys[8], cfg.max_seq_len, D, scale=0.01)
+    if not cfg.tie_embeddings:
+        params["lm_head"] = w(keys[9], D, cfg.vocab_size)
+    return params
+
+
+_QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+
+
+def quantize_params(params: Params, lm_head: bool = True) -> Params:
+    """Offline INT8 conversion of all matmul weights (per-channel absmax).
+
+    Norm/bias/embedding parameters stay in float — unlike the reference's
+    quantizer which also quantized LayerNorm params
+    (``decoder/int8_decoder.cpp:43-89``).
+    """
+    out = dict(params)
+    layers = dict(params["layers"])
+    for k in _QUANT_KEYS:
+        if k in layers and not isinstance(layers[k], QTensor):
+            layers[k] = quantize_per_channel(layers[k])
+    out["layers"] = layers
+    if lm_head and "lm_head" in params and not isinstance(params["lm_head"], QTensor):
+        out["lm_head"] = quantize_per_channel(params["lm_head"])
+    return out
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderModel:
+    """Stateless model: ``forward(params, tokens, positions, kv, attn_fn)``."""
+
+    cfg: ModelConfig
+
+    def rope(self) -> Optional[Tuple[jax.Array, jax.Array]]:
+        if self.cfg.position != "rope":
+            return None
+        return rope_table(self.cfg.max_seq_len, self.cfg.head_dim,
+                          self.cfg.rope_theta)
+
+    def embed(self, params: Params, tokens: jax.Array,
+              positions: jax.Array) -> jax.Array:
+        x = jnp.take(params["embedding"], tokens, axis=0)
+        if self.cfg.position == "learned":
+            x = x + jnp.take(params["pos_embedding"], positions, axis=0)
+        return x.astype(jnp_dtype(self.cfg.dtype))
+
+    def _norm(self, x, scale, bias):
+        if self.cfg.norm == "rmsnorm":
+            return rmsnorm(x, scale, self.cfg.norm_eps)
+        return layernorm(x, scale, bias, self.cfg.norm_eps)
+
+    def _block(self, lp: Params, x: jax.Array, kv_layer: Any,
+               positions: jax.Array, attn_fn: AttentionFn,
+               rope_cs: Optional[Tuple[jax.Array, jax.Array]]):
+        cfg = self.cfg
+        B, T, D = x.shape
+        H, KH, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+        h = self._norm(x, lp["ln1_scale"], lp.get("ln1_bias"))
+        q = linear(h, lp["wq"], lp.get("bq")).reshape(B, T, H, dh)
+        k = linear(h, lp["wk"], lp.get("bk")).reshape(B, T, KH, dh)
+        v = linear(h, lp["wv"], lp.get("bv")).reshape(B, T, KH, dh)
+        if rope_cs is not None:
+            cos, sin = rope_cs
+            q = apply_rope(q, positions, cos, sin)
+            k = apply_rope(k, positions, cos, sin)
+
+        attn_out, kv_layer = attn_fn(q, k, v, kv_layer, positions)
+        x = x + linear(attn_out.reshape(B, T, H * dh), lp["wo"], lp.get("bo"))
+
+        h2 = self._norm(x, lp["ln2_scale"], lp.get("ln2_bias"))
+        if cfg.activation == "swiglu":
+            gate = linear(h2, lp["w_gate"], act="silu")
+            up = linear(h2, lp["w_up"])
+            mlp = linear(gate * up, lp["w_down"])
+        else:
+            mid = linear(h2, lp["w_up"], lp.get("b_up"), act=cfg.activation)
+            mlp = linear(mid, lp["w_down"], lp.get("b_down"))
+        return x + mlp, kv_layer
+
+    def forward(self, params: Params, tokens: jax.Array, positions: jax.Array,
+                kv_caches: Any, attn_fn: AttentionFn,
+                return_hidden: bool = False):
+        """Run the decoder. tokens/positions: ``[B, T]``.
+
+        ``kv_caches`` is any pytree whose leaves have a leading
+        ``num_layers`` axis; ``attn_fn`` receives the per-layer slice.
+        Returns ``(logits[B, T, V] f32, new_kv_caches)``.
+        """
+        x = self.embed(params, tokens, positions)
+        rope_cs = self.rope()
+
+        def body(carry, xs):
+            lp, kv_layer = xs
+            y, kv_layer = self._block(lp, carry, kv_layer, positions,
+                                      attn_fn, rope_cs)
+            return y, kv_layer
+
+        x, new_kv = jax.lax.scan(body, x, (params["layers"], kv_caches))
+        x = self._norm(x, params["final_norm_scale"],
+                       params.get("final_norm_bias"))
+        if return_hidden:
+            return x, new_kv
+        logits = self.logits(params, x)
+        return logits, new_kv
+
+    def logits(self, params: Params, hidden: jax.Array) -> jax.Array:
+        """LM head (the component the reference omits — Appendix A)."""
+        if self.cfg.tie_embeddings:
+            emb = params["embedding"]  # kept unquantized by quantize_params
+            return jnp.einsum("btd,vd->btv", hidden.astype(jnp.float32),
+                              emb.astype(jnp.float32))
+        return linear(hidden, params["lm_head"]).astype(jnp.float32)

@@ -1,0 +1,50 @@
+"""Linear layers with fused INT8 dequant-matmul dispatch.
+
+TPU-native equivalent of the reference's oneDNN INT8 batched matmul with
+fused bias + ReLU/GELU (``attention_cpu/dnnl_matmul_int8.cpp:7-76``):
+s8 x s8 -> s32 accumulation on the MXU (via ``dot_general`` with
+``preferred_element_type=int32``, which XLA lowers to native INT8 MXU
+tiles), then a fused rescale * (row_scale x col_scale) + bias +
+activation epilogue. A Pallas variant lives in ``ops/int8_matmul.py``
+for cases where XLA's fusion is insufficient.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..quant.tensor import QTensor, quantize_per_row
+from .common import activation_fn
+
+
+def linear(x: jax.Array, w, bias: Optional[jax.Array] = None,
+           act: Optional[str] = None) -> jax.Array:
+    """``y = act(x @ w + bias)``.
+
+    ``w`` is either a dense ``[in, out]`` array or a :class:`QTensor`
+    with per-output-channel scales ``[1, out]``.
+    ``x`` is ``[..., in]`` in bf16/f32.
+    """
+    out_dtype = x.dtype
+    if isinstance(w, QTensor):
+        xq = quantize_per_row(x)
+        acc = jax.lax.dot_general(
+            xq.values, w.values,
+            dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = acc.astype(jnp.float32) * xq.scales * w.scales.reshape(1, -1)
+    else:
+        y = jax.lax.dot_general(
+            x, w.astype(x.dtype),
+            dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    if act is not None:
+        y = activation_fn(act)(y)
+    return y.astype(out_dtype)

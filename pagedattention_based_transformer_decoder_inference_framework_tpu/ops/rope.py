@@ -1,0 +1,41 @@
+"""Rotary position embeddings.
+
+Replaces the reference's broken RoPE paths (elementwise multiply in the
+GPU kernel, ``attention/paged_flash_attention_kernel_fused.cu:40-41``;
+row-0-only on CPU, ``attention_cpu/cpu_attention_kernel.cpp:56-58``) with
+the correct pairwise rotation, using a precomputed cos/sin table gathered
+by absolute position — HF-Llama "rotate_half" convention so imported
+checkpoints match bit-for-bit (within dtype tolerance).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def rope_table(max_seq_len: int, head_dim: int, theta: float = 10000.0):
+    """Return (cos, sin), each ``[max_seq_len, head_dim//2]`` in f32."""
+    half = head_dim // 2
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
+    t = jnp.arange(max_seq_len, dtype=jnp.float32)
+    freqs = jnp.outer(t, inv_freq)  # [S, half]
+    return jnp.cos(freqs), jnp.sin(freqs)
+
+
+def apply_rope(x: jax.Array, positions: jax.Array, cos: jax.Array,
+               sin: jax.Array) -> jax.Array:
+    """Rotate ``x [..., T, H, D]`` by per-token ``positions [..., T]``.
+
+    rotate_half convention: pairs are ``(x[..., :D/2], x[..., D/2:])``.
+    """
+    dt = x.dtype
+    c = cos[positions].astype(jnp.float32)  # [..., T, D/2]
+    s = sin[positions].astype(jnp.float32)
+    c = jnp.expand_dims(c, axis=-2)          # broadcast over heads
+    s = jnp.expand_dims(s, axis=-2)
+    half = x.shape[-1] // 2
+    x32 = x.astype(jnp.float32)
+    x1, x2 = x32[..., :half], x32[..., half:]
+    out = jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
+    return out.astype(dt)

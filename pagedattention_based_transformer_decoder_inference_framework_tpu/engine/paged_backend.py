@@ -1,0 +1,50 @@
+"""Paged KV attention backend: page pool + block tables + Pallas kernel.
+
+The functional composition of the reference's L0+L1 layers
+(``kv_cache/`` + ``attention/``, SURVEY.md §1): the model's attn_fn
+appends the new K/V rows into their block-table slots and runs the
+Pallas paged flash-attention kernel over the page pool.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CacheConfig, ModelConfig
+from ..kvcache.pool import PagePool, append_to_pages
+from ..ops.paged_attention import paged_attention
+from ..utils.platform import default_interpret
+
+
+class PagedKVBackend:
+    def __init__(self, cfg: ModelConfig, cache: CacheConfig,
+                 interpret: Optional[bool] = None):
+        self.cfg = cfg
+        self.cache = cache
+        self.pool = PagePool(cfg, cache)
+        self.interpret = default_interpret() if interpret is None else interpret
+
+    def init_cache(self):
+        return self.pool.init()
+
+    def make_attn_fn(self, block_tables: jax.Array, seq_lens: jax.Array,
+                     q_offsets: jax.Array):
+        """Bind this step's batch plan (block tables / lengths / offsets).
+
+        ``seq_lens`` must already include the tokens being appended in
+        this call; ``q_offsets[b]`` is the absolute position of the first
+        q token (= previously cached length).
+        """
+
+        def attn_fn(q, k, v, kv_layer, positions):
+            kv_layer = append_to_pages(kv_layer, k, v, positions, block_tables)
+            out = paged_attention(
+                q, kv_layer[0], kv_layer[1], block_tables, seq_lens,
+                q_offsets, page_size=self.cache.page_size,
+                num_q_heads=self.cfg.num_heads, interpret=self.interpret)
+            return out, kv_layer
+
+        return attn_fn

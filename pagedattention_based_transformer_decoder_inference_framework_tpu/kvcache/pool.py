@@ -1,0 +1,128 @@
+"""Device-side paged KV pool + append op.
+
+The HBM-resident equivalent of the reference's pooled K/V buffers
+(``kv_cache/kv_tile_cache.cpp:40-44``): one pool per K and V, shaped
+``[num_layers, num_pages, page_size, num_kv_heads, head_dim]``, indexed
+through per-sequence block tables (``[batch, max_pages_per_seq]`` int32)
+— the functional replacement of the device page table
+(``kv_cache/page_table.hpp:44-49``). INT8 KV keeps per-(token, head)
+absmax scales alongside the pages.
+
+Unlike the reference (where ``register_tile``/``get_write_ptr`` are
+never called from the decode path — Appendix A), the decode path here
+*actually appends*: :func:`append_to_pages` scatters new K/V rows into
+their block-table slots; XLA lowers it to an in-place dynamic scatter
+when the pool buffer is donated.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CacheConfig, ModelConfig
+from ..utils.common import jnp_dtype
+
+
+@dataclasses.dataclass(frozen=True)
+class PagePool:
+    """Factory/descriptor for paged KV state."""
+
+    cfg: ModelConfig
+    cache: CacheConfig
+
+    @property
+    def page_size(self) -> int:
+        return self.cache.page_size
+
+    @property
+    def num_pages(self) -> int:
+        return self.cache.num_pages
+
+    def init(self):
+        """Return the KV pytree with leading ``num_layers`` axis.
+
+        bf16/f32: ``(k_pages, v_pages)``.
+        int8:      ``(k_pages, v_pages, k_scales, v_scales)`` where scales
+                   are ``[L, P, page, KH]`` f32.
+        """
+        c, cc = self.cfg, self.cache
+        shape = (c.num_layers, cc.num_pages, cc.page_size, c.num_kv_heads,
+                 c.head_dim)
+        if cc.kv_dtype == "int8":
+            sshape = shape[:-1]
+            return (jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
+                    jnp.zeros(sshape, jnp.float32),
+                    jnp.zeros(sshape, jnp.float32))
+        dt = jnp_dtype(cc.kv_dtype)
+        return (jnp.zeros(shape, dt), jnp.zeros(shape, dt))
+
+
+def _flat_slot_index(positions: jax.Array, block_tables: jax.Array,
+                     page_size: int, num_pages: int) -> jax.Array:
+    """Map absolute token positions [B, T] to flat pool rows [B, T].
+
+    Invalid positions (< 0) map out of range so scatter-drop ignores them.
+    """
+    page_of_pos = positions // page_size
+    slot = positions % page_size
+    page_id = jnp.take_along_axis(block_tables, page_of_pos, axis=1)
+    flat = page_id * page_size + slot
+    return jnp.where(positions >= 0, flat, num_pages * page_size)
+
+
+def quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-(token, head) absmax INT8 quantization of ``[B, T, KH, D]``."""
+    x32 = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(x32), axis=-1)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x32 / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def append_to_pages(kv_layer, k_new: jax.Array, v_new: jax.Array,
+                    positions: jax.Array, block_tables: jax.Array):
+    """Scatter ``k_new/v_new [B, T, KH, D]`` at ``positions [B, T]`` into a
+    single layer's page pool. Returns the updated kv_layer pytree."""
+    k_pages = kv_layer[0]
+    P, page_size, KH, D = k_pages.shape
+    flat = _flat_slot_index(positions, block_tables, page_size, P)
+    flat = flat.reshape(-1)
+
+    def scatter(pool, new, extra_dims):
+        pool_flat = pool.reshape((P * page_size,) + pool.shape[2:])
+        new_flat = new.reshape((-1,) + new.shape[2:]).astype(pool.dtype)
+        pool_flat = pool_flat.at[flat].set(new_flat, mode="drop")
+        return pool_flat.reshape(pool.shape)
+
+    if len(kv_layer) == 4:  # int8 KV with scales
+        k_pages, v_pages, k_scales, v_scales = kv_layer
+        kq, ks = quantize_kv(k_new)
+        vq, vs = quantize_kv(v_new)
+        return (scatter(k_pages, kq, 2), scatter(v_pages, vq, 2),
+                scatter(k_scales, ks, 1), scatter(v_scales, vs, 1))
+    k_pages, v_pages = kv_layer
+    return (scatter(k_pages, k_new, 2), scatter(v_pages, v_new, 2))
+
+
+def gather_kv_dense(kv_layer, block_tables: jax.Array, max_len: int):
+    """Debug/oracle helper: materialize dense ``[B, max_len, KH, D]`` K/V
+    from pages (dequantizing INT8). Not a hot path."""
+    if len(kv_layer) == 4:
+        k_pages, v_pages, k_scales, v_scales = kv_layer
+        k = k_pages.astype(jnp.float32) * k_scales[..., None]
+        v = v_pages.astype(jnp.float32) * v_scales[..., None]
+    else:
+        k, v = kv_layer
+    P, page_size, KH, D = k.shape
+    n_pages = -(-max_len // page_size)
+    bt = block_tables[:, :n_pages]                     # [B, n]
+    kk = k[bt]                                         # [B, n, page, KH, D]
+    vv = v[bt]
+    B = bt.shape[0]
+    kk = kk.reshape(B, n_pages * page_size, KH, D)[:, :max_len]
+    vv = vv.reshape(B, n_pages * page_size, KH, D)[:, :max_len]
+    return kk, vv

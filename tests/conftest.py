@@ -18,3 +18,6 @@ os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", False)
+# f32 dots at full precision so kernel-vs-oracle tests are exact (the
+# default emulates TPU bf16-pass matmuls even on CPU).
+jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,71 @@
+"""Page allocator unit tests (SURVEY.md §4 item 2)."""
+
+import pytest
+
+from pagedattention_based_transformer_decoder_inference_framework_tpu.kvcache.allocator import (
+    OutOfPagesError,
+    PageAllocator,
+)
+
+
+def test_alloc_free_cycle():
+    a = PageAllocator(4)
+    pages = a.alloc_many(4)
+    assert sorted(pages) == [0, 1, 2, 3]
+    with pytest.raises(OutOfPagesError):
+        a.alloc()
+    a.free(pages[0])
+    assert a.alloc() == pages[0]
+
+
+def test_refcount_fork_and_cow():
+    a = PageAllocator(4)
+    pages = a.alloc_many(2)
+    shared = a.fork(pages)
+    assert shared == pages
+    assert a.refcount(pages[0]) == 2
+
+    # COW: shared page must be copied before write
+    page, copied = a.ensure_exclusive(pages[0])
+    assert copied and page not in pages
+    assert a.refcount(pages[0]) == 1
+    # exclusive page: no copy
+    page2, copied2 = a.ensure_exclusive(pages[1])
+    # pages[1] still has refcount 2, so it must copy too
+    assert copied2
+    # free both views fully
+    a.free(pages[0])
+    a.free(pages[1])
+    a.free(page)
+    a.free(page2)
+    assert a.num_free == 4
+
+
+def test_double_free_raises():
+    a = PageAllocator(2)
+    p = a.alloc()
+    a.free(p)
+    with pytest.raises(ValueError):
+        a.free(p)
+
+
+def test_lru_prefix_reuse():
+    a = PageAllocator(2)
+    p = a.alloc()
+    a.free(p, tag=("prefix", 123))
+    # freed page is reclaimable by tag
+    assert a.lookup_freed(("prefix", 123)) == p
+    a.free(p)
+    # once evicted for a fresh alloc, tag lookup misses
+    a.free(a.alloc(), tag=("prefix", 9))
+    a.alloc_many(2)  # forces LRU eviction of the tagged page
+    assert a.lookup_freed(("prefix", 9)) is None
+
+
+def test_live_pages_never_evicted():
+    """Unlike the reference's LRU (kv_tile_cache.cpp:90-98), live pages
+    are never dropped — allocation fails instead."""
+    a = PageAllocator(2)
+    a.alloc_many(2)
+    with pytest.raises(OutOfPagesError):
+        a.alloc()

@@ -1,0 +1,140 @@
+"""Pallas paged-attention kernel vs dense oracle (SURVEY.md §4 item 1).
+
+Runs in interpret mode on CPU; the same code path compiles on TPU.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pagedattention_based_transformer_decoder_inference_framework_tpu.config import (
+    CacheConfig,
+    preset,
+)
+from pagedattention_based_transformer_decoder_inference_framework_tpu.kvcache.pool import (
+    append_to_pages,
+    gather_kv_dense,
+)
+from pagedattention_based_transformer_decoder_inference_framework_tpu.ops.attention_ref import (
+    dense_attention,
+)
+from pagedattention_based_transformer_decoder_inference_framework_tpu.ops.paged_attention import (
+    paged_attention,
+)
+
+PAGE = 8
+
+
+def make_paged_state(rng, B, KH, dh, seq_lens, num_pages=64, max_pages=8):
+    """Random KV content written into randomly-permuted pages."""
+    k_pages = jnp.zeros((num_pages, PAGE, KH, dh), jnp.float32)
+    v_pages = jnp.zeros((num_pages, PAGE, KH, dh), jnp.float32)
+    perm = rng.permutation(num_pages - 1)[: B * max_pages] + 1  # avoid page 0
+    block_tables = jnp.asarray(perm.reshape(B, max_pages), jnp.int32)
+
+    max_len = max(seq_lens)
+    k = rng.normal(size=(B, max_len, KH, dh)).astype(np.float32)
+    v = rng.normal(size=(B, max_len, KH, dh)).astype(np.float32)
+    positions = np.broadcast_to(np.arange(max_len), (B, max_len)).copy()
+    for b, L in enumerate(seq_lens):  # invalidate beyond each seq's length
+        positions[b, L:] = -1
+    kv = append_to_pages((k_pages, v_pages), jnp.asarray(k), jnp.asarray(v),
+                         jnp.asarray(positions), block_tables)
+    return kv, block_tables, k, v
+
+
+@pytest.mark.parametrize("KH,G", [(2, 1), (2, 3)])
+@pytest.mark.parametrize("T", [1, 5])
+def test_paged_vs_dense(KH, G, T):
+    rng = np.random.default_rng(42)
+    B, dh = 3, 32
+    H = KH * G
+    seq_lens = [13, PAGE * 4, 1 + T]  # ragged; last one is a fresh sequence
+    seq_lens = [max(s, T) for s in seq_lens]
+    kv, block_tables, k, v = make_paged_state(rng, B, KH, dh, seq_lens)
+
+    q = jnp.asarray(rng.normal(size=(B, T, H, dh)), jnp.float32)
+    sl = jnp.asarray(seq_lens, jnp.int32)
+    q_offsets = sl - T  # q tokens are the last T of each sequence
+
+    out = paged_attention(q, kv[0], kv[1], block_tables, sl, q_offsets,
+                          page_size=PAGE, num_q_heads=H, interpret=True)
+
+    # oracle: dense attention over the same KV
+    max_len = max(seq_lens)
+    k_d, v_d = gather_kv_dense(kv, block_tables, max_len)
+    np.testing.assert_allclose(np.asarray(k_d)[0, :seq_lens[0]],
+                               k[0, :seq_lens[0]], atol=1e-6)
+    positions = q_offsets[:, None] + jnp.arange(T)[None, :]
+    ref = dense_attention(q, k_d, v_d, positions, sl, 1.0 / np.sqrt(dh))
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_paged_attention_page_aligned_lengths():
+    """Lengths exactly at page boundaries (off-by-one hotspot)."""
+    rng = np.random.default_rng(7)
+    B, KH, G, dh, T = 2, 1, 2, 16, 1
+    H = KH * G
+    seq_lens = [PAGE, PAGE * 2]
+    kv, block_tables, _, _ = make_paged_state(rng, B, KH, dh, seq_lens)
+    q = jnp.asarray(rng.normal(size=(B, T, H, dh)), jnp.float32)
+    sl = jnp.asarray(seq_lens, jnp.int32)
+    out = paged_attention(q, kv[0], kv[1], block_tables, sl, sl - T,
+                          page_size=PAGE, num_q_heads=H, interpret=True)
+    k_d, v_d = gather_kv_dense(kv, block_tables, max(seq_lens))
+    ref = dense_attention(q, k_d, v_d, (sl - T)[:, None], sl,
+                          1.0 / np.sqrt(dh))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_model_dense_vs_paged_backend():
+    """Full model: paged backend ≡ dense backend (prefill + decode)."""
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.engine.backends import (
+        DenseKVBackend,
+    )
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.engine.paged_backend import (
+        PagedKVBackend,
+    )
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.models.model import (
+        DecoderModel,
+        init_params,
+    )
+
+    cfg = preset("llama-tiny")
+    cfg.dtype = "float32"
+    cache = CacheConfig(page_size=PAGE, num_pages=32, max_pages_per_seq=4,
+                        kv_dtype="float32")
+    model = DecoderModel(cfg)
+    params = init_params(cfg, jax.random.key(0))
+
+    B, T = 2, 9
+    rng = np.random.default_rng(3)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)))
+    positions = jnp.broadcast_to(jnp.arange(T), (B, T))
+
+    dense = DenseKVBackend(cfg, kv_dtype="float32")
+    dlogits, dkv = model.forward(params, tokens, positions,
+                                 dense.init_cache(B, 64), dense.attn_fn)
+
+    paged = PagedKVBackend(cfg, cache, interpret=True)
+    block_tables = jnp.arange(B * 4, dtype=jnp.int32).reshape(B, 4)
+    sl = jnp.full((B,), T, jnp.int32)
+    attn = paged.make_attn_fn(block_tables, sl, jnp.zeros((B,), jnp.int32))
+    plogits, pkv = model.forward(params, tokens, positions,
+                                 paged.init_cache(), attn)
+    np.testing.assert_allclose(np.asarray(plogits), np.asarray(dlogits),
+                               atol=1e-4, rtol=1e-4)
+
+    # one decode step
+    tok = jnp.argmax(plogits[:, -1:], -1)
+    pos = jnp.full((B, 1), T)
+    dl2, _ = model.forward(params, tok, pos, dkv, dense.attn_fn)
+    attn2 = paged.make_attn_fn(block_tables, sl + 1, sl)
+    pl2, _ = model.forward(params, tok, pos, pkv, attn2)
+    np.testing.assert_allclose(np.asarray(pl2), np.asarray(dl2),
+                               atol=1e-4, rtol=1e-4)

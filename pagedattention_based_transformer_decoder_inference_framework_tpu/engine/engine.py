@@ -1,0 +1,259 @@
+"""Inference engine: jitted chunked prefill + fused decode steps over the
+paged KV cache, with streaming generation.
+
+The TPU-native replacement of the reference's decoder engines
+(``decoder/cuda_decoder.cu:47-61``, ``decoder/int8_decoder.cpp:106-119``)
+— with the structural inefficiency removed: the reference re-embeds and
+re-runs the *entire* sequence every generated token
+(``cuda_decoder.cu:52-57``); here prefill runs once (in chunks) and each
+decode step feeds exactly one token per sequence against the page pool,
+with the KV state donated so XLA updates pages in place. Sampling is
+fused into the decode step (one device dispatch per token).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FrameworkConfig
+from ..kvcache.allocator import PageAllocator
+from ..models.model import DecoderModel, Params, init_params
+from ..utils.common import cdiv
+from .paged_backend import PagedKVBackend
+from .sampling import SamplingParams, sample
+
+
+@dataclasses.dataclass
+class EngineState:
+    """Host+device state of a running batch of sequences."""
+
+    kv: object                      # device page pool pytree
+    block_tables: np.ndarray        # [B, max_pages] int32 (host mirror)
+    seq_lens: np.ndarray            # [B] int32 — tokens written so far
+    pages: List[List[int]]          # per-sequence page ids (host)
+    rng: jax.Array
+    last_tokens: np.ndarray         # [B] int32 — last sampled token
+    finished: np.ndarray            # [B] bool
+
+    @property
+    def batch(self) -> int:
+        return len(self.pages)
+
+
+class Engine:
+    """Construct-from-config, load weights, generate — the same three
+    verbs as the reference's pybind engine facade (``src/bindings.cpp``),
+    but batched, paged, and jitted."""
+
+    def __init__(self, config: FrameworkConfig, params: Optional[Params] = None,
+                 interpret: Optional[bool] = None, seed: int = 0):
+        self.config = config
+        self.cfg = config.model
+        self.cache = config.cache
+        self.runtime = config.runtime
+        self.model = DecoderModel(self.cfg)
+        self.backend = PagedKVBackend(self.cfg, self.cache, interpret=interpret)
+        self.allocator = PageAllocator(self.cache.num_pages)
+        self.params = params if params is not None else init_params(
+            self.cfg, jax.random.key(seed))
+        self._prefill_fn = self._build_prefill()
+        self._decode_fn = self._build_decode()
+        self._sample_fn = jax.jit(sample)
+
+    # -- jitted device steps -------------------------------------------------
+
+    def _build_prefill(self):
+        model, backend = self.model, self.backend
+
+        @functools.partial(jax.jit, donate_argnums=(3,))
+        def prefill_chunk(params, tokens, positions, kv, block_tables,
+                          seq_lens, q_offsets, prompt_lens):
+            """One prefill chunk. Returns per-seq logits at the final
+            prompt token if it falls inside this chunk (else zeros)."""
+            attn = backend.make_attn_fn(block_tables, seq_lens, q_offsets)
+            logits, kv = model.forward(params, tokens, positions, kv, attn)
+            # gather logits at (prompt_len - 1 - chunk_offset) when inside
+            idx = prompt_lens - 1 - q_offsets
+            T = tokens.shape[1]
+            inside = (idx >= 0) & (idx < T)
+            safe = jnp.clip(idx, 0, T - 1)
+            last = jnp.take_along_axis(
+                logits, safe[:, None, None], axis=1)[:, 0]
+            return jnp.where(inside[:, None], last, 0.0), kv
+
+        return prefill_chunk
+
+    def _build_decode(self):
+        model, backend = self.model, self.backend
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def decode_step(params, tokens, kv, block_tables, seq_lens, rng,
+                        samp):
+            """One fused decode step: forward 1 token/seq + sample."""
+            positions = seq_lens[:, None]
+            attn = backend.make_attn_fn(block_tables, seq_lens + 1, seq_lens)
+            logits, kv = model.forward(params, tokens[:, None], positions,
+                                       kv, attn)
+            rng, sub = jax.random.split(rng)
+            next_tok = sample(logits[:, 0], sub, **samp)
+            return next_tok, kv, rng
+
+        return decode_step
+
+    # -- host orchestration ---------------------------------------------------
+
+    def _alloc_pages(self, state_pages: List[int], new_len: int) -> List[int]:
+        need = cdiv(new_len, self.cache.page_size) - len(state_pages)
+        if need > 0:
+            state_pages.extend(self.allocator.alloc_many(need))
+        return state_pages
+
+    def _block_tables(self, pages: List[List[int]]) -> np.ndarray:
+        bt = np.zeros((len(pages), self.cache.max_pages_per_seq), np.int32)
+        for b, ps in enumerate(pages):
+            bt[b, :len(ps)] = ps
+        return bt
+
+    def prefill(self, prompts: Sequence[Sequence[int]],
+                seed: Optional[int] = None,
+                sampling: Optional[SamplingParams] = None) -> EngineState:
+        """Chunked prefill; samples the first generated token."""
+        B = len(prompts)
+        lens = np.array([len(p) for p in prompts], np.int32)
+        assert lens.min() >= 1
+        max_len = int(lens.max())
+        chunk = max(self.runtime.prefill_chunk, 1)
+
+        pages: List[List[int]] = [
+            self.allocator.alloc_many(cdiv(int(L), self.cache.page_size))
+            for L in lens
+        ]
+        bt_np = self._block_tables(pages)
+        bt = jnp.asarray(bt_np)
+        kv = self.backend.init_cache()
+
+        tokens = np.zeros((B, max_len), np.int32)
+        for b, p in enumerate(prompts):
+            tokens[b, :len(p)] = np.asarray(p, np.int32)
+
+        prompt_lens = jnp.asarray(lens)
+        final_logits = jnp.zeros((B, self.cfg.vocab_size), jnp.float32)
+        for c0 in range(0, max_len, chunk):
+            c1 = min(c0 + chunk, max_len)
+            tok_chunk = jnp.asarray(tokens[:, c0:c1])
+            pos = c0 + np.broadcast_to(np.arange(c1 - c0), (B, c1 - c0))
+            pos = np.where(pos < lens[:, None], pos, -1)
+            sl = jnp.asarray(np.clip(lens, 0, c1))
+            qo = jnp.full((B,), c0, jnp.int32)
+            logits, kv = self._prefill_fn(
+                self.params, tok_chunk, jnp.asarray(pos), kv, bt, sl, qo,
+                prompt_lens)
+            final_logits = final_logits + logits
+
+        rng = jax.random.key(self.runtime.seed if seed is None else seed)
+        rng, sub = jax.random.split(rng)
+        samp = (sampling or self._default_sampling()).as_arrays(B)
+        first = self._sample_fn(final_logits, sub, **samp)
+        first_np = np.asarray(first)
+
+        state = EngineState(
+            kv=kv, block_tables=bt_np, seq_lens=lens.copy(), pages=pages,
+            rng=rng, last_tokens=first_np,
+            finished=np.zeros((B,), bool))
+        self._mark_finished(state, first_np, sampling)
+        return state
+
+    def _default_sampling(self) -> SamplingParams:
+        r = self.runtime
+        return SamplingParams(
+            temperature=r.temperature, top_k=r.top_k, top_p=r.top_p,
+            eos_token_id=r.eos_token_id, eos_threshold=r.eos_threshold)
+
+    def _mark_finished(self, state: EngineState, toks: np.ndarray,
+                       sampling: Optional[SamplingParams]) -> None:
+        eos = (sampling or self._default_sampling()).eos_token_id
+        if eos >= 0:
+            state.finished |= toks == eos
+
+    def decode(self, state: EngineState,
+               sampling: Optional[SamplingParams] = None) -> np.ndarray:
+        """Advance every sequence one token. Returns sampled tokens [B]."""
+        B = state.batch
+        # grow pages to hold the token being appended this step
+        for b in range(B):
+            self._alloc_pages(state.pages[b], int(state.seq_lens[b]) + 1)
+        state.block_tables = self._block_tables(state.pages)
+
+        samp = (sampling or self._default_sampling()).as_arrays(B)
+        next_tok, state.kv, state.rng = self._decode_fn(
+            self.params, jnp.asarray(state.last_tokens), state.kv,
+            jnp.asarray(state.block_tables), jnp.asarray(state.seq_lens),
+            state.rng, samp)
+        state.seq_lens += 1
+        toks = np.asarray(next_tok)
+        state.last_tokens = toks
+        self._mark_finished(state, toks, sampling)
+        return toks
+
+    def free(self, state: EngineState) -> None:
+        for ps in state.pages:
+            for p in ps:
+                self.allocator.free(p)
+        state.pages = [[] for _ in state.pages]
+
+    # -- user-facing generation ------------------------------------------------
+
+    def generate_stream(self, prompt: Sequence[int],
+                        max_new_tokens: Optional[int] = None,
+                        sampling: Optional[SamplingParams] = None,
+                        seed: Optional[int] = None) -> Iterator[int]:
+        """Token-at-a-time streaming generation for one sequence."""
+        sampling = sampling or self._default_sampling()
+        max_new = max_new_tokens or self.runtime.max_new_tokens
+        state = self.prefill([prompt], seed=seed, sampling=sampling)
+        try:
+            tok = int(state.last_tokens[0])
+            yield tok
+            for _ in range(max_new - 1):
+                if state.finished[0]:
+                    return
+                tok = int(self.decode(state, sampling)[0])
+                yield tok
+        finally:
+            self.free(state)
+
+    def generate(self, prompt: Sequence[int],
+                 max_new_tokens: Optional[int] = None,
+                 sampling: Optional[SamplingParams] = None,
+                 seed: Optional[int] = None) -> List[int]:
+        return list(self.generate_stream(prompt, max_new_tokens, sampling,
+                                         seed=seed))
+
+    def generate_batch(self, prompts: Sequence[Sequence[int]],
+                       max_new_tokens: Optional[int] = None,
+                       sampling: Optional[SamplingParams] = None,
+                       seed: Optional[int] = None) -> List[List[int]]:
+        """Static-batch generation (continuous batching lives in
+        ``scheduler/``)."""
+        sampling = sampling or self._default_sampling()
+        max_new = max_new_tokens or self.runtime.max_new_tokens
+        state = self.prefill(prompts, seed=seed, sampling=sampling)
+        outs: List[List[int]] = [[int(t)] for t in state.last_tokens]
+        try:
+            for _ in range(max_new - 1):
+                if state.finished.all():
+                    break
+                prev_finished = state.finished.copy()
+                toks = self.decode(state, sampling)
+                for b, t in enumerate(toks):
+                    if not prev_finished[b]:
+                        outs[b].append(int(t))
+            return outs
+        finally:
+            self.free(state)

@@ -1,0 +1,101 @@
+"""Vocab-logit sampling: greedy / temperature / top-k / top-p / EOS.
+
+The reference applies top-k/top-p to *attention weights inside the
+attention kernel* (``paged_flash_attention_kernel_fused.cu:77-79``,
+``cpu_attention_kernel.cpp:93-97``) — a defect per its own docs; the
+intended semantics (vocab-logit filtering, as in
+``attention/top_k_top_p_filter.cuh:55-111`` and
+``softmax_lut.cpp:233-256``) live here, including the EOS
+hard-threshold option (``softmax_lut.cpp:252-255``) and with the
+reference's nucleus off-by-one fixed (keep tokens while cumulative
+probability *before* them is < top_p).
+
+All knobs are traced values, so one compiled decode step serves every
+request mix; no recompilation on sampling-parameter changes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class SamplingParams:
+    """Host-side sampling knobs; ``as_arrays`` broadcasts to a batch."""
+
+    temperature: float = 1.0
+    top_k: int = 0            # 0 disables
+    top_p: float = 1.0        # 1.0 disables
+    eos_token_id: int = -1    # -1 disables EOS handling
+    eos_threshold: float = 0.0
+
+    def as_arrays(self, batch: int):
+        f = lambda v: jnp.full((batch,), v, jnp.float32)
+        i = lambda v: jnp.full((batch,), v, jnp.int32)
+        return {
+            "temperature": f(self.temperature),
+            "top_k": i(self.top_k),
+            "top_p": f(self.top_p),
+            "eos_token_id": i(self.eos_token_id),
+            "eos_threshold": f(self.eos_threshold),
+        }
+
+
+def filter_logits(logits: jax.Array, top_k: jax.Array,
+                  top_p: jax.Array) -> jax.Array:
+    """Mask logits outside top-k / nucleus top-p. Dynamic k and p.
+
+    logits: ``[B, V]`` f32; top_k ``[B]`` int32 (0=off); top_p ``[B]`` f32.
+    """
+    B, V = logits.shape
+    sorted_desc = -jnp.sort(-logits, axis=-1)                  # [B, V]
+
+    # top-k: threshold at the k-th largest logit
+    k = jnp.where(top_k <= 0, V, jnp.minimum(top_k, V))
+    kth = jnp.take_along_axis(sorted_desc, (k - 1)[:, None], axis=-1)
+    keep_k = logits >= kth
+
+    # top-p: keep tokens while cumulative prob of strictly-greater
+    # tokens is < top_p (standard nucleus; always keeps the argmax)
+    probs_sorted = jax.nn.softmax(sorted_desc, axis=-1)
+    cum_before = jnp.cumsum(probs_sorted, axis=-1) - probs_sorted
+    cutoff_mask = cum_before < top_p[:, None]                   # sorted space
+    # translate back: find the smallest kept logit value in sorted space
+    min_kept = jnp.min(jnp.where(cutoff_mask, sorted_desc, jnp.inf), axis=-1)
+    keep_p = logits >= min_kept[:, None]
+
+    return jnp.where(keep_k & keep_p, logits, -jnp.inf)
+
+
+def sample(logits: jax.Array, rng: jax.Array, *, temperature: jax.Array,
+           top_k: jax.Array, top_p: jax.Array,
+           eos_token_id: Optional[jax.Array] = None,
+           eos_threshold: Optional[jax.Array] = None) -> jax.Array:
+    """Draw next tokens from ``logits [B, V]``. Returns ``[B]`` int32.
+
+    ``temperature == 0`` -> greedy (computed jointly, selected per-row).
+    """
+    B, V = logits.shape
+    logits = logits.astype(jnp.float32)
+    greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    temp = jnp.maximum(temperature, 1e-6)[:, None]
+    scaled = filter_logits(logits / temp, top_k, top_p)
+    sampled = jax.random.categorical(rng, scaled, axis=-1).astype(jnp.int32)
+
+    tok = jnp.where(temperature <= 0.0, greedy_tok, sampled)
+
+    if eos_token_id is not None and eos_threshold is not None:
+        # EOS hard threshold: if P(eos) >= threshold > 0, emit EOS
+        # (capability of softmax_lut.cpp:252-255, done on vocab probs).
+        probs = jax.nn.softmax(logits, axis=-1)
+        eos_id = jnp.clip(eos_token_id, 0, V - 1)
+        p_eos = jnp.take_along_axis(probs, eos_id[:, None], axis=-1)[:, 0]
+        force = (eos_threshold > 0.0) & (eos_token_id >= 0) & (
+            p_eos >= eos_threshold)
+        tok = jnp.where(force, eos_id, tok)
+    return tok

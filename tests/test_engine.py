@@ -1,0 +1,108 @@
+"""Engine integration tests (SURVEY.md §4 item 4): decode-with-cache ≡
+full recompute, greedy determinism, EOS stop, chunked prefill, batch."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pagedattention_based_transformer_decoder_inference_framework_tpu.config import (
+    CacheConfig,
+    FrameworkConfig,
+    RuntimeConfig,
+    preset,
+)
+from pagedattention_based_transformer_decoder_inference_framework_tpu.engine import (
+    DenseKVBackend,
+    Engine,
+    SamplingParams,
+)
+from pagedattention_based_transformer_decoder_inference_framework_tpu.models.model import (
+    DecoderModel,
+    init_params,
+)
+
+GREEDY = SamplingParams(temperature=0.0, eos_token_id=-1)
+
+
+def make_engine(model_name="llama-tiny", **runtime_kw):
+    cfg = FrameworkConfig(
+        model=preset(model_name),
+        cache=CacheConfig(page_size=8, num_pages=128, max_pages_per_seq=16,
+                          kv_dtype="float32"),
+        runtime=RuntimeConfig(max_new_tokens=8, **runtime_kw),
+    )
+    cfg.model.dtype = "float32"
+    return Engine(cfg, interpret=True)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return make_engine()
+
+
+def test_greedy_determinism(engine):
+    prompt = [5, 9, 3, 14]
+    a = engine.generate(prompt, 6, GREEDY)
+    b = engine.generate(prompt, 6, GREEDY)
+    assert a == b and len(a) == 6
+
+
+def test_decode_equals_full_recompute(engine):
+    """Tokens produced stepwise against the paged cache must equal
+    greedy argmax of a full dense recompute at every step."""
+    prompt = [2, 7, 1]
+    out = engine.generate(prompt, 5, GREEDY)
+
+    model = DecoderModel(engine.cfg)
+    dense = DenseKVBackend(engine.cfg, kv_dtype="float32")
+    seq = list(prompt)
+    for expected in out:
+        tokens = jnp.asarray([seq])
+        positions = jnp.arange(len(seq))[None, :]
+        logits, _ = model.forward(engine.params, tokens, positions,
+                                  dense.init_cache(1, 64), dense.attn_fn)
+        assert int(jnp.argmax(logits[0, -1])) == expected
+        seq.append(expected)
+
+
+def test_chunked_prefill_matches_unchunked():
+    e1 = make_engine(prefill_chunk=4)
+    e2 = make_engine(prefill_chunk=512)
+    e2.params = e1.params
+    prompt = list(range(2, 13))
+    assert e1.generate(prompt, 4, GREEDY) == e2.generate(prompt, 4, GREEDY)
+
+
+def test_eos_stops_stream(engine):
+    # find the greedy continuation, then set eos to its 3rd token
+    out = engine.generate([4, 4, 8], 6, GREEDY)
+    eos = out[2]
+    samp = SamplingParams(temperature=0.0, eos_token_id=eos)
+    stopped = engine.generate([4, 4, 8], 6, samp)
+    assert stopped == out[:3]
+
+
+def test_batch_generation_matches_single(engine):
+    p1, p2 = [3, 1, 4, 1, 5], [9, 2, 6]
+    batch = engine.generate_batch([p1, p2], 5, GREEDY)
+    assert batch[0] == engine.generate(p1, 5, GREEDY)
+    assert batch[1] == engine.generate(p2, 5, GREEDY)
+
+
+def test_pages_freed_after_generate(engine):
+    free_before = engine.allocator.num_free
+    engine.generate([1, 2, 3, 4, 5, 6, 7, 8, 9], 6, GREEDY)
+    assert engine.allocator.num_free == free_before
+
+
+def test_seeded_sampling_reproducible(engine):
+    samp = SamplingParams(temperature=1.0, top_k=10, eos_token_id=-1)
+    a = engine.generate([5, 6, 7], 6, samp, seed=123)
+    b = engine.generate([5, 6, 7], 6, samp, seed=123)
+    c = engine.generate([5, 6, 7], 6, samp, seed=124)
+    assert a == b
+    assert len(c) == 6

@@ -45,12 +45,17 @@ class PagePool:
     def init(self):
         """Return the KV pytree with leading ``num_layers`` axis.
 
+        Layout ``[L, KH, P, page, dh]``: the page axis sits next to
+        head_dim so each (kv_head, page) block is a contiguous
+        ``page*dh`` HBM chunk with TPU-friendly ``(page, dh)`` trailing
+        tiles (sublane=page, lane=dh) for the Pallas kernel's DMA.
+
         bf16/f32: ``(k_pages, v_pages)``.
         int8:      ``(k_pages, v_pages, k_scales, v_scales)`` where scales
-                   are ``[L, P, page, KH]`` f32.
+                   are ``[L, KH, P, page]`` f32.
         """
         c, cc = self.cfg, self.cache
-        shape = (c.num_layers, cc.num_pages, cc.page_size, c.num_kv_heads,
+        shape = (c.num_layers, c.num_kv_heads, cc.num_pages, cc.page_size,
                  c.head_dim)
         if cc.kv_dtype == "int8":
             sshape = shape[:-1]
@@ -86,26 +91,30 @@ def quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
 def append_to_pages(kv_layer, k_new: jax.Array, v_new: jax.Array,
                     positions: jax.Array, block_tables: jax.Array):
     """Scatter ``k_new/v_new [B, T, KH, D]`` at ``positions [B, T]`` into a
-    single layer's page pool. Returns the updated kv_layer pytree."""
+    single layer's page pool (``[KH, P, page, D]``). Returns the updated
+    kv_layer pytree."""
     k_pages = kv_layer[0]
-    P, page_size, KH, D = k_pages.shape
+    KH, P, page_size = k_pages.shape[:3]
     flat = _flat_slot_index(positions, block_tables, page_size, P)
-    flat = flat.reshape(-1)
+    flat = flat.reshape(-1)                             # [B*T]
 
-    def scatter(pool, new, extra_dims):
-        pool_flat = pool.reshape((P * page_size,) + pool.shape[2:])
-        new_flat = new.reshape((-1,) + new.shape[2:]).astype(pool.dtype)
-        pool_flat = pool_flat.at[flat].set(new_flat, mode="drop")
+    def scatter(pool, new):
+        # pool [KH, P, page, ...] -> [KH, P*page, ...]
+        pool_flat = pool.reshape((KH, P * page_size) + pool.shape[3:])
+        # new [B, T, KH, ...] -> [KH, B*T, ...]
+        new_flat = new.reshape((-1, KH) + new.shape[3:])
+        new_flat = jnp.moveaxis(new_flat, 1, 0).astype(pool.dtype)
+        pool_flat = pool_flat.at[:, flat].set(new_flat, mode="drop")
         return pool_flat.reshape(pool.shape)
 
     if len(kv_layer) == 4:  # int8 KV with scales
         k_pages, v_pages, k_scales, v_scales = kv_layer
         kq, ks = quantize_kv(k_new)
         vq, vs = quantize_kv(v_new)
-        return (scatter(k_pages, kq, 2), scatter(v_pages, vq, 2),
-                scatter(k_scales, ks, 1), scatter(v_scales, vs, 1))
+        return (scatter(k_pages, kq), scatter(v_pages, vq),
+                scatter(k_scales, ks), scatter(v_scales, vs))
     k_pages, v_pages = kv_layer
-    return (scatter(k_pages, k_new, 2), scatter(v_pages, v_new, 2))
+    return (scatter(k_pages, k_new), scatter(v_pages, v_new))
 
 
 def gather_kv_dense(kv_layer, block_tables: jax.Array, max_len: int):
@@ -117,12 +126,12 @@ def gather_kv_dense(kv_layer, block_tables: jax.Array, max_len: int):
         v = v_pages.astype(jnp.float32) * v_scales[..., None]
     else:
         k, v = kv_layer
-    P, page_size, KH, D = k.shape
+    KH, P, page_size, D = k.shape
     n_pages = -(-max_len // page_size)
     bt = block_tables[:, :n_pages]                     # [B, n]
-    kk = k[bt]                                         # [B, n, page, KH, D]
-    vv = v[bt]
+    kk = k[:, bt]                                      # [KH, B, n, page, D]
+    vv = v[:, bt]
     B = bt.shape[0]
-    kk = kk.reshape(B, n_pages * page_size, KH, D)[:, :max_len]
-    vv = vv.reshape(B, n_pages * page_size, KH, D)[:, :max_len]
-    return kk, vv
+    kk = kk.reshape(KH, B, n_pages * page_size, D)[:, :, :max_len]
+    vv = vv.reshape(KH, B, n_pages * page_size, D)[:, :, :max_len]
+    return (jnp.moveaxis(kk, 0, 2), jnp.moveaxis(vv, 0, 2))

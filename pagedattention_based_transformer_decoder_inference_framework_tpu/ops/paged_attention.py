@@ -61,13 +61,8 @@ def _kernel(bt_ref, sl_ref, qo_ref,            # scalar prefetch (SMEM)
     def _compute():
         rows = q_ref.shape[2]
         q = q_ref[0, 0].astype(jnp.float32)            # [rows, dh]
-        if quantized:
-            k = k_ref[0, :, 0, :].astype(jnp.float32)  # [page, dh] int8
-            # k scales ride in the last lane block of k_ref? no — separate
-            raise NotImplementedError
-        else:
-            k = k_ref[0, :, 0, :].astype(jnp.float32)
-            v = v_ref[0, :, 0, :].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)            # [page, dh]
+        v = v_ref[0, 0].astype(jnp.float32)
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
@@ -114,14 +109,14 @@ def paged_attention(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
 
     q:            ``[B, T, H, dh]`` queries for the current chunk
                   (T=1 decode, T=chunk prefill)
-    k/v_pages:    ``[P, page_size, KH, dh]``
+    k/v_pages:    ``[KH, P, page_size, dh]``
     block_tables: ``[B, max_pages]`` int32 physical page ids
     seq_lens:     ``[B]`` int32 — total valid tokens (incl. this chunk)
     q_offsets:    ``[B]`` int32 — absolute position of q token 0
     Returns ``[B, T, H, dh]`` in q.dtype.
     """
     B, T, H, dh = q.shape
-    P, page_sz, KH, _ = k_pages.shape
+    KH, P, page_sz, _ = k_pages.shape
     assert page_sz == page_size and H == num_q_heads
     G = H // KH
     rows = round_up(max(T * G, 8), 8)
@@ -138,15 +133,15 @@ def paged_attention(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
     def kv_index_map(b, h, i, bt_ref, sl_ref, qo_ref):
         last = jnp.maximum((sl_ref[b] - 1) // page_size, 0)
         ic = jnp.minimum(i, last)
-        return (bt_ref[b, ic], 0, h, 0)
+        return (h, bt_ref[b, ic], 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B, KH, max_pages),
         in_specs=[
             pl.BlockSpec((1, 1, rows, dh), lambda b, h, i, *_: (b, h, 0, 0)),
-            pl.BlockSpec((1, page_size, 1, dh), kv_index_map),
-            pl.BlockSpec((1, page_size, 1, dh), kv_index_map),
+            pl.BlockSpec((1, 1, page_size, dh), kv_index_map),
+            pl.BlockSpec((1, 1, page_size, dh), kv_index_map),
         ],
         out_specs=pl.BlockSpec((1, 1, rows, dh),
                                lambda b, h, i, *_: (b, h, 0, 0)),

@@ -29,8 +29,8 @@ PAGE = 8
 
 def make_paged_state(rng, B, KH, dh, seq_lens, num_pages=64, max_pages=8):
     """Random KV content written into randomly-permuted pages."""
-    k_pages = jnp.zeros((num_pages, PAGE, KH, dh), jnp.float32)
-    v_pages = jnp.zeros((num_pages, PAGE, KH, dh), jnp.float32)
+    k_pages = jnp.zeros((KH, num_pages, PAGE, dh), jnp.float32)
+    v_pages = jnp.zeros((KH, num_pages, PAGE, dh), jnp.float32)
     perm = rng.permutation(num_pages - 1)[: B * max_pages] + 1  # avoid page 0
     block_tables = jnp.asarray(perm.reshape(B, max_pages), jnp.int32)
 

@@ -64,6 +64,7 @@ class Engine:
             self.cfg, jax.random.key(seed))
         self._prefill_fn = self._build_prefill()
         self._decode_fn = self._build_decode()
+        self._decode_loop_fn = self._build_decode_loop()
         self._sample_fn = jax.jit(sample)
 
     # -- jitted device steps -------------------------------------------------
@@ -105,6 +106,39 @@ class Engine:
             return next_tok, kv, rng
 
         return decode_step
+
+    def _build_decode_loop(self):
+        model, backend = self.model, self.backend
+
+        @functools.partial(jax.jit, static_argnames=("num_steps",),
+                           donate_argnums=(2,))
+        def decode_loop(params, tokens, kv, block_tables, seq_lens, rng,
+                        samp, *, num_steps: int):
+            """``num_steps`` fused decode steps entirely on device —
+            no host round-trip per token (the per-token dispatch cost
+            dominates small-model decode through a remote chip).
+            Pages for all steps must be pre-allocated in block_tables."""
+            eos = samp["eos_token_id"]
+
+            def body(carry, _):
+                tokens, kv, seq_lens, rng, finished = carry
+                attn = backend.make_attn_fn(block_tables, seq_lens + 1,
+                                            seq_lens)
+                logits, kv = model.forward(params, tokens[:, None],
+                                           seq_lens[:, None], kv, attn)
+                rng, sub = jax.random.split(rng)
+                nxt = sample(logits[:, 0], sub, **samp)
+                nxt = jnp.where(finished, jnp.maximum(eos, 0), nxt)
+                finished = finished | ((eos >= 0) & (nxt == eos))
+                return (nxt, kv, seq_lens + 1, rng, finished), nxt
+
+            finished = jnp.zeros(tokens.shape, bool)
+            (tokens, kv, seq_lens, rng, finished), toks = jax.lax.scan(
+                body, (tokens, kv, seq_lens, rng, finished), None,
+                length=num_steps)
+            return jnp.swapaxes(toks, 0, 1), kv, rng
+
+        return decode_loop
 
     # -- host orchestration ---------------------------------------------------
 
@@ -234,6 +268,47 @@ class Engine:
                  seed: Optional[int] = None) -> List[int]:
         return list(self.generate_stream(prompt, max_new_tokens, sampling,
                                          seed=seed))
+
+    def generate_batch_fused(self, prompts: Sequence[Sequence[int]],
+                             max_new_tokens: Optional[int] = None,
+                             sampling: Optional[SamplingParams] = None,
+                             seed: Optional[int] = None) -> List[List[int]]:
+        """Batch generation with the whole decode loop fused on device.
+
+        One device dispatch for all ``max_new_tokens`` steps; pages are
+        pre-allocated for the full horizon. Used by benchmarks and the
+        batch endpoints; per-token streaming uses ``generate_stream``.
+        """
+        sampling = sampling or self._default_sampling()
+        max_new = max_new_tokens or self.runtime.max_new_tokens
+        state = self.prefill(prompts, seed=seed, sampling=sampling)
+        B = state.batch
+        outs = [[int(t)] for t in state.last_tokens]
+        if max_new == 1:
+            self.free(state)
+            return outs
+        try:
+            for b in range(B):
+                self._alloc_pages(state.pages[b],
+                                  int(state.seq_lens[b]) + max_new - 1)
+            state.block_tables = self._block_tables(state.pages)
+            samp = sampling.as_arrays(B)
+            toks, state.kv, state.rng = self._decode_loop_fn(
+                self.params, jnp.asarray(state.last_tokens), state.kv,
+                jnp.asarray(state.block_tables), jnp.asarray(state.seq_lens),
+                state.rng, samp, num_steps=max_new - 1)
+            toks = np.asarray(toks)
+            for b in range(B):
+                row = list(map(int, toks[b]))
+                if outs[b][0] == sampling.eos_token_id >= 0:
+                    continue
+                for t in row:
+                    outs[b].append(t)
+                    if t == sampling.eos_token_id:
+                        break
+            return outs
+        finally:
+            self.free(state)
 
     def generate_batch(self, prompts: Sequence[Sequence[int]],
                        max_new_tokens: Optional[int] = None,

@@ -106,3 +106,18 @@ def test_seeded_sampling_reproducible(engine):
     c = engine.generate([5, 6, 7], 6, samp, seed=124)
     assert a == b
     assert len(c) == 6
+
+
+def test_fused_decode_loop_matches_stepwise(engine):
+    p1, p2 = [3, 1, 4, 1, 5], [9, 2, 6]
+    fused = engine.generate_batch_fused([p1, p2], 5, GREEDY)
+    step = engine.generate_batch([p1, p2], 5, GREEDY)
+    assert fused == step
+
+
+def test_fused_decode_loop_eos_truncates(engine):
+    out = engine.generate([4, 4, 8], 6, GREEDY)
+    eos = out[2]
+    samp = SamplingParams(temperature=0.0, eos_token_id=eos)
+    fused = engine.generate_batch_fused([[4, 4, 8]], 6, samp)
+    assert fused[0] == out[:3]

@@ -268,6 +268,14 @@ PRESETS: Dict[str, ModelConfig] = {
         position="rope", use_qkv_bias=False, use_mlp_bias=False,
         tie_embeddings=False,
     ),
+    # GQA shapes divisible by tp=4 for multi-device dryruns/tests
+    "llama-shard-tiny": ModelConfig(
+        name="llama-shard-tiny", vocab_size=512, hidden_size=128,
+        num_layers=2, num_heads=8, num_kv_heads=4, head_dim=16,
+        intermediate_size=256, max_seq_len=256, norm="rmsnorm",
+        activation="swiglu", position="rope", use_qkv_bias=False,
+        use_mlp_bias=False, tie_embeddings=False,
+    ),
 }
 
 

@@ -20,10 +20,12 @@ from typing import Iterator, List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import FrameworkConfig
 from ..kvcache.allocator import PageAllocator
 from ..models.model import DecoderModel, Params, init_params
+from ..parallel.specs import kv_pspec, pad_vocab, param_pspecs, shard_params
 from ..utils.common import cdiv
 from .paged_backend import PagedKVBackend
 from .sampling import SamplingParams, sample
@@ -52,33 +54,72 @@ class Engine:
     but batched, paged, and jitted."""
 
     def __init__(self, config: FrameworkConfig, params: Optional[Params] = None,
-                 interpret: Optional[bool] = None, seed: int = 0):
+                 interpret: Optional[bool] = None, seed: int = 0,
+                 mesh: Optional[Mesh] = None):
         self.config = config
         self.cfg = config.model
         self.cache = config.cache
         self.runtime = config.runtime
-        self.model = DecoderModel(self.cfg)
+        self.mesh = mesh
+        pcfg = config.parallel
+        tp_axis = pcfg.model_axis if mesh is not None else None
+        self.model = DecoderModel(self.cfg, tp_axis=tp_axis)
         self.backend = PagedKVBackend(self.cfg, self.cache, interpret=interpret)
         self.allocator = PageAllocator(self.cache.num_pages)
         self.params = params if params is not None else init_params(
             self.cfg, jax.random.key(seed))
+
+        if mesh is not None:
+            # TP layout over the mesh: pad vocab so it divides tp,
+            # shard params, and shard the KV pool by kv-head.
+            tp = mesh.shape[pcfg.model_axis]
+            assert self.cfg.num_kv_heads % tp == 0, (
+                f"num_kv_heads={self.cfg.num_kv_heads} not divisible by "
+                f"tp={tp}")
+            self.params = dict(self.params)
+            self.padded_vocab = pad_vocab(self.params, self.cfg, tp)
+            self.params = shard_params(self.params, mesh, pcfg)
+            self._param_specs = param_pspecs(self.params, pcfg)
+            self._kv_specs = kv_pspec(
+                jax.eval_shape(self.backend.pool.init), pcfg)
+            self._data_axis = pcfg.data_axis
+            kv_shardings = jax.tree_util.tree_map(
+                lambda s: NamedSharding(mesh, s), self._kv_specs)
+            self._init_cache = jax.jit(self.backend.pool.init,
+                                       out_shardings=kv_shardings)
+        else:
+            self.padded_vocab = self.cfg.vocab_size
+            self._init_cache = self.backend.init_cache
+
         self._prefill_fn = self._build_prefill()
         self._decode_fn = self._build_decode()
         self._decode_loop_fn = self._build_decode_loop()
         self._sample_fn = jax.jit(sample)
 
+    # spec helpers for shard_map-wrapped steps ------------------------------
+
+    def _samp_specs(self):
+        keys = ("temperature", "top_k", "top_p", "eos_token_id",
+                "eos_threshold")
+        return {k: P(self._data_axis) for k in keys}
+
+    def _shard_step(self, fn, in_specs, out_specs):
+        return jax.shard_map(fn, mesh=self.mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+
     # -- jitted device steps -------------------------------------------------
 
     def _build_prefill(self):
         model, backend = self.model, self.backend
+        V = self.cfg.vocab_size
 
-        @functools.partial(jax.jit, donate_argnums=(3,))
         def prefill_chunk(params, tokens, positions, kv, block_tables,
                           seq_lens, q_offsets, prompt_lens):
             """One prefill chunk. Returns per-seq logits at the final
             prompt token if it falls inside this chunk (else zeros)."""
             attn = backend.make_attn_fn(block_tables, seq_lens, q_offsets)
             logits, kv = model.forward(params, tokens, positions, kv, attn)
+            logits = logits[..., :V]     # drop TP vocab padding
             # gather logits at (prompt_len - 1 - chunk_offset) when inside
             idx = prompt_lens - 1 - q_offsets
             T = tokens.shape[1]
@@ -88,12 +129,23 @@ class Engine:
                 logits, safe[:, None, None], axis=1)[:, 0]
             return jnp.where(inside[:, None], last, 0.0), kv
 
-        return prefill_chunk
+        if self.mesh is None:
+            return functools.partial(jax.jit, donate_argnums=(3,))(
+                prefill_chunk)
+
+        d = self._data_axis
+        sharded = self._shard_step(
+            prefill_chunk,
+            in_specs=(self._param_specs, P(d), P(d), self._kv_specs,
+                      P(d), P(d), P(d), P(d)),
+            out_specs=(P(d), self._kv_specs))
+        return functools.partial(jax.jit, donate_argnums=(3,))(sharded)
 
     def _build_decode(self):
         model, backend = self.model, self.backend
+        V = self.cfg.vocab_size
+        data_axis = self._data_axis if self.mesh is not None else None
 
-        @functools.partial(jax.jit, donate_argnums=(2,))
         def decode_step(params, tokens, kv, block_tables, seq_lens, rng,
                         samp):
             """One fused decode step: forward 1 token/seq + sample."""
@@ -102,16 +154,28 @@ class Engine:
             logits, kv = model.forward(params, tokens[:, None], positions,
                                        kv, attn)
             rng, sub = jax.random.split(rng)
-            next_tok = sample(logits[:, 0], sub, **samp)
+            if data_axis is not None:
+                sub = jax.random.fold_in(sub, jax.lax.axis_index(data_axis))
+            next_tok = sample(logits[:, 0, :V], sub, **samp)
             return next_tok, kv, rng
 
-        return decode_step
+        if self.mesh is None:
+            return functools.partial(jax.jit, donate_argnums=(2,))(
+                decode_step)
+
+        d = self._data_axis
+        sharded = self._shard_step(
+            decode_step,
+            in_specs=(self._param_specs, P(d), self._kv_specs, P(d),
+                      P(d), P(), self._samp_specs()),
+            out_specs=(P(d), self._kv_specs, P()))
+        return functools.partial(jax.jit, donate_argnums=(2,))(sharded)
 
     def _build_decode_loop(self):
         model, backend = self.model, self.backend
+        V = self.cfg.vocab_size
+        data_axis = self._data_axis if self.mesh is not None else None
 
-        @functools.partial(jax.jit, static_argnames=("num_steps",),
-                           donate_argnums=(2,))
         def decode_loop(params, tokens, kv, block_tables, seq_lens, rng,
                         samp, *, num_steps: int):
             """``num_steps`` fused decode steps entirely on device —
@@ -127,7 +191,10 @@ class Engine:
                 logits, kv = model.forward(params, tokens[:, None],
                                            seq_lens[:, None], kv, attn)
                 rng, sub = jax.random.split(rng)
-                nxt = sample(logits[:, 0], sub, **samp)
+                if data_axis is not None:
+                    sub = jax.random.fold_in(
+                        sub, jax.lax.axis_index(data_axis))
+                nxt = sample(logits[:, 0, :V], sub, **samp)
                 nxt = jnp.where(finished, jnp.maximum(eos, 0), nxt)
                 finished = finished | ((eos >= 0) & (nxt == eos))
                 return (nxt, kv, seq_lens + 1, rng, finished), nxt
@@ -138,7 +205,24 @@ class Engine:
                 length=num_steps)
             return jnp.swapaxes(toks, 0, 1), kv, rng
 
-        return decode_loop
+        if self.mesh is None:
+            return functools.partial(jax.jit, static_argnames=("num_steps",),
+                                     donate_argnums=(2,))(decode_loop)
+
+        d = self._data_axis
+
+        @functools.partial(jax.jit, static_argnames=("num_steps",),
+                           donate_argnums=(2,))
+        def sharded(params, tokens, kv, block_tables, seq_lens, rng, samp,
+                    *, num_steps: int):
+            fn = self._shard_step(
+                functools.partial(decode_loop, num_steps=num_steps),
+                in_specs=(self._param_specs, P(d), self._kv_specs, P(d),
+                          P(d), P(), self._samp_specs()),
+                out_specs=(P(d), self._kv_specs, P()))
+            return fn(params, tokens, kv, block_tables, seq_lens, rng, samp)
+
+        return sharded
 
     # -- host orchestration ---------------------------------------------------
 
@@ -170,7 +254,7 @@ class Engine:
         ]
         bt_np = self._block_tables(pages)
         bt = jnp.asarray(bt_np)
-        kv = self.backend.init_cache()
+        kv = self._init_cache()
 
         tokens = np.zeros((B, max_len), np.int32)
         for b, p in enumerate(prompts):

@@ -41,10 +41,12 @@ class PagedKVBackend:
 
         def attn_fn(q, k, v, kv_layer, positions):
             kv_layer = append_to_pages(kv_layer, k, v, positions, block_tables)
+            # num_q_heads from q itself: under TP (shard_map) the local
+            # head count is num_heads / tp, not cfg.num_heads.
             out = paged_attention(
                 q, kv_layer[0], kv_layer[1], block_tables, seq_lens,
                 q_offsets, page_size=self.cache.page_size,
-                num_q_heads=self.cfg.num_heads, interpret=self.interpret)
+                num_q_heads=q.shape[2], interpret=self.interpret)
             return out, kv_layer
 
         return attn_fn

@@ -117,9 +117,21 @@ def quantize_params(params: Params, lm_head: bool = True) -> Params:
 
 @dataclasses.dataclass(frozen=True)
 class DecoderModel:
-    """Stateless model: ``forward(params, tokens, positions, kv, attn_fn)``."""
+    """Stateless model: ``forward(params, tokens, positions, kv, attn_fn)``.
+
+    ``tp_axis`` names the tensor-parallel mesh axis when the model runs
+    inside ``shard_map`` (Megatron-style layout — see ``parallel/``):
+    q/k/v/gate/up are column-sharded, o/down row-sharded with a psum
+    epilogue, the embedding is vocab-sharded (masked-take + psum), and
+    logits are all-gathered over the axis. With ``tp_axis=None`` the
+    model is the plain single-device program.
+    """
 
     cfg: ModelConfig
+    tp_axis: Optional[str] = None
+
+    def _psum(self, x: jax.Array) -> jax.Array:
+        return jax.lax.psum(x, self.tp_axis) if self.tp_axis else x
 
     def rope(self) -> Optional[Tuple[jax.Array, jax.Array]]:
         if self.cfg.position != "rope":
@@ -129,7 +141,17 @@ class DecoderModel:
 
     def embed(self, params: Params, tokens: jax.Array,
               positions: jax.Array) -> jax.Array:
-        x = jnp.take(params["embedding"], tokens, axis=0)
+        emb = params["embedding"]
+        if self.tp_axis:
+            # vocab-sharded table: masked local take + psum over the axis
+            v_local = emb.shape[0]
+            start = jax.lax.axis_index(self.tp_axis) * v_local
+            local = tokens - start
+            ok = (local >= 0) & (local < v_local)
+            x = jnp.take(emb, jnp.clip(local, 0, v_local - 1), axis=0)
+            x = self._psum(jnp.where(ok[..., None], x, 0))
+        else:
+            x = jnp.take(emb, tokens, axis=0)
         if self.cfg.position == "learned":
             x = x + jnp.take(params["pos_embedding"], positions, axis=0)
         return x.astype(jnp_dtype(self.cfg.dtype))
@@ -144,28 +166,38 @@ class DecoderModel:
                rope_cs: Optional[Tuple[jax.Array, jax.Array]]):
         cfg = self.cfg
         B, T, D = x.shape
-        H, KH, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+        dh = cfg.head_dim
 
         h = self._norm(x, lp["ln1_scale"], lp.get("ln1_bias"))
-        q = linear(h, lp["wq"], lp.get("bq")).reshape(B, T, H, dh)
-        k = linear(h, lp["wk"], lp.get("bk")).reshape(B, T, KH, dh)
-        v = linear(h, lp["wv"], lp.get("bv")).reshape(B, T, KH, dh)
+        # under TP these weights are column-sharded: local head slices
+        q = linear(h, lp["wq"], lp.get("bq"))
+        k = linear(h, lp["wk"], lp.get("bk"))
+        v = linear(h, lp["wv"], lp.get("bv"))
+        q = q.reshape(B, T, q.shape[-1] // dh, dh)
+        k = k.reshape(B, T, k.shape[-1] // dh, dh)
+        v = v.reshape(B, T, v.shape[-1] // dh, dh)
         if rope_cs is not None:
             cos, sin = rope_cs
             q = apply_rope(q, positions, cos, sin)
             k = apply_rope(k, positions, cos, sin)
 
         attn_out, kv_layer = attn_fn(q, k, v, kv_layer, positions)
-        x = x + linear(attn_out.reshape(B, T, H * dh), lp["wo"], lp.get("bo"))
+        # row-parallel O projection: psum partial sums, bias added once
+        attn_proj = self._psum(linear(attn_out.reshape(B, T, -1), lp["wo"]))
+        if "bo" in lp:
+            attn_proj = attn_proj + lp["bo"].astype(attn_proj.dtype)
+        x = x + attn_proj
 
         h2 = self._norm(x, lp["ln2_scale"], lp.get("ln2_bias"))
         if cfg.activation == "swiglu":
             gate = linear(h2, lp["w_gate"], act="silu")
             up = linear(h2, lp["w_up"])
-            mlp = linear(gate * up, lp["w_down"])
+            mlp = self._psum(linear(gate * up, lp["w_down"]))
         else:
             mid = linear(h2, lp["w_up"], lp.get("b_up"), act=cfg.activation)
-            mlp = linear(mid, lp["w_down"], lp.get("b_down"))
+            mlp = self._psum(linear(mid, lp["w_down"]))
+            if "b_down" in lp:
+                mlp = mlp + lp["b_down"].astype(mlp.dtype)
         return x + mlp, kv_layer
 
     def forward(self, params: Params, tokens: jax.Array, positions: jax.Array,
@@ -195,9 +227,18 @@ class DecoderModel:
         return logits, new_kv
 
     def logits(self, params: Params, hidden: jax.Array) -> jax.Array:
-        """LM head (the component the reference omits — Appendix A)."""
+        """LM head (the component the reference omits — Appendix A).
+
+        Under TP the head is vocab-sharded; local logits are
+        all-gathered (tiled) so sampling sees the full vocab.
+        """
         if self.cfg.tie_embeddings:
             emb = params["embedding"]  # kept unquantized by quantize_params
-            return jnp.einsum("btd,vd->btv", hidden.astype(jnp.float32),
-                              emb.astype(jnp.float32))
-        return linear(hidden, params["lm_head"]).astype(jnp.float32)
+            local = jnp.einsum("btd,vd->btv", hidden.astype(jnp.float32),
+                               emb.astype(jnp.float32))
+        else:
+            local = linear(hidden, params["lm_head"]).astype(jnp.float32)
+        if self.tp_axis:
+            local = jax.lax.all_gather(local, self.tp_axis, axis=-1,
+                                       tiled=True)
+        return local

@@ -6,7 +6,9 @@ process (SURVEY.md §4 item 5: distributed tests without a cluster).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # hard override: the driver env
+# pins JAX_PLATFORMS to the TPU tunnel, but the test suite runs on the
+# virtual 8-device CPU mesh (SURVEY.md §4 item 5)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +18,13 @@ os.environ.setdefault("HF_HUB_OFFLINE", "1")
 os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 
 import jax  # noqa: E402
+
+# The driver's sitecustomize imports jax at interpreter start with
+# JAX_PLATFORMS=axon already set, so the env override above can be too
+# late — update the live config as well (backends are created lazily,
+# so this still wins as long as no test ran device code yet).
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 jax.config.update("jax_enable_x64", False)
 # f32 dots at full precision so kernel-vs-oracle tests are exact (the

@@ -1,0 +1,122 @@
+"""Benchmark entry point (run by the driver on real TPU hardware).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is
+measured against the *roofline*: decode is HBM-bandwidth-bound, so
+speed-of-light tokens/s/chip = batch * HBM_BW / bytes-touched-per-step
+(weights + live KV). BASELINE.json's north star asks for >= 0.90 of
+roofline; this number is directly that fraction.
+
+Usage: python bench.py [--model gpt2-124m] [--batch 8] [--steps 128]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+HBM_GBPS = {
+    # chip HBM bandwidth, bytes/s
+    "v5e": 819e9,
+    "v5litepod": 819e9,
+    "v4": 1228e9,
+    "v5p": 2765e9,
+    "v6e": 1640e9,
+}
+
+
+def detect_bw() -> float:
+    import os
+
+    gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
+    for k, bw in HBM_GBPS.items():
+        if gen.startswith(k):
+            return bw
+    return 819e9
+
+
+def tree_bytes(tree) -> int:
+    import jax
+
+    return sum(x.size * x.dtype.itemsize
+               for x in jax.tree_util.tree_leaves(tree))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="gpt2-124m")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=128)
+    ap.add_argument("--prompt-len", type=int, default=64)
+    ap.add_argument("--kv-dtype", default="bfloat16")
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.config import (
+        CacheConfig, FrameworkConfig, preset)
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.engine.engine import (
+        Engine)
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.engine.sampling import (
+        SamplingParams)
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.utils.common import (
+        cdiv)
+
+    cfg = FrameworkConfig()
+    cfg.model = preset(args.model)
+    total_len = args.prompt_len + args.steps + 1
+    page = 32
+    cfg.cache = CacheConfig(
+        page_size=page,
+        num_pages=args.batch * cdiv(total_len, page) + 64,
+        max_pages_per_seq=cdiv(total_len, page) + 2,
+        kv_dtype=args.kv_dtype)
+    cfg.runtime.prefill_chunk = 256
+
+    eng = Engine(cfg, seed=0)
+    samp = SamplingParams(temperature=0.0, eos_token_id=-1)
+    rng = np.random.default_rng(0)
+    prompts = rng.integers(
+        0, cfg.model.vocab_size, (args.batch, args.prompt_len)).tolist()
+
+    # warmup (compile prefill + fused decode loop)
+    eng.generate_batch_fused(prompts, max_new_tokens=8, sampling=samp)
+
+    times = []
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        out = eng.generate_batch_fused(prompts, max_new_tokens=args.steps,
+                                       sampling=samp)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    total_tokens = args.batch * args.steps
+    toks_per_s = total_tokens / dt
+
+    # roofline: each decode step streams all weights once + live KV
+    param_bytes = tree_bytes(eng.params)
+    c = cfg.model
+    kv_elt = 1 if args.kv_dtype == "int8" else 2
+    kv_bytes = (2 * c.num_layers * c.num_kv_heads * c.head_dim *
+                (args.prompt_len + args.steps // 2) * kv_elt * args.batch)
+    roofline_steps_per_s = detect_bw() / (param_bytes + kv_bytes)
+    roofline_toks_per_s = roofline_steps_per_s * args.batch
+    frac = toks_per_s / roofline_toks_per_s
+
+    print(json.dumps({
+        "metric": f"decode tokens/sec/chip ({args.model}, paged KV "
+                  f"{args.kv_dtype}, batch {args.batch})",
+        "value": round(toks_per_s, 1),
+        "unit": "tokens/s",
+        "vs_baseline": round(frac, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -34,10 +34,14 @@ class DenseKVBackend:
         dt = jnp_dtype(self.kv_dtype)
         return (jnp.zeros(shape, dt), jnp.zeros(shape, dt))
 
-    def attn_fn(self, q, k, v, kv_layer, positions):
-        k_cache, v_cache = kv_layer
+    def attn_fn(self, q, k, v, kv, layer, positions):
+        k_full, v_full = kv                     # [L, B, S, KH, D]
+        k_cache = jax.lax.dynamic_index_in_dim(k_full, layer, 0, False)
+        v_cache = jax.lax.dynamic_index_in_dim(v_full, layer, 0, False)
         k_cache, v_cache = update_dense_cache(k_cache, v_cache, k, v, positions)
         kv_lens = positions[:, -1] + 1
         scale = 1.0 / math.sqrt(self.cfg.head_dim)
         out = dense_attention(q, k_cache, v_cache, positions, kv_lens, scale)
-        return out, (k_cache, v_cache)
+        k_full = jax.lax.dynamic_update_index_in_dim(k_full, k_cache, layer, 0)
+        v_full = jax.lax.dynamic_update_index_in_dim(v_full, v_cache, layer, 0)
+        return out, (k_full, v_full)

@@ -28,7 +28,7 @@ from ..models.model import DecoderModel, Params, init_params
 from ..parallel.specs import kv_pspec, pad_vocab, param_pspecs, shard_params
 from ..utils.common import cdiv
 from .paged_backend import PagedKVBackend
-from .sampling import SamplingParams, sample
+from .sampling import SampleMode, SamplingParams, sample
 
 
 @dataclasses.dataclass
@@ -42,6 +42,7 @@ class EngineState:
     rng: jax.Array
     last_tokens: np.ndarray         # [B] int32 — last sampled token
     finished: np.ndarray            # [B] bool
+    prefill_logits: Optional[np.ndarray] = None   # [B, V] (debug/tests)
 
     @property
     def batch(self) -> int:
@@ -65,7 +66,13 @@ class Engine:
         tp_axis = pcfg.model_axis if mesh is not None else None
         self.model = DecoderModel(self.cfg, tp_axis=tp_axis)
         self.backend = PagedKVBackend(self.cfg, self.cache, interpret=interpret)
-        self.allocator = PageAllocator(self.cache.num_pages)
+        # pages are sharded over the data axis: one allocator per data
+        # shard handing out *local* page ids into that shard's sub-pool
+        self.dp = mesh.shape[pcfg.data_axis] if mesh is not None else 1
+        assert self.cache.num_pages % self.dp == 0
+        self.allocators = [PageAllocator(self.cache.num_pages // self.dp)
+                           for _ in range(self.dp)]
+        self.allocator = self.allocators[0]   # dp=1 convenience alias
         self.params = params if params is not None else init_params(
             self.cfg, jax.random.key(seed))
 
@@ -94,7 +101,8 @@ class Engine:
         self._prefill_fn = self._build_prefill()
         self._decode_fn = self._build_decode()
         self._decode_loop_fn = self._build_decode_loop()
-        self._sample_fn = jax.jit(sample)
+        self._decode_logits_fn = None     # built lazily (test/debug path)
+        self._sample_fn = jax.jit(sample, static_argnames=("mode",))
 
     # spec helpers for shard_map-wrapped steps ------------------------------
 
@@ -130,7 +138,7 @@ class Engine:
             return jnp.where(inside[:, None], last, 0.0), kv
 
         if self.mesh is None:
-            return functools.partial(jax.jit, donate_argnums=(3,))(
+            return functools.partial(jax.jit, donate_argnums=())(
                 prefill_chunk)
 
         d = self._data_axis
@@ -139,7 +147,7 @@ class Engine:
             in_specs=(self._param_specs, P(d), P(d), self._kv_specs,
                       P(d), P(d), P(d), P(d)),
             out_specs=(P(d), self._kv_specs))
-        return functools.partial(jax.jit, donate_argnums=(3,))(sharded)
+        return functools.partial(jax.jit, donate_argnums=())(sharded)
 
     def _build_decode(self):
         model, backend = self.model, self.backend
@@ -147,7 +155,7 @@ class Engine:
         data_axis = self._data_axis if self.mesh is not None else None
 
         def decode_step(params, tokens, kv, block_tables, seq_lens, rng,
-                        samp):
+                        samp, *, mode):
             """One fused decode step: forward 1 token/seq + sample."""
             positions = seq_lens[:, None]
             attn = backend.make_attn_fn(block_tables, seq_lens + 1, seq_lens)
@@ -156,20 +164,27 @@ class Engine:
             rng, sub = jax.random.split(rng)
             if data_axis is not None:
                 sub = jax.random.fold_in(sub, jax.lax.axis_index(data_axis))
-            next_tok = sample(logits[:, 0, :V], sub, **samp)
+            next_tok = sample(logits[:, 0, :V], sub, mode=mode, **samp)
             return next_tok, kv, rng
 
         if self.mesh is None:
-            return functools.partial(jax.jit, donate_argnums=(2,))(
-                decode_step)
+            return functools.partial(jax.jit, static_argnames=("mode",),
+                                     donate_argnums=())(decode_step)
 
         d = self._data_axis
-        sharded = self._shard_step(
-            decode_step,
-            in_specs=(self._param_specs, P(d), self._kv_specs, P(d),
-                      P(d), P(), self._samp_specs()),
-            out_specs=(P(d), self._kv_specs, P()))
-        return functools.partial(jax.jit, donate_argnums=(2,))(sharded)
+
+        @functools.partial(jax.jit, static_argnames=("mode",),
+                           donate_argnums=())
+        def sharded(params, tokens, kv, block_tables, seq_lens, rng, samp,
+                    *, mode):
+            fn = self._shard_step(
+                functools.partial(decode_step, mode=mode),
+                in_specs=(self._param_specs, P(d), self._kv_specs, P(d),
+                          P(d), P(), self._samp_specs()),
+                out_specs=(P(d), self._kv_specs, P()))
+            return fn(params, tokens, kv, block_tables, seq_lens, rng, samp)
+
+        return sharded
 
     def _build_decode_loop(self):
         model, backend = self.model, self.backend
@@ -177,7 +192,7 @@ class Engine:
         data_axis = self._data_axis if self.mesh is not None else None
 
         def decode_loop(params, tokens, kv, block_tables, seq_lens, rng,
-                        samp, *, num_steps: int):
+                        samp, *, num_steps: int, mode):
             """``num_steps`` fused decode steps entirely on device —
             no host round-trip per token (the per-token dispatch cost
             dominates small-model decode through a remote chip).
@@ -194,7 +209,7 @@ class Engine:
                 if data_axis is not None:
                     sub = jax.random.fold_in(
                         sub, jax.lax.axis_index(data_axis))
-                nxt = sample(logits[:, 0, :V], sub, **samp)
+                nxt = sample(logits[:, 0, :V], sub, mode=mode, **samp)
                 nxt = jnp.where(finished, jnp.maximum(eos, 0), nxt)
                 finished = finished | ((eos >= 0) & (nxt == eos))
                 return (nxt, kv, seq_lens + 1, rng, finished), nxt
@@ -206,17 +221,19 @@ class Engine:
             return jnp.swapaxes(toks, 0, 1), kv, rng
 
         if self.mesh is None:
-            return functools.partial(jax.jit, static_argnames=("num_steps",),
-                                     donate_argnums=(2,))(decode_loop)
+            return functools.partial(
+                jax.jit, static_argnames=("num_steps", "mode"),
+                donate_argnums=())(decode_loop)
 
         d = self._data_axis
 
-        @functools.partial(jax.jit, static_argnames=("num_steps",),
-                           donate_argnums=(2,))
+        @functools.partial(jax.jit, static_argnames=("num_steps", "mode"),
+                           donate_argnums=())
         def sharded(params, tokens, kv, block_tables, seq_lens, rng, samp,
-                    *, num_steps: int):
+                    *, num_steps: int, mode):
             fn = self._shard_step(
-                functools.partial(decode_loop, num_steps=num_steps),
+                functools.partial(decode_loop, num_steps=num_steps,
+                                  mode=mode),
                 in_specs=(self._param_specs, P(d), self._kv_specs, P(d),
                           P(d), P(), self._samp_specs()),
                 out_specs=(P(d), self._kv_specs, P()))
@@ -226,10 +243,15 @@ class Engine:
 
     # -- host orchestration ---------------------------------------------------
 
-    def _alloc_pages(self, state_pages: List[int], new_len: int) -> List[int]:
+    def _shard_of(self, b: int, batch: int) -> int:
+        """Data shard owning sequence ``b`` (contiguous batch split)."""
+        return b * self.dp // batch
+
+    def _alloc_pages(self, state_pages: List[int], new_len: int,
+                     shard: int = 0) -> List[int]:
         need = cdiv(new_len, self.cache.page_size) - len(state_pages)
         if need > 0:
-            state_pages.extend(self.allocator.alloc_many(need))
+            state_pages.extend(self.allocators[shard].alloc_many(need))
         return state_pages
 
     def _block_tables(self, pages: List[List[int]]) -> np.ndarray:
@@ -245,12 +267,17 @@ class Engine:
         B = len(prompts)
         lens = np.array([len(p) for p in prompts], np.int32)
         assert lens.min() >= 1
-        max_len = int(lens.max())
-        chunk = max(self.runtime.prefill_chunk, 1)
+        page = self.cache.page_size
+        # chunks must stay page-aligned: the kv-append kernel writes
+        # whole pages during prefill (ops/kv_append.py)
+        chunk = cdiv(max(self.runtime.prefill_chunk, 1), page) * page
+        max_len = cdiv(int(lens.max()), page) * page
 
+        assert B % self.dp == 0, f"batch {B} must divide dp={self.dp}"
         pages: List[List[int]] = [
-            self.allocator.alloc_many(cdiv(int(L), self.cache.page_size))
-            for L in lens
+            self.allocators[self._shard_of(b, B)].alloc_many(
+                cdiv(int(L), self.cache.page_size))
+            for b, L in enumerate(lens)
         ]
         bt_np = self._block_tables(pages)
         bt = jnp.asarray(bt_np)
@@ -276,14 +303,16 @@ class Engine:
 
         rng = jax.random.key(self.runtime.seed if seed is None else seed)
         rng, sub = jax.random.split(rng)
-        samp = (sampling or self._default_sampling()).as_arrays(B)
-        first = self._sample_fn(final_logits, sub, **samp)
+        sp = sampling or self._default_sampling()
+        first = self._sample_fn(final_logits, sub, mode=sp.mode(),
+                                **sp.as_arrays(B))
         first_np = np.asarray(first)
 
         state = EngineState(
             kv=kv, block_tables=bt_np, seq_lens=lens.copy(), pages=pages,
             rng=rng, last_tokens=first_np,
-            finished=np.zeros((B,), bool))
+            finished=np.zeros((B,), bool),
+            prefill_logits=np.asarray(final_logits))
         self._mark_finished(state, first_np, sampling)
         return state
 
@@ -305,24 +334,69 @@ class Engine:
         B = state.batch
         # grow pages to hold the token being appended this step
         for b in range(B):
-            self._alloc_pages(state.pages[b], int(state.seq_lens[b]) + 1)
+            self._alloc_pages(state.pages[b], int(state.seq_lens[b]) + 1,
+                              self._shard_of(b, B))
         state.block_tables = self._block_tables(state.pages)
 
-        samp = (sampling or self._default_sampling()).as_arrays(B)
+        sp = sampling or self._default_sampling()
         next_tok, state.kv, state.rng = self._decode_fn(
             self.params, jnp.asarray(state.last_tokens), state.kv,
             jnp.asarray(state.block_tables), jnp.asarray(state.seq_lens),
-            state.rng, samp)
+            state.rng, sp.as_arrays(B), mode=sp.mode())
         state.seq_lens += 1
         toks = np.asarray(next_tok)
         state.last_tokens = toks
         self._mark_finished(state, toks, sampling)
         return toks
 
+    def _build_decode_logits(self):
+        model, backend = self.model, self.backend
+        V = self.cfg.vocab_size
+
+        def step(params, tokens, kv, block_tables, seq_lens):
+            positions = seq_lens[:, None]
+            attn = backend.make_attn_fn(block_tables, seq_lens + 1, seq_lens)
+            logits, kv = model.forward(params, tokens[:, None], positions,
+                                       kv, attn)
+            return logits[:, 0, :V], kv
+
+        if self.mesh is None:
+            return functools.partial(jax.jit, donate_argnums=())(step)
+        d = self._data_axis
+        sharded = self._shard_step(
+            step,
+            in_specs=(self._param_specs, P(d), self._kv_specs, P(d), P(d)),
+            out_specs=(P(d), self._kv_specs))
+        return functools.partial(jax.jit, donate_argnums=())(sharded)
+
+    def decode_forced(self, state: EngineState,
+                      tokens: np.ndarray) -> np.ndarray:
+        """Teacher-forced decode step: feed ``tokens [B]``, return the
+        next-token logits ``[B, V]``. Advances the KV state. Used by
+        parity tests (greedy token equality is brittle when a random
+        model's top-2 logits nearly tie) and by the reranker's
+        log-prob scorer."""
+        if self._decode_logits_fn is None:
+            self._decode_logits_fn = self._build_decode_logits()
+        B = state.batch
+        for b in range(B):
+            self._alloc_pages(state.pages[b], int(state.seq_lens[b]) + 1,
+                              self._shard_of(b, B))
+        state.block_tables = self._block_tables(state.pages)
+        logits, state.kv = self._decode_logits_fn(
+            self.params, jnp.asarray(np.asarray(tokens, np.int32)),
+            state.kv, jnp.asarray(state.block_tables),
+            jnp.asarray(state.seq_lens))
+        state.seq_lens += 1
+        state.last_tokens = np.asarray(tokens, np.int32)
+        return np.asarray(logits)
+
     def free(self, state: EngineState) -> None:
-        for ps in state.pages:
+        B = state.batch
+        for b, ps in enumerate(state.pages):
+            alloc = self.allocators[self._shard_of(b, B)]
             for p in ps:
-                self.allocator.free(p)
+                alloc.free(p)
         state.pages = [[] for _ in state.pages]
 
     # -- user-facing generation ------------------------------------------------
@@ -374,13 +448,14 @@ class Engine:
         try:
             for b in range(B):
                 self._alloc_pages(state.pages[b],
-                                  int(state.seq_lens[b]) + max_new - 1)
+                                  int(state.seq_lens[b]) + max_new - 1,
+                                  self._shard_of(b, B))
             state.block_tables = self._block_tables(state.pages)
-            samp = sampling.as_arrays(B)
             toks, state.kv, state.rng = self._decode_loop_fn(
                 self.params, jnp.asarray(state.last_tokens), state.kv,
                 jnp.asarray(state.block_tables), jnp.asarray(state.seq_lens),
-                state.rng, samp, num_steps=max_new - 1)
+                state.rng, sampling.as_arrays(B), num_steps=max_new - 1,
+                mode=sampling.mode())
             toks = np.asarray(toks)
             for b in range(B):
                 row = list(map(int, toks[b]))

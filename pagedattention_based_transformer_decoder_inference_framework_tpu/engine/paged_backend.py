@@ -14,7 +14,8 @@ import jax
 import jax.numpy as jnp
 
 from ..config import CacheConfig, ModelConfig
-from ..kvcache.pool import PagePool, append_to_pages
+from ..kvcache.pool import PagePool
+from ..ops.kv_append import kv_append
 from ..ops.paged_attention import paged_attention
 from ..utils.platform import default_interpret
 
@@ -39,14 +40,18 @@ class PagedKVBackend:
         q token (= previously cached length).
         """
 
-        def attn_fn(q, k, v, kv_layer, positions):
-            kv_layer = append_to_pages(kv_layer, k, v, positions, block_tables)
+        def attn_fn(q, k, v, kv, layer, positions):
+            kv = kv_append(kv, k, v, layer, positions, block_tables,
+                           page_size=self.cache.page_size,
+                           interpret=self.interpret)
+            scales = kv[2:4] if len(kv) == 4 else (None, None)
             # num_q_heads from q itself: under TP (shard_map) the local
             # head count is num_heads / tp, not cfg.num_heads.
             out = paged_attention(
-                q, kv_layer[0], kv_layer[1], block_tables, seq_lens,
-                q_offsets, page_size=self.cache.page_size,
+                q, kv[0], kv[1], block_tables, seq_lens,
+                q_offsets, *scales, layer=layer,
+                page_size=self.cache.page_size,
                 num_q_heads=q.shape[2], interpret=self.interpret)
-            return out, kv_layer
+            return out, kv
 
         return attn_fn

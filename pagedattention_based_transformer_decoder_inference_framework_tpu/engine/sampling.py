@@ -10,8 +10,11 @@ hard-threshold option (``softmax_lut.cpp:252-255``) and with the
 reference's nucleus off-by-one fixed (keep tokens while cumulative
 probability *before* them is < top_p).
 
-All knobs are traced values, so one compiled decode step serves every
-request mix; no recompilation on sampling-parameter changes.
+Knob *values* are traced (no recompilation when temperature/k/p change);
+knob *modes* (greedy vs sampled, filter on/off, EOS-threshold on/off)
+are static so the compiled decode step skips the full-vocab sort and
+the categorical draw entirely for greedy requests — a multi-hundred-µs
+per-step saving at GPT-2 vocab sizes.
 """
 
 from __future__ import annotations
@@ -44,6 +47,24 @@ class SamplingParams:
             "eos_threshold": f(self.eos_threshold),
         }
 
+    def mode(self) -> "SampleMode":
+        """Static compilation mode (hashable) for this parameter set."""
+        return SampleMode(
+            greedy=self.temperature <= 0.0,
+            use_filter=self.top_k > 0 or self.top_p < 1.0,
+            use_eos_threshold=self.eos_threshold > 0.0
+            and self.eos_token_id >= 0,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class SampleMode:
+    """Which sampler features are compiled in (static jit argument)."""
+
+    greedy: bool = False
+    use_filter: bool = True
+    use_eos_threshold: bool = True
+
 
 def filter_logits(logits: jax.Array, top_k: jax.Array,
                   top_p: jax.Array) -> jax.Array:
@@ -74,22 +95,32 @@ def filter_logits(logits: jax.Array, top_k: jax.Array,
 def sample(logits: jax.Array, rng: jax.Array, *, temperature: jax.Array,
            top_k: jax.Array, top_p: jax.Array,
            eos_token_id: Optional[jax.Array] = None,
-           eos_threshold: Optional[jax.Array] = None) -> jax.Array:
+           eos_threshold: Optional[jax.Array] = None,
+           mode: Optional["SampleMode"] = None) -> jax.Array:
     """Draw next tokens from ``logits [B, V]``. Returns ``[B]`` int32.
 
     ``temperature == 0`` -> greedy (computed jointly, selected per-row).
+    ``mode`` statically disables unused features (see module docstring);
+    the default compiles everything, staying correct for any values.
     """
+    mode = mode or SampleMode()
     B, V = logits.shape
     logits = logits.astype(jnp.float32)
     greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-    temp = jnp.maximum(temperature, 1e-6)[:, None]
-    scaled = filter_logits(logits / temp, top_k, top_p)
-    sampled = jax.random.categorical(rng, scaled, axis=-1).astype(jnp.int32)
+    if mode.greedy:
+        tok = greedy_tok
+    else:
+        temp = jnp.maximum(temperature, 1e-6)[:, None]
+        scaled = logits / temp
+        if mode.use_filter:
+            scaled = filter_logits(scaled, top_k, top_p)
+        sampled = jax.random.categorical(rng, scaled, axis=-1)
+        tok = jnp.where(temperature <= 0.0, greedy_tok,
+                        sampled.astype(jnp.int32))
 
-    tok = jnp.where(temperature <= 0.0, greedy_tok, sampled)
-
-    if eos_token_id is not None and eos_threshold is not None:
+    if (mode.use_eos_threshold and eos_token_id is not None
+            and eos_threshold is not None):
         # EOS hard threshold: if P(eos) >= threshold > 0, emit EOS
         # (capability of softmax_lut.cpp:252-255, done on vocab probs).
         probs = jax.nn.softmax(logits, axis=-1)

@@ -36,9 +36,14 @@ class PageAllocator:
     caller's job; this class only tracks ownership).
     """
 
+    #: page id 0 is never allocated: it is the hardware "dump" page that
+    #: invalid writes (padding tokens, unused block-table slots) are
+    #: redirected to, so they can never clobber a live page
+    DUMP_PAGE = 0
+
     def __init__(self, num_pages: int):
         self.num_pages = num_pages
-        self._free: List[int] = list(range(num_pages - 1, -1, -1))
+        self._free: List[int] = list(range(num_pages - 1, 0, -1))
         self._refs: Dict[int, int] = {}
         # freed-but-reusable pages keyed by content tag (prefix cache),
         # in LRU order: oldest first.

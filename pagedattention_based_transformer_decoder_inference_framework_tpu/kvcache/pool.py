@@ -117,6 +117,37 @@ def append_to_pages(kv_layer, k_new: jax.Array, v_new: jax.Array,
     return (scatter(k_pages, k_new), scatter(v_pages, v_new))
 
 
+def append_to_pages_at_layer(kv, k_new: jax.Array, v_new: jax.Array,
+                             layer: jax.Array, positions: jax.Array,
+                             block_tables: jax.Array):
+    """Scatter ``k_new/v_new [B, T, KH, D]`` at ``positions [B, T]`` into
+    the FULL pool pytree (leaves ``[L, KH, P, page, ...]``) at ``layer``.
+
+    The pool is a scan carry, so XLA performs this scatter in place —
+    no per-layer pool copies (the xs->ys form costs a full pool copy per
+    layer per step).
+    """
+    k_pool = kv[0]
+    L, KH, P, page_size = k_pool.shape[:4]
+    flat = _flat_slot_index(positions, block_tables, page_size, P)
+    flat = flat.reshape(-1)                             # [B*T]
+
+    def scatter(pool, new):
+        pool_flat = pool.reshape((L, KH, P * page_size) + pool.shape[4:])
+        # NB mixed indexing (scalar, slice, array) puts the advanced
+        # axes first: the update is [B*T, KH, ...], not [KH, B*T, ...]
+        new_flat = new.reshape((-1, KH) + new.shape[3:]).astype(pool.dtype)
+        pool_flat = pool_flat.at[layer, :, flat].set(new_flat, mode="drop")
+        return pool_flat.reshape(pool.shape)
+
+    if len(kv) == 4:  # int8 KV with scales
+        kq, ks = quantize_kv(k_new)
+        vq, vs = quantize_kv(v_new)
+        return (scatter(kv[0], kq), scatter(kv[1], vq),
+                scatter(kv[2], ks), scatter(kv[3], vs))
+    return (scatter(kv[0], k_new), scatter(kv[1], v_new))
+
+
 def gather_kv_dense(kv_layer, block_tables: jax.Array, max_len: int):
     """Debug/oracle helper: materialize dense ``[B, max_len, KH, D]`` K/V
     from pages (dequantizing INT8). Not a hot path."""

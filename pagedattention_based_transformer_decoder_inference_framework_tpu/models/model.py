@@ -37,8 +37,14 @@ from ..utils.common import jnp_dtype
 
 Params = Dict[str, Any]
 
-# attn_fn(q[B,T,H,D], k[B,T,KH,D], v[B,T,KH,D], kv_layer_state, positions[B,T])
-#   -> (out[B,T,H,D], new_kv_layer_state)
+# attn_fn(q[B,T,H,D], k[B,T,KH,D], v[B,T,KH,D], kv_state, layer, positions[B,T])
+#   -> (out[B,T,H,D], new_kv_state)
+#
+# ``kv_state`` is the FULL multi-layer cache and ``layer`` a traced layer
+# index: the cache rides the layer scan as a *carry* (not xs->ys), so
+# XLA aliases the pool buffers in place across layers and steps instead
+# of re-stacking the whole pool every layer (which costs a full pool
+# copy per layer per decode step).
 AttentionFn = Callable[..., Tuple[jax.Array, Any]]
 
 
@@ -161,7 +167,7 @@ class DecoderModel:
             return rmsnorm(x, scale, self.cfg.norm_eps)
         return layernorm(x, scale, bias, self.cfg.norm_eps)
 
-    def _block(self, lp: Params, x: jax.Array, kv_layer: Any,
+    def _block(self, lp: Params, x: jax.Array, kv: Any, layer: jax.Array,
                positions: jax.Array, attn_fn: AttentionFn,
                rope_cs: Optional[Tuple[jax.Array, jax.Array]]):
         cfg = self.cfg
@@ -181,7 +187,7 @@ class DecoderModel:
             q = apply_rope(q, positions, cos, sin)
             k = apply_rope(k, positions, cos, sin)
 
-        attn_out, kv_layer = attn_fn(q, k, v, kv_layer, positions)
+        attn_out, kv = attn_fn(q, k, v, kv, layer, positions)
         # row-parallel O projection: psum partial sums, bias added once
         attn_proj = self._psum(linear(attn_out.reshape(B, T, -1), lp["wo"]))
         if "bo" in lp:
@@ -198,27 +204,32 @@ class DecoderModel:
             mlp = self._psum(linear(mid, lp["w_down"]))
             if "b_down" in lp:
                 mlp = mlp + lp["b_down"].astype(mlp.dtype)
-        return x + mlp, kv_layer
+        return x + mlp, kv
 
     def forward(self, params: Params, tokens: jax.Array, positions: jax.Array,
                 kv_caches: Any, attn_fn: AttentionFn,
                 return_hidden: bool = False):
         """Run the decoder. tokens/positions: ``[B, T]``.
 
-        ``kv_caches`` is any pytree whose leaves have a leading
-        ``num_layers`` axis; ``attn_fn`` receives the per-layer slice.
+        ``kv_caches`` is the full multi-layer cache pytree (leaves have
+        a leading ``num_layers`` axis); it rides the layer scan as a
+        carry so pool updates stay in place, and ``attn_fn`` receives it
+        whole together with the traced layer index.
         Returns ``(logits[B, T, V] f32, new_kv_caches)``.
         """
         x = self.embed(params, tokens, positions)
         rope_cs = self.rope()
 
         def body(carry, xs):
-            lp, kv_layer = xs
-            y, kv_layer = self._block(lp, carry, kv_layer, positions,
-                                      attn_fn, rope_cs)
-            return y, kv_layer
+            x, kv = carry
+            lp, layer = xs
+            y, kv = self._block(lp, x, kv, layer, positions, attn_fn,
+                                rope_cs)
+            return (y, kv), None
 
-        x, new_kv = jax.lax.scan(body, x, (params["layers"], kv_caches))
+        (x, new_kv), _ = jax.lax.scan(
+            body, (x, kv_caches),
+            (params["layers"], jnp.arange(self.cfg.num_layers)))
         x = self._norm(x, params["final_norm_scale"],
                        params.get("final_norm_bias"))
         if return_hidden:

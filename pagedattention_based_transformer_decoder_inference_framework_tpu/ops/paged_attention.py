@@ -6,19 +6,22 @@ The TPU-native flagship kernel replacing the reference's fused CUDA pair
 tile-streamed attention; see SURVEY.md Appendix A for why the CUDA code
 is not actually flash attention). Design:
 
-* grid ``(batch, kv_head, page_block)``; the page axis is innermost so
-  online-softmax state lives in VMEM scratch across page steps;
+* grid ``(batch, page_block)`` with **all KV heads batched inside one
+  program**: pages for every head of a sequence share the same page id
+  (pool layout ``[KH, P, page, dh]``), so one grid step DMAs the
+  ``[KH, page, dh]`` slab and runs a KH-batched MXU matmul — an order
+  of magnitude fewer grid programs than a per-(b,h) launch, which is
+  what the decode latency is made of;
+* the page axis is innermost so online-softmax state lives in VMEM
+  scratch across page steps; Pallas's pipeline machinery double-buffers
+  the HBM->VMEM page DMA against compute (the reference "overlap"
+  kernel's intent, done the TPU way);
 * KV pages are gathered **by block table through the BlockSpec
-  index_map** (scalar-prefetched block tables), so Pallas's pipeline
-  machinery double-buffers the HBM->VMEM page DMA against compute —
-  the "overlap" capability done the TPU way;
-* past-the-end page steps clamp their index_map to the last valid page:
-  consecutive identical block indices make Pallas elide the copy, so
-  ragged batches do not pay DMA for unused pages; their compute is
-  skipped with ``@pl.when``;
-* GQA: q rows are ``(q_token, q_head_in_group)`` pairs, giving the MXU
-  ``T*G``-row matmuls (large for prefill chunks, small-but-irrelevant
-  for bandwidth-bound decode);
+  index_map** (scalar-prefetched block tables); past-the-end page steps
+  clamp to the last valid page — consecutive identical block indices
+  make Pallas elide the copy, so ragged batches do not pay DMA for
+  unused pages, and their compute is skipped with ``@pl.when``;
+* GQA: q rows are ``(q_token, q_head_in_group)`` pairs per KV head;
 * INT8 KV pages are dequantized in-register from per-(token, head)
   scales riding in the same pipeline;
 * causal masking by absolute position (``q_offset + t``) — exact, unlike
@@ -39,14 +42,41 @@ from jax.experimental.pallas import tpu as pltpu
 from ..utils.common import round_up
 
 
-def _kernel(bt_ref, sl_ref, qo_ref,            # scalar prefetch (SMEM)
+def _attend(q, k, v, m_scr, l_scr, acc_scr, mask):
+    """One online-softmax step over a [KH, page, dh] KV slab."""
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)            # [KH, rows, page]
+    s = jnp.where(mask, s, -1e30)
+
+    m_prev = m_scr[:, :, :1]                           # [KH, rows, 1]
+    l_prev = l_scr[:, :, :1]
+    m_blk = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_blk)
+    p = jnp.exp(s - m_new)
+    p = jnp.where(mask, p, 0.0)
+    alpha = jnp.exp(m_prev - m_new)                    # [KH, rows, 1]
+    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p, v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)            # [KH, rows, dh]
+    acc_scr[:] = acc_scr[:] * alpha + pv
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+
+def _kernel(bt_ref, sl_ref, qo_ref, l_ref,     # scalar prefetch (SMEM)
             q_ref, k_ref, v_ref,               # VMEM blocks
-            out_ref,
-            m_scr, l_scr, acc_scr,
-            *, page_size: int, group: int, scale: float, quantized: bool):
+            *rest,
+            page_size: int, group: int, scale: float, quantized: bool,
+            pooled: bool):
+    if quantized:
+        ks_ref, vs_ref, out_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        out_ref, m_scr, l_scr, acc_scr = rest
     b = pl.program_id(0)
-    i = pl.program_id(2)
-    num_blocks = pl.num_programs(2)
+    i = pl.program_id(1)
+    num_blocks = pl.num_programs(1)
 
     @pl.when(i == 0)
     def _init():
@@ -59,14 +89,20 @@ def _kernel(bt_ref, sl_ref, qo_ref,            # scalar prefetch (SMEM)
 
     @pl.when(start < seq_len)
     def _compute():
-        rows = q_ref.shape[2]
-        q = q_ref[0, 0].astype(jnp.float32)            # [rows, dh]
-        k = k_ref[0, 0].astype(jnp.float32)            # [page, dh]
-        v = v_ref[0, 0].astype(jnp.float32)
-
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # [rows, page]
+        kh, rows, _ = q_ref.shape[1:]
+        q = q_ref[0].astype(jnp.float32) * scale       # [KH, rows, dh]
+        if pooled:                                     # [1, KH, 1, page, dh]
+            k = k_ref[0, :, 0].astype(jnp.float32)     # [KH, page, dh]
+            v = v_ref[0, :, 0].astype(jnp.float32)
+            if quantized:
+                k = k * ks_ref[0, :, 0][..., None]     # [KH, page] scales
+                v = v * vs_ref[0, :, 0][..., None]
+        else:
+            k = k_ref[:, 0].astype(jnp.float32)        # [KH, page, dh]
+            v = v_ref[:, 0].astype(jnp.float32)
+            if quantized:
+                k = k * ks_ref[:, 0][..., None]
+                v = v * vs_ref[:, 0][..., None]
 
         key_idx = start + jax.lax.broadcasted_iota(
             jnp.int32, (rows, page_size), 1)
@@ -74,28 +110,13 @@ def _kernel(bt_ref, sl_ref, qo_ref,            # scalar prefetch (SMEM)
             jnp.int32, (rows, page_size), 0) // group
         q_pos = qo_ref[b] + row_tok
         mask = (key_idx <= q_pos) & (key_idx < seq_len)
-        s = jnp.where(mask, s, -1e30)
-
-        m_prev = m_scr[:, :1]                           # [rows, 1]
-        l_prev = l_scr[:, :1]
-        m_blk = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_blk)
-        p = jnp.exp(s - m_new)
-        p = jnp.where(mask, p, 0.0)
-        alpha = jnp.exp(m_prev - m_new)                 # [rows, 1]
-        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-        pv = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [rows, dh]
-        acc_scr[:] = acc_scr[:] * alpha + pv
-        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+        _attend(q, k, v, m_scr, l_scr, acc_scr, mask[None])
 
     @pl.when(i == num_blocks - 1)
     def _finalize():
-        l = l_scr[:, :1]
+        l = l_scr[:, :, :1]
         l_safe = jnp.where(l == 0.0, 1.0, l)
-        out_ref[0, 0] = (acc_scr[:] / l_safe).astype(out_ref.dtype)
+        out_ref[0] = (acc_scr[:] / l_safe).astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -103,23 +124,38 @@ def _kernel(bt_ref, sl_ref, qo_ref,            # scalar prefetch (SMEM)
     static_argnames=("page_size", "num_q_heads", "interpret"))
 def paged_attention(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
                     block_tables: jax.Array, seq_lens: jax.Array,
-                    q_offsets: jax.Array, *, page_size: int,
-                    num_q_heads: int, interpret: bool = False) -> jax.Array:
-    """Paged attention over a single layer's page pool.
+                    q_offsets: jax.Array,
+                    k_scales: Optional[jax.Array] = None,
+                    v_scales: Optional[jax.Array] = None,
+                    layer: Optional[jax.Array] = None, *,
+                    page_size: int, num_q_heads: int,
+                    interpret: bool = False) -> jax.Array:
+    """Paged attention over the page pool.
 
     q:            ``[B, T, H, dh]`` queries for the current chunk
                   (T=1 decode, T=chunk prefill)
-    k/v_pages:    ``[KH, P, page_size, dh]``
+    k/v_pages:    ``[KH, P, page_size, dh]`` — or the full multi-layer
+                  pool ``[L, KH, P, page_size, dh]`` with ``layer`` a
+                  traced layer index (no slicing copy: the kernel's
+                  index map reads the layer's pages directly from HBM)
     block_tables: ``[B, max_pages]`` int32 physical page ids
     seq_lens:     ``[B]`` int32 — total valid tokens (incl. this chunk)
     q_offsets:    ``[B]`` int32 — absolute position of q token 0
+    k/v_scales:   per-(token, head) dequant scales for INT8 pools
+                  (``[KH, P, page_size]``, with leading L if pooled)
     Returns ``[B, T, H, dh]`` in q.dtype.
     """
     B, T, H, dh = q.shape
-    KH, P, page_sz, _ = k_pages.shape
+    pooled = k_pages.ndim == 5
+    if pooled:
+        assert layer is not None
+        KH, P, page_sz = k_pages.shape[1:4]
+    else:
+        KH, P, page_sz = k_pages.shape[:3]
     assert page_sz == page_size and H == num_q_heads
     G = H // KH
     rows = round_up(max(T * G, 8), 8)
+    quantized = k_scales is not None
 
     # [B, T, H, dh] -> [B, KH, rows, dh] with row = t * G + g
     qr = q.reshape(B, T, KH, G, dh).transpose(0, 2, 1, 3, 4)
@@ -130,30 +166,61 @@ def paged_attention(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
     max_pages = block_tables.shape[1]
     scale = 1.0 / math.sqrt(dh)
 
-    def kv_index_map(b, h, i, bt_ref, sl_ref, qo_ref):
+    def page_of(b, i, sl_ref, bt_ref):
         last = jnp.maximum((sl_ref[b] - 1) // page_size, 0)
-        ic = jnp.minimum(i, last)
-        return (h, bt_ref[b, ic], 0, 0)
+        return bt_ref[b, jnp.minimum(i, last)]
+
+    if pooled:
+        def kv_index_map(b, i, bt_ref, sl_ref, qo_ref, l_ref):
+            return (l_ref[0], 0, page_of(b, i, sl_ref, bt_ref), 0, 0)
+
+        def scale_index_map(b, i, bt_ref, sl_ref, qo_ref, l_ref):
+            return (l_ref[0], 0, page_of(b, i, sl_ref, bt_ref), 0)
+
+        kv_block = (1, KH, 1, page_size, dh)
+        sc_block = (1, KH, 1, page_size)
+    else:
+        def kv_index_map(b, i, bt_ref, sl_ref, qo_ref, l_ref):
+            return (0, page_of(b, i, sl_ref, bt_ref), 0, 0)
+
+        def scale_index_map(b, i, bt_ref, sl_ref, qo_ref, l_ref):
+            return (0, page_of(b, i, sl_ref, bt_ref), 0)
+
+        kv_block = (KH, 1, page_size, dh)
+        sc_block = (KH, 1, page_size)
+
+    in_specs = [
+        pl.BlockSpec((1, KH, rows, dh), lambda b, i, *_: (b, 0, 0, 0)),
+        pl.BlockSpec(kv_block, kv_index_map),
+        pl.BlockSpec(kv_block, kv_index_map),
+    ]
+    inputs = [qr, k_pages, v_pages]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec(sc_block, scale_index_map),
+            pl.BlockSpec(sc_block, scale_index_map),
+        ]
+        inputs += [k_scales, v_scales]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(B, KH, max_pages),
-        in_specs=[
-            pl.BlockSpec((1, 1, rows, dh), lambda b, h, i, *_: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, page_size, dh), kv_index_map),
-            pl.BlockSpec((1, 1, page_size, dh), kv_index_map),
-        ],
-        out_specs=pl.BlockSpec((1, 1, rows, dh),
-                               lambda b, h, i, *_: (b, h, 0, 0)),
+        num_scalar_prefetch=4,
+        grid=(B, max_pages),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, KH, rows, dh),
+                               lambda b, i, *_: (b, 0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((rows, 128), jnp.float32),
-            pltpu.VMEM((rows, 128), jnp.float32),
-            pltpu.VMEM((rows, dh), jnp.float32),
+            pltpu.VMEM((KH, rows, 128), jnp.float32),
+            pltpu.VMEM((KH, rows, 128), jnp.float32),
+            pltpu.VMEM((KH, rows, dh), jnp.float32),
         ],
     )
 
     kernel = functools.partial(
-        _kernel, page_size=page_size, group=G, scale=scale, quantized=False)
+        _kernel, page_size=page_size, group=G, scale=scale,
+        quantized=quantized, pooled=pooled)
+
+    layer_arr = jnp.asarray(
+        [0 if layer is None else layer], jnp.int32).reshape(1)
 
     out = pl.pallas_call(
         kernel,
@@ -161,7 +228,7 @@ def paged_attention(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
         out_shape=jax.ShapeDtypeStruct((B, KH, rows, dh), q.dtype),
         interpret=interpret,
     )(block_tables.astype(jnp.int32), seq_lens.astype(jnp.int32),
-      q_offsets.astype(jnp.int32), qr, k_pages, v_pages)
+      q_offsets.astype(jnp.int32), layer_arr, *inputs)
 
     out = out[:, :, :T * G, :].reshape(B, KH, T, G, dh)
     return out.transpose(0, 2, 1, 3, 4).reshape(B, T, H, dh)

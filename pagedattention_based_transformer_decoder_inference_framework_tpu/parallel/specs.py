@@ -65,16 +65,18 @@ def param_pspecs(params: Dict[str, Any], parallel: ParallelConfig):
 
 
 def kv_pspec(kv_state, parallel: ParallelConfig):
-    """Spec tree for the paged KV state: kv-head axis over 'model'.
+    """Spec tree for the paged KV state: kv-head axis over 'model',
+    pages axis over 'data'.
 
     Pool leaves are ``[L, KH, P, page, dh]`` (or ``[L, KH, P, page]``
-    scales); every data-shard replica carries the full page pool and
-    only touches its own sequences' pages (block-table ids are globally
-    unique), so the 'data' axis stays unsharded here.
+    scales). Sharding P over 'data' gives every data shard its own
+    private sub-pool addressed by *local* page ids (the engine keeps one
+    allocator per data shard) — in-place page writes can never race
+    across shards, and no HBM is wasted on replicated pools.
     """
-    m = parallel.model_axis
+    m, d = parallel.model_axis, parallel.data_axis
     return jax.tree_util.tree_map(
-        lambda x: P(None, m) if x.ndim >= 2 else P(), kv_state)
+        lambda x: P(None, m, d) if x.ndim >= 4 else P(), kv_state)
 
 
 def samp_pspecs(samp: Dict[str, Any], parallel: ParallelConfig):

@@ -25,6 +25,11 @@ import jax  # noqa: E402
 # so this still wins as long as no test ran device code yet).
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+# Async CPU dispatch exhibits rare cross-program buffer races with the
+# virtual multi-device client (flaky ~0.1-magnitude logit corruption
+# dependent on heap history); synchronous dispatch makes the suite
+# deterministic. TPU execution is unaffected.
+jax.config.update("jax_cpu_enable_async_dispatch", False)
 
 jax.config.update("jax_enable_x64", False)
 # f32 dots at full precision so kernel-vs-oracle tests are exact (the

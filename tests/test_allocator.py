@@ -1,4 +1,8 @@
-"""Page allocator unit tests (SURVEY.md §4 item 2)."""
+"""Page allocator unit tests (SURVEY.md §4 item 2).
+
+Page 0 is the reserved dump page (``PageAllocator.DUMP_PAGE``): invalid
+writes are redirected there, so the allocator must never hand it out.
+"""
 
 import pytest
 
@@ -9,17 +13,24 @@ from pagedattention_based_transformer_decoder_inference_framework_tpu.kvcache.al
 
 
 def test_alloc_free_cycle():
-    a = PageAllocator(4)
+    a = PageAllocator(5)
     pages = a.alloc_many(4)
-    assert sorted(pages) == [0, 1, 2, 3]
+    assert sorted(pages) == [1, 2, 3, 4]       # page 0 reserved
     with pytest.raises(OutOfPagesError):
         a.alloc()
     a.free(pages[0])
     assert a.alloc() == pages[0]
 
 
+def test_dump_page_never_allocated():
+    a = PageAllocator(3)
+    assert PageAllocator.DUMP_PAGE not in a.alloc_many(2)
+    with pytest.raises(OutOfPagesError):
+        a.alloc()
+
+
 def test_refcount_fork_and_cow():
-    a = PageAllocator(4)
+    a = PageAllocator(5)
     pages = a.alloc_many(2)
     shared = a.fork(pages)
     assert shared == pages
@@ -29,9 +40,8 @@ def test_refcount_fork_and_cow():
     page, copied = a.ensure_exclusive(pages[0])
     assert copied and page not in pages
     assert a.refcount(pages[0]) == 1
-    # exclusive page: no copy
-    page2, copied2 = a.ensure_exclusive(pages[1])
     # pages[1] still has refcount 2, so it must copy too
+    page2, copied2 = a.ensure_exclusive(pages[1])
     assert copied2
     # free both views fully
     a.free(pages[0])
@@ -42,7 +52,7 @@ def test_refcount_fork_and_cow():
 
 
 def test_double_free_raises():
-    a = PageAllocator(2)
+    a = PageAllocator(3)
     p = a.alloc()
     a.free(p)
     with pytest.raises(ValueError):
@@ -50,7 +60,7 @@ def test_double_free_raises():
 
 
 def test_lru_prefix_reuse():
-    a = PageAllocator(2)
+    a = PageAllocator(3)
     p = a.alloc()
     a.free(p, tag=("prefix", 123))
     # freed page is reclaimable by tag
@@ -65,7 +75,7 @@ def test_lru_prefix_reuse():
 def test_live_pages_never_evicted():
     """Unlike the reference's LRU (kv_tile_cache.cpp:90-98), live pages
     are never dropped — allocation fails instead."""
-    a = PageAllocator(2)
+    a = PageAllocator(3)
     a.alloc_many(2)
     with pytest.raises(OutOfPagesError):
         a.alloc()

@@ -138,3 +138,52 @@ def test_model_dense_vs_paged_backend():
     pl2, _ = model.forward(params, tok, pos, pkv, attn2)
     np.testing.assert_allclose(np.asarray(pl2), np.asarray(dl2),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_paged_attention_int8_kv():
+    """INT8 KV pages with per-(token, head) scales dequantized in-kernel."""
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.kvcache.pool import (
+        quantize_kv,
+    )
+
+    rng = np.random.default_rng(17)
+    B, KH, G, dh, T = 2, 2, 2, 32, 1
+    H = KH * G
+    seq_lens = [11, 19]
+    num_pages, max_pages = 32, 4
+
+    kq = jnp.zeros((KH, num_pages, PAGE, dh), jnp.int8)
+    vq = jnp.zeros((KH, num_pages, PAGE, dh), jnp.int8)
+    ks = jnp.zeros((KH, num_pages, PAGE), jnp.float32)
+    vs = jnp.zeros((KH, num_pages, PAGE), jnp.float32)
+    block_tables = jnp.asarray(
+        rng.permutation(num_pages)[: B * max_pages].reshape(B, max_pages),
+        jnp.int32)
+
+    max_len = max(seq_lens)
+    k = rng.normal(size=(B, max_len, KH, dh)).astype(np.float32)
+    v = rng.normal(size=(B, max_len, KH, dh)).astype(np.float32)
+    positions = np.broadcast_to(np.arange(max_len), (B, max_len)).copy()
+    for b, L in enumerate(seq_lens):
+        positions[b, L:] = -1
+    kv = append_to_pages((kq, vq, ks, vs), jnp.asarray(k), jnp.asarray(v),
+                         jnp.asarray(positions), block_tables)
+
+    q = jnp.asarray(rng.normal(size=(B, T, H, dh)), jnp.float32)
+    sl = jnp.asarray(seq_lens, jnp.int32)
+    out = paged_attention(q, kv[0], kv[1], block_tables, sl, sl - T,
+                          kv[2], kv[3], page_size=PAGE, num_q_heads=H,
+                          interpret=True)
+
+    # oracle over the dequantized KV (gather_kv_dense dequantizes)
+    k_d, v_d = gather_kv_dense(kv, block_tables, max_len)
+    ref = dense_attention(q, k_d, v_d, (sl - T)[:, None], sl,
+                          1.0 / np.sqrt(dh))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    # and the quantization error itself is bounded
+    kd, sc = quantize_kv(jnp.asarray(k))
+    np.testing.assert_allclose(
+        np.asarray(kd, np.float32) * np.asarray(sc)[..., None], k,
+        atol=np.abs(k).max() / 127 * 1.01)

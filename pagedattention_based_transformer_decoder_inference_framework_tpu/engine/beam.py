@@ -1,0 +1,197 @@
+"""Stepwise beam search with copy-on-write KV pages.
+
+What the reference *intended* (beam-keyed page table
+``kv_cache/page_table.hpp:14,41``, per-tile rerank scores in the kernel)
+but never built — its "beam search" is N independent full generations
+re-streamed afterwards (``api/router.py:58-80``, SURVEY.md §3.3). Here:
+
+* the prompt is prefilled **once**; all beams share its pages by
+  refcount (``PageAllocator.fork``);
+* each step scores all beams in one batched teacher-forced decode,
+  expands to the top ``beam_width`` (parent, token) pairs by cumulative
+  log-probability, and re-wires the beams' block tables to their
+  parents' pages — sharing full pages read-only;
+* before a beam appends into a page another beam also references, the
+  page goes through ``ensure_exclusive`` and is copied on device
+  (copy-on-write) — only partial tail pages are ever copied;
+* finished beams (EOS) are frozen and the final candidates can be
+  re-scored by a :mod:`..reranker` scorer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.common import cdiv
+from .engine import Engine, EngineState
+
+
+@dataclasses.dataclass
+class BeamHypothesis:
+    tokens: List[int]
+    score: float                       # cumulative log-prob
+
+    @property
+    def normalized_score(self) -> float:
+        return self.score / max(len(self.tokens), 1)
+
+
+def _copy_pages_fn(engine: Engine):
+    """Jitted device copy of pool pages src[i] -> dst[i] (COW)."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def copy_pages(kv, src, dst):
+        def copy_leaf(leaf):
+            def body(leaf, i):
+                s, d = src[i], dst[i]
+                sizes = (leaf.shape[0], leaf.shape[1], 1) + leaf.shape[3:]
+                start = (0, 0, s) + (0,) * (leaf.ndim - 3)
+                page = jax.lax.dynamic_slice(leaf, start, sizes)
+                dstart = (0, 0, d) + (0,) * (leaf.ndim - 3)
+                return jax.lax.dynamic_update_slice(leaf, page, dstart), None
+
+            leaf, _ = jax.lax.scan(body, leaf, jnp.arange(src.shape[0]))
+            return leaf
+
+        return jax.tree_util.tree_map(copy_leaf, kv)
+
+    return copy_pages
+
+
+class BeamSearcher:
+    """Beam decoding against one :class:`Engine` (single data shard)."""
+
+    def __init__(self, engine: Engine, beam_width: int = 4,
+                 length_penalty: float = 0.0):
+        assert engine.dp == 1, "beam search runs per data shard"
+        self.engine = engine
+        self.W = beam_width
+        self.length_penalty = length_penalty
+        self._copy_pages = _copy_pages_fn(engine)
+
+    # -- page bookkeeping ---------------------------------------------------
+
+    def _fork_rows(self, state: EngineState, parents: np.ndarray) -> None:
+        """Re-wire each beam row to its parent's pages (shared), making
+        the tail page exclusive (device COW copy) so the next append
+        cannot clobber a sibling."""
+        alloc = self.engine.allocator
+        page_size = self.engine.cache.page_size
+        old_pages = state.pages
+        new_pages: List[List[int]] = []
+        copies_src: List[int] = []
+        copies_dst: List[int] = []
+        for p in parents:
+            shared = alloc.fork(old_pages[int(p)])
+            new_pages.append(shared)
+        # release the old rows' references
+        for ps in old_pages:
+            for pg in ps:
+                alloc.free(pg)
+        # make each row's tail page exclusive (it will be appended into)
+        for row, ps in enumerate(new_pages):
+            if not ps:
+                continue
+            tail = ps[-1]
+            excl, copied = alloc.ensure_exclusive(tail)
+            if copied:
+                copies_src.append(tail)
+                copies_dst.append(excl)
+                ps[-1] = excl
+        if copies_src:
+            state.kv = self._copy_pages(
+                state.kv, jnp.asarray(copies_src, jnp.int32),
+                jnp.asarray(copies_dst, jnp.int32))
+        state.pages = new_pages
+        state.block_tables = self.engine._block_tables(new_pages)
+
+    # -- search ---------------------------------------------------------------
+
+    def search(self, prompt: Sequence[int], max_new_tokens: int,
+               eos_token_id: int = -1,
+               num_return: Optional[int] = None) -> List[BeamHypothesis]:
+        """Run beam search; returns hypotheses sorted by normalized score."""
+        eng, W = self.engine, self.W
+        state = eng.prefill([prompt] * W)
+        # all rows ran the same prompt — collapse to shared pages:
+        # row 0 keeps its pages, other rows' pages are freed and re-forked
+        logits0 = state.prefill_logits[0]
+        parents0 = np.zeros((W,), np.int32)
+        self._fork_rows(state, parents0)
+
+        logprobs = _log_softmax(logits0)
+        top = np.argsort(-logprobs)[:W]
+        beam_tokens: List[List[int]] = [[int(t)] for t in top]
+        beam_scores = np.array([logprobs[t] for t in top], np.float64)
+        finished: List[BeamHypothesis] = []
+        alive = np.ones((W,), bool)
+        if eos_token_id >= 0:
+            for i, t in enumerate(top):
+                if int(t) == eos_token_id:
+                    finished.append(BeamHypothesis([int(t)],
+                                                   float(beam_scores[i])))
+                    alive[i] = False
+
+        for _ in range(max_new_tokens - 1):
+            if not alive.any():
+                break
+            toks = np.asarray([bt[-1] for bt in beam_tokens], np.int32)
+            step_logits = eng.decode_forced(state, toks)   # [W, V]
+            lp = np.stack([_log_softmax(row) for row in step_logits])
+            # dead rows cannot spawn candidates
+            lp[~alive] = -1e30
+            cand = beam_scores[:, None] + lp               # [W, V]
+            flat = np.argsort(-cand.reshape(-1))[: 2 * W]
+            parents, tokens, scores = [], [], []
+            for f in flat:
+                p, t = divmod(int(f), lp.shape[1])
+                if not alive[p]:
+                    continue
+                parents.append(p)
+                tokens.append(t)
+                scores.append(cand[p, t])
+                if len(parents) == W:
+                    break
+            parents = np.asarray(parents, np.int32)
+
+            new_beam_tokens = [beam_tokens[p] + [t]
+                               for p, t in zip(parents, tokens)]
+            beam_scores = np.asarray(scores, np.float64)
+            beam_tokens = new_beam_tokens
+            self._fork_rows(state, parents)
+            state.last_tokens = np.asarray(tokens, np.int32)
+            alive = np.ones((W,), bool)
+            if eos_token_id >= 0:
+                for i, t in enumerate(tokens):
+                    if t == eos_token_id:
+                        finished.append(BeamHypothesis(
+                            beam_tokens[i], float(beam_scores[i])))
+                        alive[i] = False
+
+        for i in range(W):
+            if alive[i]:
+                finished.append(BeamHypothesis(beam_tokens[i],
+                                               float(beam_scores[i])))
+        eng.free(state)
+
+        def key(h: BeamHypothesis) -> float:
+            if self.length_penalty > 0:
+                return h.score / (len(h.tokens) ** self.length_penalty)
+            return h.score
+
+        finished.sort(key=key, reverse=True)
+        return finished[: num_return or W]
+
+
+def _log_softmax(x: np.ndarray) -> np.ndarray:
+    x = np.asarray(x, np.float64)
+    m = x.max()
+    e = np.exp(x - m)
+    return x - m - math.log(e.sum())

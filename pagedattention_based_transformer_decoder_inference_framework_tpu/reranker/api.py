@@ -1,0 +1,106 @@
+"""Reranker: score candidate continuations against a context.
+
+Same surface as the reference's ``Reranker::{rerank_scores, select_best}``
+(``reranker/reranker.hpp:5-13``) — but with a *real* scorer. The
+reference's ``RerankerModel::score`` is a hash-seeded uniform random
+placeholder (``reranker/reranker_model.cpp:22-28``, SURVEY.md App. A);
+here the default scorer is the decoder itself: the length-normalized
+log-probability of the candidate tokens given the context, computed by
+teacher-forced decode against the paged KV cache. A cross-encoder
+(BERT-class, via ``finetune.py``) can be plugged in through the same
+:class:`RerankScorer` interface.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Protocol, Sequence
+
+import numpy as np
+
+
+class RerankScorer(Protocol):
+    def score(self, context_ids: Sequence[int],
+              candidate_ids: Sequence[int]) -> float:
+        ...
+
+
+class LogProbScorer:
+    """Scores candidates by decoder log-prob(candidate | context)."""
+
+    def __init__(self, engine, length_normalize: bool = True):
+        self.engine = engine
+        self.length_normalize = length_normalize
+
+    def score(self, context_ids: Sequence[int],
+              candidate_ids: Sequence[int]) -> float:
+        if not candidate_ids:
+            return -math.inf
+        eng = self.engine
+        state = eng.prefill([list(context_ids)])
+        try:
+            logits = state.prefill_logits[0]
+            total = 0.0
+            for tok in candidate_ids:
+                lp = _log_softmax(logits)
+                total += float(lp[int(tok)])
+                logits = eng.decode_forced(
+                    state, np.asarray([tok], np.int32))[0]
+            if self.length_normalize:
+                total /= len(candidate_ids)
+            return total
+        finally:
+            eng.free(state)
+
+
+class CrossEncoderScorer:
+    """HF sequence-classification cross-encoder (e.g. the model produced
+    by ``finetune.py``). Requires torch+transformers; local path only."""
+
+    def __init__(self, model_path: str, tokenizer=None):
+        import torch
+        from transformers import (AutoModelForSequenceClassification,
+                                  AutoTokenizer)
+
+        self._torch = torch
+        self.tok = tokenizer or AutoTokenizer.from_pretrained(model_path)
+        self.model = AutoModelForSequenceClassification.from_pretrained(
+            model_path)
+        self.model.eval()
+
+    def score(self, context_ids: Sequence[int],
+              candidate_ids: Sequence[int]) -> float:
+        # the cross-encoder consumes text; ids are decoded by the caller
+        raise NotImplementedError("use score_text for cross encoders")
+
+    def score_text(self, context: str, candidate: str) -> float:
+        torch = self._torch
+        with torch.no_grad():
+            enc = self.tok(context, candidate, return_tensors="pt",
+                           truncation=True, max_length=512)
+            out = self.model(**enc).logits[0]
+            if out.numel() == 1:
+                return float(out)
+            return float(torch.softmax(out, -1)[-1])   # P(positive)
+
+
+class Reranker:
+    """``rerank_scores`` + ``select_best`` over token-id candidates."""
+
+    def __init__(self, scorer: RerankScorer):
+        self.scorer = scorer
+
+    def rerank_scores(self, context_ids: Sequence[int],
+                      candidates: Sequence[Sequence[int]]) -> List[float]:
+        return [self.scorer.score(context_ids, c) for c in candidates]
+
+    def select_best(self, context_ids: Sequence[int],
+                    candidates: Sequence[Sequence[int]]) -> int:
+        scores = self.rerank_scores(context_ids, candidates)
+        return int(np.argmax(scores))
+
+
+def _log_softmax(x: np.ndarray) -> np.ndarray:
+    x = np.asarray(x, np.float64)
+    m = x.max()
+    return x - m - math.log(np.exp(x - m).sum())

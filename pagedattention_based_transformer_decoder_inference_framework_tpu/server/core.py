@@ -1,0 +1,165 @@
+"""Transport-agnostic serving core.
+
+All endpoint logic for the REST/streaming API lives here; the FastAPI
+app (``app.py``) and the stdlib fallback server (``basic.py``) are thin
+transports over it. Endpoint set mirrors the reference's FastAPI
+(``api/router.py:19-80``) + Flask (``web/app.py:12-133``) servers.
+
+Streaming framings:
+* newline-JSON: one JSON object per line (reference ``api/router.py:35``)
+* SSE: ``data: {...}\\n\\n`` frames + ``event: done`` terminator
+  (reference ``web/sse_utils.py:6-10``)
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Iterator, List, Optional
+
+from ..config import FrameworkConfig
+from ..engine.sampling import SamplingParams
+from ..utils.tokenizer import get_tokenizer
+from .metrics import Metrics
+from .schema import (BatchGenerateRequest, BeamStreamRequest,
+                     GenerateRequest, StreamChatRequest)
+
+
+def sse_frame(data: dict) -> str:
+    return f"data: {json.dumps(data)}\n\n"
+
+
+def ndjson_frame(data: dict) -> str:
+    return json.dumps(data) + "\n"
+
+
+class ServerCore:
+    def __init__(self, config: Optional[FrameworkConfig] = None,
+                 engine=None, reranker=None):
+        self.config = config or FrameworkConfig()
+        if engine is None:
+            from ..engine.engine import Engine
+
+            engine = Engine(self.config)
+        self.engine = engine
+        self.tokenizer = get_tokenizer(self.config.tokenizer)
+        if reranker is None:
+            from ..reranker import LogProbScorer, Reranker
+
+            reranker = Reranker(LogProbScorer(engine))
+        self.reranker = reranker
+        self.metrics = Metrics()
+
+    # -- helpers -------------------------------------------------------------
+
+    def _sampling(self, req) -> SamplingParams:
+        return SamplingParams(
+            temperature=req.temperature, top_k=req.top_k, top_p=req.top_p,
+            eos_token_id=self.tokenizer.eos_token_id,
+            eos_threshold=self.config.runtime.eos_threshold)
+
+    def _stream(self, prompt_ids: List[int], max_new: int,
+                sampling: SamplingParams,
+                seed: Optional[int]) -> Iterator[dict]:
+        t0 = time.time()
+        ttft = None
+        n_out = 0
+        for tok in self.engine.generate_stream(prompt_ids, max_new,
+                                               sampling, seed=seed):
+            if ttft is None:
+                ttft = time.time() - t0
+            n_out += 1
+            yield {"token": int(tok),
+                   "text": self.tokenizer.decode_token(tok)}
+            if self.config.runtime.stream_delay_ms:
+                time.sleep(self.config.runtime.stream_delay_ms / 1000)
+        self.metrics.record(tokens_in=len(prompt_ids), tokens_out=n_out,
+                            ttft_s=ttft, total_s=time.time() - t0)
+        yield {"token": None,
+               "finish_reason": "eos" if n_out < max_new else "length"}
+
+    @staticmethod
+    def frame(gen: Iterator[dict], sse: bool) -> Iterator[str]:
+        if sse:
+            for item in gen:
+                yield sse_frame(item)
+            yield "event: done\ndata: {}\n\n"
+        else:
+            for item in gen:
+                yield ndjson_frame(item)
+
+    # -- endpoints -------------------------------------------------------------
+
+    def healthz(self) -> dict:
+        return {"status": "ok", "model": self.config.model.name}
+
+    def get_metrics(self) -> dict:
+        return self.metrics.snapshot(self.engine)
+
+    def generate(self, req: GenerateRequest) -> dict:
+        t0 = time.time()
+        ids = self.tokenizer.encode(req.prompt)
+        out = self.engine.generate(ids, req.max_new_tokens,
+                                   self._sampling(req), seed=req.seed)
+        reason = ("eos" if out and out[-1] == self.tokenizer.eos_token_id
+                  else "length")
+        self.metrics.record(tokens_in=len(ids), tokens_out=len(out),
+                            ttft_s=None, total_s=time.time() - t0)
+        return {"text": self.tokenizer.decode(out), "tokens": out,
+                "finish_reason": reason}
+
+    def generate_batch(self, req: BatchGenerateRequest) -> dict:
+        t0 = time.time()
+        idss = [self.tokenizer.encode(p) for p in req.prompts]
+        outs = self.engine.generate_batch(idss, req.max_new_tokens,
+                                          self._sampling(req), seed=req.seed)
+        self.metrics.record(tokens_in=sum(map(len, idss)),
+                            tokens_out=sum(map(len, outs)), ttft_s=None,
+                            total_s=time.time() - t0)
+        return {"results": [{"text": self.tokenizer.decode(o), "tokens": o}
+                            for o in outs]}
+
+    def stream_generate(self, req: GenerateRequest,
+                        sse: bool) -> Iterator[str]:
+        gen = self._stream(self.tokenizer.encode(req.prompt),
+                           req.max_new_tokens, self._sampling(req), req.seed)
+        return self.frame(gen, sse)
+
+    def stream_chat(self, req: StreamChatRequest,
+                    sse: bool) -> Iterator[str]:
+        prompt = self.config.chat.render(
+            [m.model_dump() for m in req.messages])
+        gen = self._stream(self.tokenizer.encode(prompt),
+                           req.max_new_tokens, self._sampling(req), req.seed)
+        return self.frame(gen, sse)
+
+    def stream_chat_beam(self, req: BeamStreamRequest,
+                         sse: bool) -> Iterator[str]:
+        from ..engine.beam import BeamSearcher
+
+        prompt = self.config.chat.render(
+            [m.model_dump() for m in req.messages])
+        ids = self.tokenizer.encode(prompt)
+        t0 = time.time()
+        beams = BeamSearcher(self.engine,
+                             beam_width=req.beam_width).search(
+            ids, req.max_new_tokens,
+            eos_token_id=self.tokenizer.eos_token_id)
+        cands = [b.tokens for b in beams]
+        best = (self.reranker.select_best(ids, cands) if req.use_rerank
+                else 0)
+        winner = cands[best]
+        self.metrics.record(tokens_in=len(ids), tokens_out=len(winner),
+                            ttft_s=None, total_s=time.time() - t0)
+
+        def restream():
+            for tok in winner:
+                yield {"token": int(tok),
+                       "text": self.tokenizer.decode_token(tok),
+                       "beam": best}
+                if self.config.runtime.stream_delay_ms:
+                    time.sleep(self.config.runtime.stream_delay_ms / 1000)
+            yield {"token": None, "finish_reason": "stop",
+                   "num_beams": len(cands)}
+
+        return self.frame(restream(), sse)

@@ -101,6 +101,7 @@ class Engine:
         self._prefill_fn = self._build_prefill()
         self._decode_fn = self._build_decode()
         self._decode_loop_fn = self._build_decode_loop()
+        self._generate_fused_fn = self._build_generate_fused()
         self._decode_logits_fn = None     # built lazily (test/debug path)
         self._sample_fn = jax.jit(sample, static_argnames=("mode",))
 
@@ -138,7 +139,7 @@ class Engine:
             return jnp.where(inside[:, None], last, 0.0), kv
 
         if self.mesh is None:
-            return functools.partial(jax.jit, donate_argnums=())(
+            return functools.partial(jax.jit, donate_argnums=(3,))(
                 prefill_chunk)
 
         d = self._data_axis
@@ -147,7 +148,7 @@ class Engine:
             in_specs=(self._param_specs, P(d), P(d), self._kv_specs,
                       P(d), P(d), P(d), P(d)),
             out_specs=(P(d), self._kv_specs))
-        return functools.partial(jax.jit, donate_argnums=())(sharded)
+        return functools.partial(jax.jit, donate_argnums=(3,))(sharded)
 
     def _build_decode(self):
         model, backend = self.model, self.backend
@@ -169,12 +170,12 @@ class Engine:
 
         if self.mesh is None:
             return functools.partial(jax.jit, static_argnames=("mode",),
-                                     donate_argnums=())(decode_step)
+                                     donate_argnums=(2,))(decode_step)
 
         d = self._data_axis
 
         @functools.partial(jax.jit, static_argnames=("mode",),
-                           donate_argnums=())
+                           donate_argnums=(2,))
         def sharded(params, tokens, kv, block_tables, seq_lens, rng, samp,
                     *, mode):
             fn = self._shard_step(
@@ -223,12 +224,12 @@ class Engine:
         if self.mesh is None:
             return functools.partial(
                 jax.jit, static_argnames=("num_steps", "mode"),
-                donate_argnums=())(decode_loop)
+                donate_argnums=(2,))(decode_loop)
 
         d = self._data_axis
 
         @functools.partial(jax.jit, static_argnames=("num_steps", "mode"),
-                           donate_argnums=())
+                           donate_argnums=(2,))
         def sharded(params, tokens, kv, block_tables, seq_lens, rng, samp,
                     *, num_steps: int, mode):
             fn = self._shard_step(
@@ -238,6 +239,99 @@ class Engine:
                           P(d), P(), self._samp_specs()),
                 out_specs=(P(d), self._kv_specs, P()))
             return fn(params, tokens, kv, block_tables, seq_lens, rng, samp)
+
+        return sharded
+
+    def _build_generate_fused(self):
+        """The whole request in ONE device program: pool init -> chunked
+        prefill -> first-token sample -> ``num_steps``-step decode scan.
+
+        One dispatch + one device->host fetch per batch — the remote-chip
+        dispatch latency (tens of ms per call through the TPU tunnel
+        after any host transfer) makes multi-dispatch generation
+        latency-bound regardless of kernel speed."""
+        model, backend = self.model, self.backend
+        V = self.cfg.vocab_size
+        page = self.cache.page_size
+        data_axis = self._data_axis if self.mesh is not None else None
+        sharded_mesh = self.mesh
+        tp = (self.mesh.shape[self.config.parallel.model_axis]
+              if self.mesh is not None else 1)
+        dp = self.dp
+
+        def gen(params, tokens_full, prompt_lens, block_tables, rng, samp,
+                *, num_steps: int, chunk: int, mode):
+            B, max_len = tokens_full.shape
+            kv = backend.pool.init(tp=tp, dp=dp)
+
+            final_logits = jnp.zeros((B, V), jnp.float32)
+            for c0 in range(0, max_len, chunk):
+                c1 = min(c0 + chunk, max_len)
+                tok_chunk = tokens_full[:, c0:c1]
+                pos = c0 + jnp.broadcast_to(jnp.arange(c1 - c0),
+                                            (B, c1 - c0))
+                pos = jnp.where(pos < prompt_lens[:, None], pos, -1)
+                sl = jnp.clip(prompt_lens, 0, c1)
+                qo = jnp.full((B,), c0, jnp.int32)
+                attn = backend.make_attn_fn(block_tables, sl, qo)
+                logits, kv = model.forward(params, tok_chunk, pos, kv, attn)
+                logits = logits[..., :V]
+                idx = prompt_lens - 1 - c0
+                T = c1 - c0
+                inside = (idx >= 0) & (idx < T)
+                safe = jnp.clip(idx, 0, T - 1)
+                last = jnp.take_along_axis(
+                    logits, safe[:, None, None], axis=1)[:, 0]
+                final_logits = final_logits + jnp.where(
+                    inside[:, None], last, 0.0)
+
+            rng, sub = jax.random.split(rng)
+            if data_axis is not None:
+                sub = jax.random.fold_in(sub, jax.lax.axis_index(data_axis))
+            eos = samp["eos_token_id"]
+            first = sample(final_logits, sub, mode=mode, **samp)
+            finished = (eos >= 0) & (first == eos)
+            seq_lens = prompt_lens
+
+            def body(carry, _):
+                tokens, kv, seq_lens, rng, finished = carry
+                attn = backend.make_attn_fn(block_tables, seq_lens + 1,
+                                            seq_lens)
+                logits, kv = model.forward(params, tokens[:, None],
+                                           seq_lens[:, None], kv, attn)
+                rng, sub = jax.random.split(rng)
+                if data_axis is not None:
+                    sub = jax.random.fold_in(
+                        sub, jax.lax.axis_index(data_axis))
+                nxt = sample(logits[:, 0, :V], sub, mode=mode, **samp)
+                nxt = jnp.where(finished, jnp.maximum(eos, 0), nxt)
+                finished = finished | ((eos >= 0) & (nxt == eos))
+                return (nxt, kv, seq_lens + 1, rng, finished), nxt
+
+            (_, kv, _, rng, _), toks = jax.lax.scan(
+                body, (first, kv, seq_lens, rng, finished), None,
+                length=num_steps)
+            return jnp.concatenate(
+                [first[:, None], jnp.swapaxes(toks, 0, 1)], axis=1)
+
+        if self.mesh is None:
+            return functools.partial(
+                jax.jit, static_argnames=("num_steps", "chunk", "mode"))(gen)
+
+        d = self._data_axis
+
+        @functools.partial(jax.jit,
+                           static_argnames=("num_steps", "chunk", "mode"))
+        def sharded(params, tokens_full, prompt_lens, block_tables, rng,
+                    samp, *, num_steps: int, chunk: int, mode):
+            fn = self._shard_step(
+                functools.partial(gen, num_steps=num_steps, chunk=chunk,
+                                  mode=mode),
+                in_specs=(self._param_specs, P(d), P(d), P(d), P(),
+                          self._samp_specs()),
+                out_specs=P(d))
+            return fn(params, tokens_full, prompt_lens, block_tables, rng,
+                      samp)
 
         return sharded
 
@@ -361,13 +455,13 @@ class Engine:
             return logits[:, 0, :V], kv
 
         if self.mesh is None:
-            return functools.partial(jax.jit, donate_argnums=())(step)
+            return functools.partial(jax.jit, donate_argnums=(2,))(step)
         d = self._data_axis
         sharded = self._shard_step(
             step,
             in_specs=(self._param_specs, P(d), self._kv_specs, P(d), P(d)),
             out_specs=(P(d), self._kv_specs))
-        return functools.partial(jax.jit, donate_argnums=())(sharded)
+        return functools.partial(jax.jit, donate_argnums=(2,))(sharded)
 
     def decode_forced(self, state: EngineState,
                       tokens: np.ndarray) -> np.ndarray:
@@ -431,43 +525,52 @@ class Engine:
                              max_new_tokens: Optional[int] = None,
                              sampling: Optional[SamplingParams] = None,
                              seed: Optional[int] = None) -> List[List[int]]:
-        """Batch generation with the whole decode loop fused on device.
-
-        One device dispatch for all ``max_new_tokens`` steps; pages are
-        pre-allocated for the full horizon. Used by benchmarks and the
-        batch endpoints; per-token streaming uses ``generate_stream``.
+        """The whole request batch in ONE device dispatch: pool init,
+        chunked prefill, sampling, and all ``max_new_tokens`` decode
+        steps run as a single jitted program; pages are pre-allocated
+        for the full horizon. Used by benchmarks and batch endpoints;
+        per-token streaming uses ``generate_stream``.
         """
         sampling = sampling or self._default_sampling()
         max_new = max_new_tokens or self.runtime.max_new_tokens
-        state = self.prefill(prompts, seed=seed, sampling=sampling)
-        B = state.batch
-        outs = [[int(t)] for t in state.last_tokens]
-        if max_new == 1:
-            self.free(state)
-            return outs
+        B = len(prompts)
+        assert B % self.dp == 0, f"batch {B} must divide dp={self.dp}"
+        lens = np.array([len(p) for p in prompts], np.int32)
+        assert lens.min() >= 1
+        page = self.cache.page_size
+        chunk = cdiv(max(self.runtime.prefill_chunk, 1), page) * page
+        max_len = cdiv(int(lens.max()), page) * page
+
+        pages: List[List[int]] = [
+            self.allocators[self._shard_of(b, B)].alloc_many(
+                cdiv(int(L) + max_new, page))
+            for b, L in enumerate(lens)
+        ]
+        tokens = np.zeros((B, max_len), np.int32)
+        for b, p in enumerate(prompts):
+            tokens[b, :len(p)] = np.asarray(p, np.int32)
+        rng = jax.random.key(self.runtime.seed if seed is None else seed)
         try:
-            for b in range(B):
-                self._alloc_pages(state.pages[b],
-                                  int(state.seq_lens[b]) + max_new - 1,
-                                  self._shard_of(b, B))
-            state.block_tables = self._block_tables(state.pages)
-            toks, state.kv, state.rng = self._decode_loop_fn(
-                self.params, jnp.asarray(state.last_tokens), state.kv,
-                jnp.asarray(state.block_tables), jnp.asarray(state.seq_lens),
-                state.rng, sampling.as_arrays(B), num_steps=max_new - 1,
-                mode=sampling.mode())
+            toks = self._generate_fused_fn(
+                self.params, jnp.asarray(tokens), jnp.asarray(lens),
+                jnp.asarray(self._block_tables(pages)), rng,
+                sampling.as_arrays(B), num_steps=max_new - 1,
+                chunk=min(chunk, max_len), mode=sampling.mode())
             toks = np.asarray(toks)
+            outs: List[List[int]] = []
             for b in range(B):
-                row = list(map(int, toks[b]))
-                if outs[b][0] == sampling.eos_token_id >= 0:
-                    continue
-                for t in row:
-                    outs[b].append(t)
-                    if t == sampling.eos_token_id:
+                row: List[int] = []
+                for t in map(int, toks[b]):
+                    row.append(t)
+                    if t == sampling.eos_token_id >= 0:
                         break
+                outs.append(row)
             return outs
         finally:
-            self.free(state)
+            for b, ps in enumerate(pages):
+                alloc = self.allocators[self._shard_of(b, B)]
+                for p in ps:
+                    alloc.free(p)
 
     def generate_batch(self, prompts: Sequence[Sequence[int]],
                        max_new_tokens: Optional[int] = None,

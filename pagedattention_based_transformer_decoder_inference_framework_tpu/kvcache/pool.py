@@ -42,7 +42,7 @@ class PagePool:
     def num_pages(self) -> int:
         return self.cache.num_pages
 
-    def init(self):
+    def init(self, tp: int = 1, dp: int = 1):
         """Return the KV pytree with leading ``num_layers`` axis.
 
         Layout ``[L, KH, P, page, dh]``: the page axis sits next to
@@ -50,13 +50,16 @@ class PagePool:
         ``page*dh`` HBM chunk with TPU-friendly ``(page, dh)`` trailing
         tiles (sublane=page, lane=dh) for the Pallas kernel's DMA.
 
+        ``tp``/``dp`` > 1 build the *local* shard (kv-heads / pages
+        split) — used when the pool is created inside ``shard_map``.
+
         bf16/f32: ``(k_pages, v_pages)``.
         int8:      ``(k_pages, v_pages, k_scales, v_scales)`` where scales
                    are ``[L, KH, P, page]`` f32.
         """
         c, cc = self.cfg, self.cache
-        shape = (c.num_layers, c.num_kv_heads, cc.num_pages, cc.page_size,
-                 c.head_dim)
+        shape = (c.num_layers, c.num_kv_heads // tp, cc.num_pages // dp,
+                 cc.page_size, c.head_dim)
         if cc.kv_dtype == "int8":
             sshape = shape[:-1]
             return (jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),

@@ -53,6 +53,7 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=128)
     ap.add_argument("--prompt-len", type=int, default=64)
     ap.add_argument("--kv-dtype", default="bfloat16")
+    ap.add_argument("--quant", default="none", choices=("none", "int8", "int8-weight"))
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
@@ -79,6 +80,7 @@ def main() -> None:
         max_pages_per_seq=cdiv(total_len, page) + 2,
         kv_dtype=args.kv_dtype)
     cfg.runtime.prefill_chunk = 256
+    cfg.model.quant = args.quant
 
     eng = Engine(cfg, seed=0)
     samp = SamplingParams(temperature=0.0, eos_token_id=-1)
@@ -110,8 +112,9 @@ def main() -> None:
     frac = toks_per_s / roofline_toks_per_s
 
     print(json.dumps({
-        "metric": f"decode tokens/sec/chip ({args.model}, paged KV "
-                  f"{args.kv_dtype}, batch {args.batch})",
+        "metric": f"decode tokens/sec/chip ({args.model}, "
+                  f"{'int8 weights, ' if args.quant == 'int8' else ''}"
+                  f"paged KV {args.kv_dtype}, batch {args.batch})",
         "value": round(toks_per_s, 1),
         "unit": "tokens/s",
         "vs_baseline": round(frac, 4),

@@ -52,7 +52,10 @@ class ModelConfig:
     tie_embeddings: bool = True     # LM head = embedding^T
 
     dtype: str = "bfloat16"         # activation / weight compute dtype
-    quant: str = "none"             # "none" | "int8" (weights + matmuls)
+    # "none" | "int8" (w8a8: s8 x s8 MXU matmuls + dynamic activation
+    # quant) | "int8-weight" (weight-only: s8 weights dequantized in the
+    # stream, bf16 activations)
+    quant: str = "none"
 
     # derived ---------------------------------------------------------------
     @property
@@ -66,7 +69,7 @@ class ModelConfig:
         assert self.norm in ("layernorm", "rmsnorm")
         assert self.activation in ("gelu", "relu", "swiglu", "silu")
         assert self.position in ("learned", "rope")
-        assert self.quant in ("none", "int8")
+        assert self.quant in ("none", "int8", "int8-weight")
         return self
 
 

@@ -75,6 +75,10 @@ class Engine:
         self.allocator = self.allocators[0]   # dp=1 convenience alias
         self.params = params if params is not None else init_params(
             self.cfg, jax.random.key(seed))
+        if self.cfg.quant in ("int8", "int8-weight"):
+            from ..models.model import quantize_params
+
+            self.params = quantize_params(self.params)
 
         if mesh is not None:
             # TP layout over the mesh: pad vocab so it divides tp,

@@ -61,7 +61,10 @@ class PagePool:
         shape = (c.num_layers, c.num_kv_heads // tp, cc.num_pages // dp,
                  cc.page_size, c.head_dim)
         if cc.kv_dtype == "int8":
-            sshape = shape[:-1]
+            # trailing singleton keeps the (page, 1) minor dims legal for
+            # Mosaic block specs (the last two block dims must divide
+            # (8, 128) or equal the array dims)
+            sshape = shape[:-1] + (1,)
             return (jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
                     jnp.zeros(sshape, jnp.float32),
                     jnp.zeros(sshape, jnp.float32))
@@ -115,7 +118,8 @@ def append_to_pages(kv_layer, k_new: jax.Array, v_new: jax.Array,
         kq, ks = quantize_kv(k_new)
         vq, vs = quantize_kv(v_new)
         return (scatter(k_pages, kq), scatter(v_pages, vq),
-                scatter(k_scales, ks), scatter(v_scales, vs))
+                scatter(k_scales, ks[..., None]),
+                scatter(v_scales, vs[..., None]))
     k_pages, v_pages = kv_layer
     return (scatter(k_pages, k_new), scatter(v_pages, v_new))
 
@@ -147,7 +151,8 @@ def append_to_pages_at_layer(kv, k_new: jax.Array, v_new: jax.Array,
         kq, ks = quantize_kv(k_new)
         vq, vs = quantize_kv(v_new)
         return (scatter(kv[0], kq), scatter(kv[1], vq),
-                scatter(kv[2], ks), scatter(kv[3], vs))
+                scatter(kv[2], ks[..., None]),
+                scatter(kv[3], vs[..., None]))
     return (scatter(kv[0], k_new), scatter(kv[1], v_new))
 
 
@@ -156,8 +161,8 @@ def gather_kv_dense(kv_layer, block_tables: jax.Array, max_len: int):
     from pages (dequantizing INT8). Not a hot path."""
     if len(kv_layer) == 4:
         k_pages, v_pages, k_scales, v_scales = kv_layer
-        k = k_pages.astype(jnp.float32) * k_scales[..., None]
-        v = v_pages.astype(jnp.float32) * v_scales[..., None]
+        k = k_pages.astype(jnp.float32) * k_scales    # [..., page, 1] bcast
+        v = v_pages.astype(jnp.float32) * v_scales
     else:
         k, v = kv_layer
     KH, P, page_size, D = k.shape

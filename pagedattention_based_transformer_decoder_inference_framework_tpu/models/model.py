@@ -174,11 +174,12 @@ class DecoderModel:
         B, T, D = x.shape
         dh = cfg.head_dim
 
+        w8a8 = cfg.quant == "int8"
         h = self._norm(x, lp["ln1_scale"], lp.get("ln1_bias"))
         # under TP these weights are column-sharded: local head slices
-        q = linear(h, lp["wq"], lp.get("bq"))
-        k = linear(h, lp["wk"], lp.get("bk"))
-        v = linear(h, lp["wv"], lp.get("bv"))
+        q = linear(h, lp["wq"], lp.get("bq"), w8a8=w8a8)
+        k = linear(h, lp["wk"], lp.get("bk"), w8a8=w8a8)
+        v = linear(h, lp["wv"], lp.get("bv"), w8a8=w8a8)
         q = q.reshape(B, T, q.shape[-1] // dh, dh)
         k = k.reshape(B, T, k.shape[-1] // dh, dh)
         v = v.reshape(B, T, v.shape[-1] // dh, dh)
@@ -189,19 +190,21 @@ class DecoderModel:
 
         attn_out, kv = attn_fn(q, k, v, kv, layer, positions)
         # row-parallel O projection: psum partial sums, bias added once
-        attn_proj = self._psum(linear(attn_out.reshape(B, T, -1), lp["wo"]))
+        attn_proj = self._psum(
+            linear(attn_out.reshape(B, T, -1), lp["wo"], w8a8=w8a8))
         if "bo" in lp:
             attn_proj = attn_proj + lp["bo"].astype(attn_proj.dtype)
         x = x + attn_proj
 
         h2 = self._norm(x, lp["ln2_scale"], lp.get("ln2_bias"))
         if cfg.activation == "swiglu":
-            gate = linear(h2, lp["w_gate"], act="silu")
-            up = linear(h2, lp["w_up"])
-            mlp = self._psum(linear(gate * up, lp["w_down"]))
+            gate = linear(h2, lp["w_gate"], act="silu", w8a8=w8a8)
+            up = linear(h2, lp["w_up"], w8a8=w8a8)
+            mlp = self._psum(linear(gate * up, lp["w_down"], w8a8=w8a8))
         else:
-            mid = linear(h2, lp["w_up"], lp.get("b_up"), act=cfg.activation)
-            mlp = self._psum(linear(mid, lp["w_down"]))
+            mid = linear(h2, lp["w_up"], lp.get("b_up"), act=cfg.activation,
+                         w8a8=w8a8)
+            mlp = self._psum(linear(mid, lp["w_down"], w8a8=w8a8))
             if "b_down" in lp:
                 mlp = mlp + lp["b_down"].astype(mlp.dtype)
         return x + mlp, kv

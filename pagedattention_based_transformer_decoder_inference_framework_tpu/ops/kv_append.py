@@ -37,14 +37,12 @@ DUMP_PAGE = 0
 
 def _prefill_kernel(pid_ref, layer_ref, *refs, num_pools: int):
     # refs: num_pools new blocks, num_pools aliased pool inputs (unused),
-    # num_pools out page blocks
+    # num_pools out page blocks. Scale pools are values with dh == 1
+    # (trailing singleton), so one shape covers all pools.
     new_refs = refs[:num_pools]
     out_refs = refs[2 * num_pools:3 * num_pools]
     for i in range(num_pools):
-        if out_refs[i].ndim == 5:          # values (1, KH, 1, page, dh)
-            out_refs[i][0, :, 0] = new_refs[i][0]
-        else:                              # scales (1, KH, 1, page)
-            out_refs[i][0, :, 0] = new_refs[i][0]
+        out_refs[i][0, :, 0] = new_refs[i][0]
 
 
 def _append_pages_pallas(kv, news, layer_arr, pid, *, page_size: int,
@@ -62,26 +60,16 @@ def _append_pages_pallas(kv, news, layer_arr, pid, *, page_size: int,
     def val_out_map(b, j, pid_ref, l_ref):
         return (l_ref[0], 0, pid_ref[b, j], 0, 0)
 
-    def sc_out_map(b, j, pid_ref, l_ref):
-        return (l_ref[0], 0, pid_ref[b, j], 0)
-
+    # every pool leaf is [L, KH, P, page, d] (d == 1 for scale pools)
     in_specs = [
-        pl.BlockSpec((1, KH, page_size, dh), lambda b, j, *_: (b, 0, j, 0)),
-        pl.BlockSpec((1, KH, page_size, dh), lambda b, j, *_: (b, 0, j, 0)),
+        pl.BlockSpec((1, KH, page_size, p.shape[-1]),
+                     lambda b, j, *_: (b, 0, j, 0))
+        for p in kv
     ]
     out_specs = [
-        pl.BlockSpec((1, KH, 1, page, dh), val_out_map),
-        pl.BlockSpec((1, KH, 1, page, dh), val_out_map),
+        pl.BlockSpec((1, KH, 1, page, p.shape[-1]), val_out_map)
+        for p in kv
     ]
-    if num_pools == 4:
-        in_specs += [
-            pl.BlockSpec((1, KH, page_size), lambda b, j, *_: (b, 0, j)),
-            pl.BlockSpec((1, KH, page_size), lambda b, j, *_: (b, 0, j)),
-        ]
-        out_specs += [
-            pl.BlockSpec((1, KH, 1, page), sc_out_map),
-            pl.BlockSpec((1, KH, 1, page), sc_out_map),
-        ]
     in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * num_pools
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -107,18 +95,15 @@ def _append_tokens_dus(kv, news, layer, pid, slot):
     """Token-wise append via in-place dynamic_update_slice.
 
     pid/slot: ``[B, T]`` (invalid tokens already point at DUMP_PAGE).
+    Every pool leaf is ``[L, KH, P, page, d]`` (scales have d == 1).
     """
     B, T = pid.shape
     outs = list(kv)
     for b in range(B):
         for t in range(T):
             for i, new in enumerate(news):
-                if outs[i].ndim == 5:      # [L, KH, P, page, dh]
-                    upd = new[b, t][:, None, None, :]        # [KH,1,1,dh]
-                    idx = (layer, 0, pid[b, t], slot[b, t], 0)
-                else:                      # scales [L, KH, P, page]
-                    upd = new[b, t][:, None, None]           # [KH,1,1]
-                    idx = (layer, 0, pid[b, t], slot[b, t])
+                upd = new[b, t][:, None, None, :]            # [KH,1,1,d]
+                idx = (layer, 0, pid[b, t], slot[b, t], 0)
                 outs[i] = jax.lax.dynamic_update_slice(
                     outs[i], upd[None].astype(outs[i].dtype), idx)
     return tuple(outs)
@@ -142,7 +127,7 @@ def kv_append(kv: Tuple[jax.Array, ...], k_new: jax.Array,
     if quantized:
         kq, ks = quantize_kv(k_new)
         vq, vs = quantize_kv(v_new)
-        news = (kq, vq, ks, vs)
+        news = (kq, vq, ks[..., None], vs[..., None])   # scales as dh=1
     else:
         news = (k_new.astype(kv[0].dtype), v_new.astype(kv[1].dtype))
 

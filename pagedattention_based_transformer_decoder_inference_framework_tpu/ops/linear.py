@@ -21,15 +21,29 @@ from .common import activation_fn
 
 
 def linear(x: jax.Array, w, bias: Optional[jax.Array] = None,
-           act: Optional[str] = None) -> jax.Array:
+           act: Optional[str] = None, w8a8: bool = False) -> jax.Array:
     """``y = act(x @ w + bias)``.
 
     ``w`` is either a dense ``[in, out]`` array or a :class:`QTensor`
     with per-output-channel scales ``[1, out]``.
     ``x`` is ``[..., in]`` in bf16/f32.
+
+    QTensor modes:
+    * weight-only (default): ``x_bf16 @ s8->bf16`` — the s8 load +
+      widen fuses into the weight stream (half the HBM traffic of
+      bf16 weights, full-precision activations);
+    * ``w8a8``: dynamic per-row activation quantization + s8 x s8 ->
+      s32 MXU accumulate + fused rescale (the reference's oneDNN
+      semantics, ``attention_cpu/dnnl_matmul_int8.cpp:39-52``).
     """
     out_dtype = x.dtype
-    if isinstance(w, QTensor):
+    if isinstance(w, QTensor) and not w8a8:
+        y = jax.lax.dot_general(
+            x, w.values.astype(x.dtype),
+            dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * w.scales.reshape(1, -1)
+    elif isinstance(w, QTensor):
         xq = quantize_per_row(x)
         acc = jax.lax.dot_general(
             xq.values, w.values,

@@ -94,15 +94,15 @@ def _kernel(bt_ref, sl_ref, qo_ref, l_ref,     # scalar prefetch (SMEM)
         if pooled:                                     # [1, KH, 1, page, dh]
             k = k_ref[0, :, 0].astype(jnp.float32)     # [KH, page, dh]
             v = v_ref[0, :, 0].astype(jnp.float32)
-            if quantized:
-                k = k * ks_ref[0, :, 0][..., None]     # [KH, page] scales
-                v = v * vs_ref[0, :, 0][..., None]
+            if quantized:                              # scales: dh == 1
+                k = k * ks_ref[0, :, 0]                # [KH, page, 1] bcast
+                v = v * vs_ref[0, :, 0]
         else:
             k = k_ref[:, 0].astype(jnp.float32)        # [KH, page, dh]
             v = v_ref[:, 0].astype(jnp.float32)
             if quantized:
-                k = k * ks_ref[:, 0][..., None]
-                v = v * vs_ref[:, 0][..., None]
+                k = k * ks_ref[:, 0]
+                v = v * vs_ref[:, 0]
 
         key_idx = start + jax.lax.broadcasted_iota(
             jnp.int32, (rows, page_size), 1)
@@ -174,20 +174,16 @@ def paged_attention(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
         def kv_index_map(b, i, bt_ref, sl_ref, qo_ref, l_ref):
             return (l_ref[0], 0, page_of(b, i, sl_ref, bt_ref), 0, 0)
 
-        def scale_index_map(b, i, bt_ref, sl_ref, qo_ref, l_ref):
-            return (l_ref[0], 0, page_of(b, i, sl_ref, bt_ref), 0)
-
+        scale_index_map = kv_index_map
         kv_block = (1, KH, 1, page_size, dh)
-        sc_block = (1, KH, 1, page_size)
+        sc_block = (1, KH, 1, page_size, 1)
     else:
         def kv_index_map(b, i, bt_ref, sl_ref, qo_ref, l_ref):
             return (0, page_of(b, i, sl_ref, bt_ref), 0, 0)
 
-        def scale_index_map(b, i, bt_ref, sl_ref, qo_ref, l_ref):
-            return (0, page_of(b, i, sl_ref, bt_ref), 0)
-
+        scale_index_map = kv_index_map
         kv_block = (KH, 1, page_size, dh)
-        sc_block = (KH, 1, page_size)
+        sc_block = (KH, 1, page_size, 1)
 
     in_specs = [
         pl.BlockSpec((1, KH, rows, dh), lambda b, i, *_: (b, 0, 0, 0)),

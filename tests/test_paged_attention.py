@@ -154,8 +154,8 @@ def test_paged_attention_int8_kv():
 
     kq = jnp.zeros((KH, num_pages, PAGE, dh), jnp.int8)
     vq = jnp.zeros((KH, num_pages, PAGE, dh), jnp.int8)
-    ks = jnp.zeros((KH, num_pages, PAGE), jnp.float32)
-    vs = jnp.zeros((KH, num_pages, PAGE), jnp.float32)
+    ks = jnp.zeros((KH, num_pages, PAGE, 1), jnp.float32)
+    vs = jnp.zeros((KH, num_pages, PAGE, 1), jnp.float32)
     block_tables = jnp.asarray(
         rng.permutation(num_pages)[: B * max_pages].reshape(B, max_pages),
         jnp.int32)

@@ -35,7 +35,8 @@ def ndjson_frame(data: dict) -> str:
 
 class ServerCore:
     def __init__(self, config: Optional[FrameworkConfig] = None,
-                 engine=None, reranker=None):
+                 engine=None, reranker=None,
+                 use_scheduler: bool = True):
         self.config = config or FrameworkConfig()
         if engine is None:
             from ..engine.engine import Engine
@@ -49,6 +50,12 @@ class ServerCore:
             reranker = Reranker(LogProbScorer(engine))
         self.reranker = reranker
         self.metrics = Metrics()
+        self.scheduler = None
+        if use_scheduler and engine.dp == 1:
+            from ..scheduler import Scheduler
+
+            self.scheduler = Scheduler(engine)
+            self.scheduler.start()
 
     # -- helpers -------------------------------------------------------------
 
@@ -58,14 +65,24 @@ class ServerCore:
             eos_token_id=self.tokenizer.eos_token_id,
             eos_threshold=self.config.runtime.eos_threshold)
 
+    def _token_iter(self, prompt_ids: List[int], max_new: int,
+                    sampling: SamplingParams, seed: Optional[int]):
+        """Token source: the continuous-batching scheduler when enabled
+        (concurrent requests share decode steps), else a dedicated
+        engine stream."""
+        if self.scheduler is not None:
+            req = self.scheduler.submit(prompt_ids, max_new, sampling)
+            return req.stream()
+        return self.engine.generate_stream(prompt_ids, max_new, sampling,
+                                           seed=seed)
+
     def _stream(self, prompt_ids: List[int], max_new: int,
                 sampling: SamplingParams,
                 seed: Optional[int]) -> Iterator[dict]:
         t0 = time.time()
         ttft = None
         n_out = 0
-        for tok in self.engine.generate_stream(prompt_ids, max_new,
-                                               sampling, seed=seed):
+        for tok in self._token_iter(prompt_ids, max_new, sampling, seed):
             if ttft is None:
                 ttft = time.time() - t0
             n_out += 1
@@ -99,8 +116,8 @@ class ServerCore:
     def generate(self, req: GenerateRequest) -> dict:
         t0 = time.time()
         ids = self.tokenizer.encode(req.prompt)
-        out = self.engine.generate(ids, req.max_new_tokens,
-                                   self._sampling(req), seed=req.seed)
+        out = list(self._token_iter(ids, req.max_new_tokens,
+                                    self._sampling(req), req.seed))
         reason = ("eos" if out and out[-1] == self.tokenizer.eos_token_id
                   else "length")
         self.metrics.record(tokens_in=len(ids), tokens_out=len(out),
@@ -111,8 +128,15 @@ class ServerCore:
     def generate_batch(self, req: BatchGenerateRequest) -> dict:
         t0 = time.time()
         idss = [self.tokenizer.encode(p) for p in req.prompts]
-        outs = self.engine.generate_batch(idss, req.max_new_tokens,
-                                          self._sampling(req), seed=req.seed)
+        if self.scheduler is not None:
+            rs = [self.scheduler.submit(ids, req.max_new_tokens,
+                                        self._sampling(req))
+                  for ids in idss]
+            outs = [list(r.stream()) for r in rs]
+        else:
+            outs = self.engine.generate_batch(
+                idss, req.max_new_tokens, self._sampling(req),
+                seed=req.seed)
         self.metrics.record(tokens_in=sum(map(len, idss)),
                             tokens_out=sum(map(len, outs)), ttft_s=None,
                             total_s=time.time() - t0)
@@ -141,6 +165,8 @@ class ServerCore:
             [m.model_dump() for m in req.messages])
         ids = self.tokenizer.encode(prompt)
         t0 = time.time()
+        if self.scheduler is not None:
+            self.scheduler.stop()   # beam drives the engine directly
         beams = BeamSearcher(self.engine,
                              beam_width=req.beam_width).search(
             ids, req.max_new_tokens,
@@ -148,6 +174,8 @@ class ServerCore:
         cands = [b.tokens for b in beams]
         best = (self.reranker.select_best(ids, cands) if req.use_rerank
                 else 0)
+        if self.scheduler is not None:
+            self.scheduler.start()
         winner = cands[best]
         self.metrics.record(tokens_in=len(ids), tokens_out=len(winner),
                             ttft_s=None, total_s=time.time() - t0)

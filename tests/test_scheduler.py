@@ -1,0 +1,114 @@
+"""Continuous-batching scheduler tests (SURVEY.md §7 M4)."""
+
+import numpy as np
+import pytest
+
+from pagedattention_based_transformer_decoder_inference_framework_tpu.config import (
+    CacheConfig, FrameworkConfig, RuntimeConfig, preset)
+from pagedattention_based_transformer_decoder_inference_framework_tpu.engine import (
+    Engine, SamplingParams)
+from pagedattention_based_transformer_decoder_inference_framework_tpu.scheduler import (
+    RequestState, Scheduler)
+
+GREEDY = SamplingParams(temperature=0.0, eos_token_id=-1)
+
+
+def make_engine(num_pages=64, max_batch=4):
+    cfg = FrameworkConfig(
+        model=preset("llama-tiny"),
+        cache=CacheConfig(page_size=8, num_pages=num_pages,
+                          max_pages_per_seq=8, kv_dtype="float32"),
+        runtime=RuntimeConfig(max_new_tokens=8, max_batch_size=max_batch,
+                              prefill_chunk=16, temperature=0.0,
+                              eos_token_id=-1),
+    )
+    cfg.model.dtype = "float32"
+    return Engine(cfg, interpret=True)
+
+
+def test_single_request_matches_engine():
+    eng = make_engine()
+    sched = Scheduler(eng)
+    req = sched.submit([3, 5, 7, 9], max_new_tokens=6, sampling=GREEDY)
+    sched.run_until_idle()
+    assert req.state == RequestState.FINISHED
+    assert req.tokens == eng.generate([3, 5, 7, 9], 6, GREEDY)
+
+
+def test_interleaved_requests_match_individual_runs():
+    """Requests arriving mid-flight must decode exactly as if alone."""
+    eng = make_engine()
+    expected = {}
+    for p in ([1, 2, 3], [9, 8, 7, 6, 5], [4, 4]):
+        expected[tuple(p)] = eng.generate(p, 6, GREEDY)
+
+    sched = Scheduler(eng)
+    r1 = sched.submit([1, 2, 3], 6, GREEDY)
+    sched.step()
+    sched.step()
+    r2 = sched.submit([9, 8, 7, 6, 5], 6, GREEDY)   # joins mid-decode
+    sched.step()
+    r3 = sched.submit([4, 4], 6, GREEDY)
+    sched.run_until_idle()
+    assert r1.tokens == expected[(1, 2, 3)]
+    assert r2.tokens == expected[(9, 8, 7, 6, 5)]
+    assert r3.tokens == expected[(4, 4)]
+
+
+def test_more_requests_than_lanes():
+    eng = make_engine(max_batch=2)
+    sched = Scheduler(eng)
+    prompts = [[i + 1, i + 2] for i in range(5)]
+    reqs = [sched.submit(p, 4, GREEDY) for p in prompts]
+    sched.run_until_idle()
+    assert all(r.state == RequestState.FINISHED for r in reqs)
+    for p, r in zip(prompts, reqs):
+        assert r.tokens == eng.generate(p, 4, GREEDY)
+
+
+def test_eos_frees_lane_early():
+    eng = make_engine()
+    probe = eng.generate([6, 6, 6], 6, GREEDY)
+    eos = probe[2]
+    samp = SamplingParams(temperature=0.0, eos_token_id=eos)
+    sched = Scheduler(eng)
+    req = sched.submit([6, 6, 6], 6, sampling=samp)
+    sched.run_until_idle()
+    assert req.tokens == probe[:3]
+    assert all(l.free for l in sched.lanes)
+    assert eng.allocator.num_live == 0
+
+
+def test_preemption_requeues_youngest():
+    """Pool too small for both requests at full length: the younger one
+    must be preempted and still finish correctly afterwards."""
+    eng = make_engine(num_pages=7, max_batch=2)   # 6 usable pages
+    sched = Scheduler(eng)
+    # each needs 1 page prompt + grows to ~3 pages over 16 tokens
+    r1 = sched.submit([1] * 8, 16, GREEDY)
+    r2 = sched.submit([2] * 8, 16, GREEDY)
+    sched.run_until_idle(max_steps=4000)
+    assert r1.state == RequestState.FINISHED
+    assert r2.state == RequestState.FINISHED
+    assert r1.tokens == eng.generate([1] * 8, 16, GREEDY)
+    assert r2.tokens == eng.generate([2] * 8, 16, GREEDY)
+    assert eng.allocator.num_live == 0
+
+
+def test_streaming_iterator():
+    eng = make_engine()
+    sched = Scheduler(eng)
+    req = sched.submit([5, 6], 5, GREEDY)
+    sched.start()
+    toks = list(req.stream())
+    sched.stop()
+    assert toks == req.tokens and len(toks) == 5
+
+
+def test_page_accounting_clean_after_burst():
+    eng = make_engine(max_batch=3)
+    sched = Scheduler(eng)
+    reqs = [sched.submit([i + 1] * 3, 5, GREEDY) for i in range(7)]
+    sched.run_until_idle()
+    assert all(r.state == RequestState.FINISHED for r in reqs)
+    assert eng.allocator.num_live == 0

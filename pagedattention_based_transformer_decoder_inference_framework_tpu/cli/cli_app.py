@@ -56,9 +56,9 @@ def build_config(args) -> FrameworkConfig:
 
 
 def build_engine(cfg: FrameworkConfig):
-    from ..engine.engine import Engine
+    from ..engine.router import build_engine as _build
 
-    return Engine(cfg)
+    return _build(cfg)
 
 
 def sampling(cfg: FrameworkConfig, tok) -> SamplingParams:
@@ -199,16 +199,24 @@ def cmd_build_jsonl(args) -> int:
 
 
 def cmd_serve(args) -> int:
-    import uvicorn
-
-    from ..server.app import create_app
-
     cfg = build_config(args)
     if args.port:
         cfg.server.port = args.port
     if args.host:
         cfg.server.host = args.host
-    uvicorn.run(create_app(cfg), host=cfg.server.host, port=cfg.server.port)
+    try:
+        import uvicorn
+
+        from ..server.app import create_app
+
+        uvicorn.run(create_app(cfg), host=cfg.server.host,
+                    port=cfg.server.port)
+    except ImportError:
+        from ..server.basic import BasicServer
+
+        srv = BasicServer(cfg)
+        print(f"serving (stdlib) on {cfg.server.host}:{srv.port}")
+        srv.serve_forever()
     return 0
 
 

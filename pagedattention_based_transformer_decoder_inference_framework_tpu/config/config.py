@@ -220,6 +220,10 @@ def load_config(path: Optional[str] = None, overrides: Optional[Dict[str, Any]] 
             data = json.loads(text)
         if "model" in data and isinstance(data["model"], str):
             cfg.model = dataclasses.replace(PRESETS[data.pop("model")])
+        elif (isinstance(data.get("model"), dict)
+              and "preset" in data["model"]):
+            m = data.pop("model")
+            cfg.model = dataclasses.replace(PRESETS[m.pop("preset")], **m)
         _update_dataclass(cfg, data)
     for dotted, v in (overrides or {}).items():
         obj = cfg

@@ -1,0 +1,36 @@
+"""Backend routing: tpu / cpu / auto.
+
+Capability parity with the reference's web backend router
+(``web/backend_router.py:7-26``: pre-built GPU and CPU decoders picked
+by ``BACKEND_MODE``). On TPU-first JAX the same engine code serves both
+targets; "cpu" forces interpret-mode Pallas (runs anywhere), "auto"
+picks the TPU when one is attached (the reference's "auto" always fell
+through to CPU — Appendix A).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from ..config import FrameworkConfig
+from ..utils.platform import on_tpu
+
+
+def resolve_backend(mode: str) -> str:
+    if mode == "auto":
+        return "tpu" if on_tpu() else "cpu"
+    assert mode in ("tpu", "cpu"), f"unknown backend {mode!r}"
+    return mode
+
+
+def build_engine(config: FrameworkConfig, params=None, mesh=None,
+                 seed: int = 0):
+    """Engine factory honoring ``config.server.backend``."""
+    from .engine import Engine
+
+    backend = resolve_backend(config.server.backend)
+    if backend == "tpu" and not on_tpu():
+        raise RuntimeError("backend 'tpu' requested but no TPU attached")
+    interpret = backend == "cpu"
+    return Engine(config, params=params, interpret=interpret, seed=seed,
+                  mesh=mesh)

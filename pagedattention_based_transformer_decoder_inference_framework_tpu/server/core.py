@@ -39,9 +39,9 @@ class ServerCore:
                  use_scheduler: bool = True):
         self.config = config or FrameworkConfig()
         if engine is None:
-            from ..engine.engine import Engine
+            from ..engine.router import build_engine
 
-            engine = Engine(self.config)
+            engine = build_engine(self.config)
         self.engine = engine
         self.tokenizer = get_tokenizer(self.config.tokenizer)
         if reranker is None:

@@ -91,6 +91,68 @@ def _append_pages_pallas(kv, news, layer_arr, pid, *, page_size: int,
     return tuple(out)
 
 
+def _rmw_kernel(pid_ref, slot_ref, layer_ref, *refs, num_pools: int):
+    """Decode append as read-modify-write at page granularity: the
+    pipeline fetches the target page block, the kernel patches the
+    token's slot in VMEM, and the (aliased) output block writes the
+    page back. One grid step per sequence."""
+    new_refs = refs[:num_pools]                      # (1, KH, 1, d)
+    page_in = refs[num_pools:2 * num_pools]          # (1, KH, 1, page, d)
+    # refs[2P:3P] are the aliased whole-pool inputs (unused)
+    out_refs = refs[3 * num_pools:4 * num_pools]     # (1, KH, 1, page, d)
+    b = pl.program_id(0)
+    s = slot_ref[b]
+    for i in range(num_pools):
+        page = page_in[i][...]                   # (1, KH, 1, page, d)
+        new = new_refs[i][...][:, :, :, None, :]  # (1, KH, 1, 1, d)
+        # masked select instead of a dynamic sublane store (Mosaic
+        # requires 8-aligned store offsets; a lane-wise where doesn't)
+        hit = jax.lax.broadcasted_iota(
+            jnp.int32, page.shape, 3) == s
+        out_refs[i][...] = jnp.where(hit, new.astype(page.dtype), page)
+
+
+def _append_decode_rmw(kv, news, layer_arr, pid, slot, *, interpret: bool):
+    """T == 1 append: one grid step per sequence, page-granular RMW."""
+    num_pools = len(kv)
+    B = pid.shape[0]
+    KH, _, page = kv[0].shape[1:4]
+
+    def page_map(b, pid_ref, slot_ref, l_ref):
+        return (l_ref[0], 0, pid_ref[b], 0, 0)
+
+    in_specs = (
+        [pl.BlockSpec((1, KH, 1, p.shape[-1]),
+                      lambda b, *_: (b, 0, 0, 0)) for p in kv] +
+        [pl.BlockSpec((1, KH, 1, page, p.shape[-1]), page_map)
+         for p in kv] +
+        [pl.BlockSpec(memory_space=pl.ANY)] * num_pools)
+    out_specs = tuple(
+        pl.BlockSpec((1, KH, 1, page, p.shape[-1]), page_map) for p in kv)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+    )
+    # operands: 3 scalars, P new blocks, P page reads, P pools
+    aliases = {3 + 2 * num_pools + i: i for i in range(num_pools)}
+    # news [B, 1, KH, d] -> [B, KH, 1, d]
+    blocks = tuple(jnp.swapaxes(n, 1, 2) for n in news)
+    out = pl.pallas_call(
+        functools.partial(_rmw_kernel, num_pools=num_pools),
+        grid_spec=grid_spec,
+        out_shape=tuple(jax.ShapeDtypeStruct(p.shape, p.dtype) for p in kv),
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(pid, slot, layer_arr, *blocks, *kv, *kv)
+    # ^ pools appear twice: once as pipelined page reads, once as the
+    # aliased full buffers the output pages are written into
+    return tuple(out)
+
+
 def _append_tokens_dus(kv, news, layer, pid, slot):
     """Token-wise append via in-place dynamic_update_slice.
 
@@ -162,5 +224,10 @@ def kv_append(kv: Tuple[jax.Array, ...], k_new: jax.Array,
             page_size=page_size, interpret=interpret)
 
     slot = jnp.where(valid, pos % page_size, 0)
+    # NB: a page-granular RMW pallas kernel was tried here (read page
+    # block + masked patch + aliased write-back) but passing the pool
+    # both as a pipelined read operand and as the aliased output forces
+    # XLA to copy the whole pool per call — 14x slower end-to-end.
+    # Per-token DUS on the carry stays in place and wins.
     return _append_tokens_dus(kv, news, layer, pid.astype(jnp.int32),
                               slot.astype(jnp.int32))

@@ -37,20 +37,25 @@ def linear(x: jax.Array, w, bias: Optional[jax.Array] = None,
       semantics, ``attention_cpu/dnnl_matmul_int8.cpp:39-52``).
     """
     out_dtype = x.dtype
-    if isinstance(w, QTensor) and w8a8:
+    if isinstance(w, QTensor):
         from ..utils.platform import on_tpu
 
         if on_tpu():
-            # fused Pallas path: s8 x s8 -> s32 MXU + in-register
-            # rescale/bias/activation epilogue (ops/int8_matmul.py)
-            from .int8_matmul import int8_matmul
+            # fused Pallas paths (ops/int8_matmul.py): weights stream as
+            # one byte each; epilogue (rescale/bias/act) in-register
+            from .int8_matmul import int8_matmul, w8_matmul
 
             lead = x.shape[:-1]
-            xq = quantize_per_row(x.reshape(-1, x.shape[-1]))
-            y = int8_matmul(
-                xq.values, xq.scales, w.values,
-                w.scales.reshape(1, -1), bias, act=act,
-                out_dtype=out_dtype)
+            x2 = x.reshape(-1, x.shape[-1])
+            if w8a8:
+                xq = quantize_per_row(x2)
+                y = int8_matmul(
+                    xq.values, xq.scales, w.values,
+                    w.scales.reshape(1, -1), bias, act=act,
+                    out_dtype=out_dtype)
+            else:
+                y = w8_matmul(x2, w.values, w.scales.reshape(1, -1),
+                              bias, act=act, out_dtype=out_dtype)
             return y.reshape(*lead, y.shape[-1])
     if isinstance(w, QTensor) and not w8a8:
         y = jax.lax.dot_general(

@@ -55,6 +55,7 @@ def main() -> None:
     ap.add_argument("--kv-dtype", default="bfloat16")
     ap.add_argument("--quant", default="none", choices=("none", "int8", "int8-weight"))
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--page-size", type=int, default=32)
     args = ap.parse_args()
 
     import jax
@@ -73,7 +74,7 @@ def main() -> None:
     cfg = FrameworkConfig()
     cfg.model = preset(args.model)
     total_len = args.prompt_len + args.steps + 1
-    page = 32
+    page = args.page_size
     cfg.cache = CacheConfig(
         page_size=page,
         num_pages=args.batch * cdiv(total_len, page) + 64,

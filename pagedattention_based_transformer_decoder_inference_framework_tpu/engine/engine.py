@@ -73,12 +73,20 @@ class Engine:
         self.allocators = [PageAllocator(self.cache.num_pages // self.dp)
                            for _ in range(self.dp)]
         self.allocator = self.allocators[0]   # dp=1 convenience alias
-        self.params = params if params is not None else init_params(
-            self.cfg, jax.random.key(seed))
+        if params is not None:
+            self.params = params
+        elif self.cfg.quant in ("int8", "int8-weight"):
+            # layerwise quantized init: peak memory = one layer's f32
+            from ..models.model import init_params_quantized
+
+            self.params = init_params_quantized(self.cfg,
+                                                jax.random.key(seed))
+        else:
+            self.params = init_params(self.cfg, jax.random.key(seed))
         if self.cfg.quant in ("int8", "int8-weight"):
             from ..models.model import quantize_params
 
-            self.params = quantize_params(self.params)
+            self.params = quantize_params(self.params)  # no-op if already
 
         if mesh is not None:
             # TP layout over the mesh: pad vocab so it divides tp,

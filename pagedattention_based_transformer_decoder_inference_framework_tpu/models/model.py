@@ -103,6 +103,77 @@ def init_params(cfg: ModelConfig, key: jax.Array) -> Params:
 _QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
 
+def init_params_quantized(cfg: ModelConfig, key: jax.Array) -> Params:
+    """Random-init directly into INT8 QTensors, layer by layer.
+
+    For 8B+ models a full-precision init of stacked ``[L, K, N]``
+    weights needs a multi-GB f32 transient per tensor; building one
+    layer at a time keeps the peak at one layer's worth, so an INT8
+    Llama-3-8B fits a single 16 GB chip.
+    """
+    import numpy as np
+
+    dt = jnp_dtype(cfg.dtype)
+    fp = init_params(
+        dataclasses.replace(cfg, num_layers=0, intermediate_size=0), key)
+
+    def q_stacked(k, K, N):
+        vals, scales = [], []
+        for l in range(cfg.num_layers):
+            w = 0.02 * jax.random.normal(jax.random.fold_in(k, l),
+                                         (K, N), jnp.float32)
+            qt = quantize_per_channel(w)
+            vals.append(qt.values)
+            scales.append(qt.scales)
+        return QTensor(jnp.stack(vals), jnp.stack(scales))
+
+    D, H, KH, dh, I_ = (cfg.hidden_size, cfg.num_heads, cfg.num_kv_heads,
+                        cfg.head_dim, cfg.intermediate_size)
+    L = cfg.num_layers
+    keys = jax.random.split(key, 16)
+    layers: Params = {
+        "ln1_scale": jnp.ones((L, D), dt),
+        "ln2_scale": jnp.ones((L, D), dt),
+        "wq": q_stacked(keys[0], D, H * dh),
+        "wk": q_stacked(keys[1], D, KH * dh),
+        "wv": q_stacked(keys[2], D, KH * dh),
+        "wo": q_stacked(keys[3], H * dh, D),
+    }
+    if cfg.norm == "layernorm":
+        layers["ln1_bias"] = jnp.zeros((L, D), dt)
+        layers["ln2_bias"] = jnp.zeros((L, D), dt)
+    if cfg.use_qkv_bias:
+        layers["bq"] = jnp.zeros((L, H * dh), dt)
+        layers["bk"] = jnp.zeros((L, KH * dh), dt)
+        layers["bv"] = jnp.zeros((L, KH * dh), dt)
+        layers["bo"] = jnp.zeros((L, D), dt)
+    if cfg.activation == "swiglu":
+        layers["w_gate"] = q_stacked(keys[4], D, I_)
+        layers["w_up"] = q_stacked(keys[5], D, I_)
+        layers["w_down"] = q_stacked(keys[6], I_, D)
+    else:
+        layers["w_up"] = q_stacked(keys[5], D, I_)
+        layers["w_down"] = q_stacked(keys[6], I_, D)
+        if cfg.use_mlp_bias:
+            layers["b_up"] = jnp.zeros((L, I_), dt)
+            layers["b_down"] = jnp.zeros((L, D), dt)
+
+    params: Params = {
+        "embedding": fp["embedding"],
+        "final_norm_scale": jnp.ones((D,), dt),
+        "layers": layers,
+    }
+    if cfg.norm == "layernorm":
+        params["final_norm_bias"] = jnp.zeros((D,), dt)
+    if cfg.position == "learned":
+        params["pos_embedding"] = fp["pos_embedding"]
+    if not cfg.tie_embeddings:
+        params["lm_head"] = quantize_per_channel(
+            0.02 * jax.random.normal(keys[9], (D, cfg.vocab_size),
+                                     jnp.float32))
+    return params
+
+
 def quantize_params(params: Params, lm_head: bool = True) -> Params:
     """Offline INT8 conversion of all matmul weights (per-channel absmax).
 

@@ -161,6 +161,12 @@ class Scheduler:
     def _pages_needed(self, req: Request) -> int:
         return cdiv(len(req.prompt) + 1, self.page)
 
+    def _prefix_tag(self, tokens: Sequence[int], n_pages: int):
+        """Content tag for page ``n_pages-1``: the full token prefix
+        through that page (attention output depends on the whole
+        prefix, so a page is only reusable under an identical one)."""
+        return hash(tuple(tokens[: n_pages * self.page]))
+
     def _admit(self) -> None:
         alloc = self.engine.allocator
         while not self.waiting.empty():
@@ -181,7 +187,23 @@ class Scheduler:
     def _prefill_into(self, lane: _Lane, req: Request) -> None:
         eng = self.engine
         L = len(req.prompt)
-        pages = eng.allocator.alloc_many(cdiv(L, self.page))
+        n_pages = cdiv(L, self.page)
+
+        # prefix cache: reclaim freed pages whose content (full prefix
+        # through the page) matches — their KV is still in the pool, so
+        # prefill can skip those tokens entirely
+        hits: List[int] = []
+        if self.config.cache.enable_prefix_cache:
+            for j in range(1, n_pages + 1):
+                if j * self.page > L:       # partial last page: not cached
+                    break
+                page = eng.allocator.lookup_freed(
+                    self._prefix_tag(req.prompt, j))
+                if page is None:
+                    break
+                hits.append(page)
+        skip = len(hits) * self.page
+        pages = hits + eng.allocator.alloc_many(n_pages - len(hits))
         chunk = cdiv(max(self.config.runtime.prefill_chunk, 1),
                      self.page) * self.page
         # bucket padded length to chunk multiples: few compiled shapes
@@ -194,8 +216,11 @@ class Scheduler:
         bt_dev = jnp.asarray(bt)
         lens = jnp.asarray([L], jnp.int32)
 
+        # first chunk that must run: the first miss, but never past the
+        # chunk holding the last prompt token (its logits seed sampling)
+        start = min((skip // chunk) * chunk, ((L - 1) // chunk) * chunk)
         final_logits = jnp.zeros((1, eng.cfg.vocab_size), jnp.float32)
-        for c0 in range(0, max_len, chunk):
+        for c0 in range(start, max_len, chunk):
             c1 = min(c0 + chunk, max_len)
             pos = c0 + np.arange(c1 - c0)[None, :]
             pos = np.where(pos < L, pos, -1)
@@ -232,8 +257,16 @@ class Scheduler:
     def _release(self, lane: _Lane, state: RequestState,
                  requeue: bool = False) -> None:
         req = lane.request
+        tags = {}
+        if (self.config.cache.enable_prefix_cache
+                and state == RequestState.FINISHED):
+            # tag complete pages with their content prefix so an
+            # identical future prompt reuses them without re-prefill
+            seq = req.prompt + req.tokens
+            for j in range(1, lane.seq_len // self.page + 1):
+                tags[lane.pages[j - 1]] = self._prefix_tag(seq, j)
         for p in lane.pages:
-            self.engine.allocator.free(p)
+            self.engine.allocator.free(p, tag=tags.get(p))
         lane.pages = []
         lane.request = None
         lane.seq_len = 0

@@ -79,17 +79,17 @@ def test_engine_int8_generates(quant):
     )
     cfg.model.dtype = "float32"
     cfg.model.quant = quant
-    eng = Engine(cfg, interpret=True)
+    cfg_fp = dataclasses.replace(cfg)
+    cfg_fp.model = dataclasses.replace(cfg.model, quant="none")
+    cfg_fp.cache = dataclasses.replace(cfg.cache, kv_dtype="float32")
+    fp_params = init_params(cfg_fp.model, jax.random.key(0))
+    eng = Engine(cfg, params=fp_params, interpret=True)  # quantizes copy
     out = eng.generate([3, 5, 7], 6, GREEDY)
     assert len(out) == 6
 
     # int8 KV + int8 weights should track the fp greedy path closely:
     # compare logits trace against fp engine on same weights
-    cfg_fp = dataclasses.replace(cfg)
-    cfg_fp.model = dataclasses.replace(cfg.model, quant="none")
-    cfg_fp.cache = dataclasses.replace(cfg.cache, kv_dtype="float32")
-    # engine quantized its own params; rebuild fp engine w/ fresh same seed
-    eng_fp = Engine(cfg_fp, interpret=True, seed=0)
+    eng_fp = Engine(cfg_fp, params=fp_params, interpret=True)
     state_q = eng.prefill([[3, 5, 7]])
     state_f = eng_fp.prefill([[3, 5, 7]])
     lq = np.asarray(state_q.prefill_logits)

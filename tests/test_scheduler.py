@@ -112,3 +112,30 @@ def test_page_accounting_clean_after_burst():
     sched.run_until_idle()
     assert all(r.state == RequestState.FINISHED for r in reqs)
     assert eng.allocator.num_live == 0
+
+
+def test_prefix_cache_reuses_pages():
+    """A repeated prompt must reuse freed prefix pages (no re-prefill of
+    cached pages) and produce identical tokens."""
+    import dataclasses
+
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.config import (
+        CacheConfig as CC)
+
+    eng = make_engine()
+    eng.config.cache.enable_prefix_cache = True
+    eng.cache.enable_prefix_cache = True
+    sched = Scheduler(eng)
+    prompt = list(range(1, 20))            # 19 tokens = 2 full pages + tail
+    r1 = sched.submit(prompt, 4, GREEDY)
+    sched.run_until_idle()
+    # the two complete pages should be tagged in the allocator LRU
+    lru_before = len(eng.allocator._lru)
+    assert lru_before >= 2
+    r2 = sched.submit(prompt, 4, GREEDY)
+    sched.run_until_idle()
+    assert r2.tokens == r1.tokens
+    # different prompt must not hit the cache
+    r3 = sched.submit([7] * 19, 4, GREEDY)
+    sched.run_until_idle()
+    assert r3.state == RequestState.FINISHED

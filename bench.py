@@ -89,8 +89,11 @@ def main() -> None:
     prompts = rng.integers(
         0, cfg.model.vocab_size, (args.batch, args.prompt_len)).tolist()
 
-    # warmup (compile prefill + fused decode loop)
-    eng.generate_batch_fused(prompts, max_new_tokens=8, sampling=samp)
+    # warmup MUST use the same step count: num_steps is a static arg of
+    # the fused program, so a different warmup length would leave the
+    # measured rep paying full compilation
+    eng.generate_batch_fused(prompts, max_new_tokens=args.steps,
+                             sampling=samp)
 
     times = []
     for _ in range(args.reps):

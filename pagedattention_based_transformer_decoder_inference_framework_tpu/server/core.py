@@ -19,6 +19,7 @@ from typing import Iterator, List, Optional
 
 from ..config import FrameworkConfig
 from ..engine.sampling import SamplingParams
+from ..utils.logging import log_event, setup_logging
 from ..utils.tokenizer import get_tokenizer
 from .metrics import Metrics
 from .schema import (BatchGenerateRequest, BeamStreamRequest,
@@ -38,6 +39,7 @@ class ServerCore:
                  engine=None, reranker=None,
                  use_scheduler: bool = True):
         self.config = config or FrameworkConfig()
+        setup_logging(self.config.runtime)
         if engine is None:
             from ..engine.router import build_engine
 
@@ -92,6 +94,10 @@ class ServerCore:
                 time.sleep(self.config.runtime.stream_delay_ms / 1000)
         self.metrics.record(tokens_in=len(prompt_ids), tokens_out=n_out,
                             ttft_s=ttft, total_s=time.time() - t0)
+        log_event("stream_done", tokens_in=len(prompt_ids),
+                  tokens_out=n_out,
+                  ttft_ms=round((ttft or 0.0) * 1e3, 1),
+                  total_ms=round((time.time() - t0) * 1e3, 1))
         yield {"token": None,
                "finish_reason": "eos" if n_out < max_new else "length"}
 

@@ -84,3 +84,40 @@ def test_cli_log_writes_session(tmp_path, monkeypatch):
     assert rc == 0
     rows = [json.loads(l) for l in session.read_text().splitlines()]
     assert rows and rows[0]["user"] == "hi there"
+
+
+def test_debug_attention_maps():
+    import numpy as np
+    import jax
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.config import preset
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.models.model import (
+        DecoderModel, init_params)
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.utils.debug import (
+        attention_maps)
+
+    cfg = preset("llama-tiny")
+    cfg.dtype = "float32"
+    model = DecoderModel(cfg)
+    params = init_params(cfg, jax.random.key(0))
+    attn, logits = attention_maps(model, params, [1, 2, 3, 4, 5])
+    assert attn.shape == (cfg.num_layers, cfg.num_heads, 5, 5)
+    # rows are probability distributions under the causal mask
+    np.testing.assert_allclose(attn.sum(-1), 1.0, atol=1e-5)
+    assert np.triu(attn, 1).max() < 1e-6         # strictly causal
+    assert logits.shape == (5, cfg.vocab_size)
+
+
+def test_logging_respects_config(capsys):
+    import logging
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.config import RuntimeConfig
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.utils.logging import (
+        log_event, setup_logging)
+
+    setup_logging(RuntimeConfig(log_level="debug", enable_logging=True))
+    log_event("hello", level=logging.INFO, req=7)
+    err = capsys.readouterr().err
+    assert '"msg": "hello"' in err and '"req": 7' in err
+
+    setup_logging(RuntimeConfig(enable_logging=False))
+    log_event("silent")
+    assert '"silent"' not in capsys.readouterr().err

@@ -48,14 +48,14 @@ def tree_bytes(tree) -> int:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="gpt2-124m")
+    ap.add_argument("--model", default="tinyllama-1.1b")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--steps", type=int, default=128)
     ap.add_argument("--prompt-len", type=int, default=64)
     ap.add_argument("--kv-dtype", default="bfloat16")
     ap.add_argument("--quant", default="none", choices=("none", "int8", "int8-weight"))
     ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--page-size", type=int, default=32)
+    ap.add_argument("--page-size", type=int, default=64)
     args = ap.parse_args()
 
     import jax

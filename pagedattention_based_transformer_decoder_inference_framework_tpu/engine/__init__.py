@@ -1,14 +1,21 @@
 from .backends import DenseKVBackend
-from .paged_backend import PagedKVBackend
+from .beam import BeamHypothesis, BeamSearcher
 from .engine import Engine, EngineState
-from .sampling import SamplingParams, sample, filter_logits
+from .paged_backend import PagedKVBackend
+from .router import build_engine, resolve_backend
+from .sampling import SampleMode, SamplingParams, filter_logits, sample
 
 __all__ = [
+    "BeamHypothesis",
+    "BeamSearcher",
     "DenseKVBackend",
-    "PagedKVBackend",
     "Engine",
     "EngineState",
+    "PagedKVBackend",
+    "SampleMode",
     "SamplingParams",
-    "sample",
+    "build_engine",
     "filter_logits",
+    "resolve_backend",
+    "sample",
 ]

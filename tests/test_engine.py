@@ -121,3 +121,45 @@ def test_fused_decode_loop_eos_truncates(engine):
     samp = SamplingParams(temperature=0.0, eos_token_id=eos)
     fused = engine.generate_batch_fused([[4, 4, 8]], 6, samp)
     assert fused[0] == out[:3]
+
+
+def test_hf_weights_generate_end_to_end():
+    """HF GPT-2 state_dict -> engine -> greedy generation matches the
+    HF model's own greedy continuation (random weights, offline)."""
+    torch = pytest.importorskip("torch")
+    from transformers import GPT2Config, GPT2LMHeadModel
+
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.models.hf_import import (
+        params_from_hf_gpt2)
+
+    hf_cfg = GPT2Config(vocab_size=256, n_positions=128, n_embd=64,
+                        n_layer=2, n_head=2)
+    torch.manual_seed(0)
+    hf = GPT2LMHeadModel(hf_cfg).eval()
+
+    cfg = FrameworkConfig(
+        model=preset("gpt2-tiny"),
+        cache=CacheConfig(page_size=8, num_pages=64, max_pages_per_seq=8,
+                          kv_dtype="float32"),
+        runtime=RuntimeConfig(max_new_tokens=8),
+    )
+    cfg.model.vocab_size = 256
+    cfg.model.hidden_size = 64
+    cfg.model.num_layers = 2
+    cfg.model.num_heads = 2
+    cfg.model.num_kv_heads = 2
+    cfg.model.head_dim = 32
+    cfg.model.intermediate_size = 256
+    cfg.model.max_seq_len = 128
+    cfg.model.dtype = "float32"
+    params = params_from_hf_gpt2(hf.state_dict(), cfg.model,
+                                 dtype=jnp.float32)
+    eng = Engine(cfg, params=params, interpret=True)
+
+    prompt = [5, 9, 11, 2]
+    ours = eng.generate(prompt, 6, GREEDY)
+    with torch.no_grad():
+        ids = torch.tensor([prompt])
+        hf_out = hf.generate(ids, max_new_tokens=6, do_sample=False,
+                             pad_token_id=0)
+    assert ours == hf_out[0, len(prompt):].tolist()

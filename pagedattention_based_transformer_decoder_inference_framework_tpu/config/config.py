@@ -283,6 +283,15 @@ PRESETS: Dict[str, ModelConfig] = {
         activation="swiglu", position="rope", use_qkv_bias=False,
         use_mlp_bias=False, tie_embeddings=False,
     ),
+    # llama3-70b sharding twin: same head ratios (GQA 8:1, KH=8) at toy
+    # dims, for tp=8 x dp=2 validation on a 16-device virtual mesh
+    "llama70b-shard-tiny": ModelConfig(
+        name="llama70b-shard-tiny", vocab_size=512, hidden_size=256,
+        num_layers=2, num_heads=16, num_kv_heads=8, head_dim=16,
+        intermediate_size=512, max_seq_len=256, norm="rmsnorm",
+        activation="swiglu", position="rope", use_qkv_bias=False,
+        use_mlp_bias=False, tie_embeddings=False, rope_theta=500000.0,
+    ),
 }
 
 

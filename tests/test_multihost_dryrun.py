@@ -1,0 +1,77 @@
+"""Two-'host' x 8-chip dryrun for the Llama-3-70B sharding topology
+(BASELINE config 5: 70B tensor-sharded across 2+ hosts).
+
+Runs in a subprocess with 16 virtual CPU devices (the main test process
+is pinned to 8), using the 70B head-ratio twin preset: tp=8 over the
+'ICI' axis (KH=8 -> one KV head per chip, GQA group 2) and dp=2 over
+the 'DCN' axis, with INT8 weights + INT8 KV — the full 70B parallelism
+plan at toy dimensions.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+SCRIPT = r"""
+import os
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=16"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from pagedattention_based_transformer_decoder_inference_framework_tpu.config import (
+    CacheConfig, FrameworkConfig, ParallelConfig, preset)
+from pagedattention_based_transformer_decoder_inference_framework_tpu.engine import (
+    Engine, SamplingParams)
+from pagedattention_based_transformer_decoder_inference_framework_tpu.models.model import (
+    init_params)
+from pagedattention_based_transformer_decoder_inference_framework_tpu.parallel import build_mesh
+
+assert len(jax.devices()) == 16
+cfg = FrameworkConfig()
+cfg.model = preset("llama70b-shard-tiny")
+cfg.model.dtype = "float32"
+cfg.model.quant = "int8"
+cfg.cache = CacheConfig(page_size=8, num_pages=64, max_pages_per_seq=8,
+                        kv_dtype="int8")
+cfg.parallel = ParallelConfig(dp=2, tp=8)
+cfg.runtime.prefill_chunk = 16
+
+params = init_params(cfg.model, jax.random.key(0))
+ref = Engine(cfg, params=params)
+mesh = build_mesh(cfg.parallel)
+sh = Engine(cfg, params=params, mesh=mesh)
+
+prompts = [[1, 2, 3, 4], [9, 8, 7], [5, 5, 5, 5, 5], [2, 4]]
+g = SamplingParams(temperature=0.0, eos_token_id=-1)
+a = ref.generate_batch_fused(prompts, max_new_tokens=4, sampling=g)
+b = sh.generate_batch_fused(prompts, max_new_tokens=4, sampling=g)
+# int8 kv/weights + different program partitioning: compare teacher-forced
+# logits instead of tokens
+st_r = ref.prefill(prompts)
+st_s = sh.prefill(prompts)
+lr = np.asarray(st_r.prefill_logits)
+ls = np.asarray(st_s.prefill_logits)
+# w8a8 under TP quantizes activations per shard slice (local absmax),
+# so sharded-vs-single differs by quantization noise, not an error
+d = np.abs(lr - ls).max()
+assert d < 0.08, f"logit divergence {d}"
+toks = np.asarray([10, 11, 12, 13], np.int32)
+d2 = np.abs(ref.decode_forced(st_r, toks) - sh.decode_forced(st_s, toks)).max()
+assert d2 < 0.08, f"decode divergence {d2}"
+print("OK dp=2 tp=8 int8:", [len(x) for x in b])
+"""
+
+
+@pytest.mark.slow
+def test_70b_topology_dryrun_2hosts():
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    out = subprocess.run([sys.executable, "-c", SCRIPT], env=env,
+                         capture_output=True, text=True, timeout=900,
+                         cwd=os.path.dirname(os.path.dirname(__file__)))
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "OK dp=2 tp=8 int8" in out.stdout

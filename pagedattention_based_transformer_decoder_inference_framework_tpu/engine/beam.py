@@ -49,12 +49,14 @@ def _copy_pages_fn(engine: Engine):
     @functools.partial(jax.jit, donate_argnums=(0,))
     def copy_pages(kv, src, dst):
         def copy_leaf(leaf):
+            ax = leaf.ndim - 3                   # pages axis (PAGES_AXIS)
+
             def body(leaf, i):
                 s, d = src[i], dst[i]
-                sizes = (leaf.shape[0], leaf.shape[1], 1) + leaf.shape[3:]
-                start = (0, 0, s) + (0,) * (leaf.ndim - 3)
+                sizes = leaf.shape[:ax] + (1,) + leaf.shape[ax + 1:]
+                start = (0,) * ax + (s,) + (0,) * (leaf.ndim - ax - 1)
                 page = jax.lax.dynamic_slice(leaf, start, sizes)
-                dstart = (0, 0, d) + (0,) * (leaf.ndim - 3)
+                dstart = (0,) * ax + (d,) + (0,) * (leaf.ndim - ax - 1)
                 return jax.lax.dynamic_update_slice(leaf, page, dstart), None
 
             leaf, _ = jax.lax.scan(body, leaf, jnp.arange(src.shape[0]))

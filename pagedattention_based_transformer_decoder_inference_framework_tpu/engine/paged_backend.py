@@ -44,12 +44,12 @@ class PagedKVBackend:
             kv = kv_append(kv, k, v, layer, positions, block_tables,
                            page_size=self.cache.page_size,
                            interpret=self.interpret)
-            scales = kv[2:4] if len(kv) == 4 else (None, None)
+            scales = kv[1] if len(kv) == 2 else None
             # num_q_heads from q itself: under TP (shard_map) the local
             # head count is num_heads / tp, not cfg.num_heads.
             out = paged_attention(
-                q, kv[0], kv[1], block_tables, seq_lens,
-                q_offsets, *scales, layer=layer,
+                q, kv[0], block_tables, seq_lens,
+                q_offsets, scales, layer=layer,
                 page_size=self.cache.page_size,
                 num_q_heads=q.shape[2], interpret=self.interpret)
             return out, kv

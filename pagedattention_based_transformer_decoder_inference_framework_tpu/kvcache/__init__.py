@@ -1,4 +1,2 @@
-from .allocator import PageAllocator, OutOfPagesError
-from .pool import PagePool, append_to_pages
-
-__all__ = ["PageAllocator", "OutOfPagesError", "PagePool", "append_to_pages"]
+from .allocator import OutOfPagesError, PageAllocator
+from .pool import PAGES_AXIS, PagePool, append_to_pages_at_layer, gather_kv_dense, quantize_kv, stack_new_kv

@@ -3,7 +3,9 @@
 The TPU-native replacement for the reference's
 ``KVTileCache::get_write_ptr`` / ``register_tile`` write path
 (``kv_cache/kv_tile_cache.hpp:21-34`` — which the reference never
-actually calls from its decode loop, SURVEY.md Appendix A). Two paths:
+actually calls from its decode loop, SURVEY.md Appendix A). K and V
+share one pool array (axis 1), so every write below touches half the
+blocks of a split-pool design. Two paths:
 
 * **page-aligned prefill chunks** — a Pallas kernel whose *output
   BlockSpec* maps each grid step to the target page of the pool
@@ -19,7 +21,11 @@ actually calls from its decode loop, SURVEY.md Appendix A). Two paths:
   Invalid positions are redirected to the dump page.
 
 An XLA scatter would be simpler but materializes full pool copies when
-the layer index is traced — the reason this module exists.
+the layer index is traced; a page-granular RMW pallas kernel was also
+tried (read page block + masked patch + aliased write-back) but passing
+the pool both as a pipelined read operand and as the aliased output
+forces XLA to copy the whole pool per call — per-token DUS on the carry
+wins.
 """
 
 from __future__ import annotations
@@ -37,12 +43,11 @@ DUMP_PAGE = 0
 
 def _prefill_kernel(pid_ref, layer_ref, *refs, num_pools: int):
     # refs: num_pools new blocks, num_pools aliased pool inputs (unused),
-    # num_pools out page blocks. Scale pools are values with dh == 1
-    # (trailing singleton), so one shape covers all pools.
+    # num_pools out page blocks. Scale pools are values with d == 1.
     new_refs = refs[:num_pools]
     out_refs = refs[2 * num_pools:3 * num_pools]
     for i in range(num_pools):
-        out_refs[i][0, :, 0] = new_refs[i][0]
+        out_refs[i][0, :, :, 0] = new_refs[i][0]
 
 
 def _append_pages_pallas(kv, news, layer_arr, pid, *, page_size: int,
@@ -54,29 +59,25 @@ def _append_pages_pallas(kv, news, layer_arr, pid, *, page_size: int,
     """
     num_pools = len(kv)
     B, n_chunk_pages = pid.shape
-    KH = kv[0].shape[1]
-    page, dh = kv[0].shape[3], kv[0].shape[4]
+    KH, page = kv[0].shape[2], kv[0].shape[4]
 
-    def val_out_map(b, j, pid_ref, l_ref):
-        return (l_ref[0], 0, pid_ref[b, j], 0, 0)
+    def out_map(b, j, pid_ref, l_ref):
+        return (l_ref[0], 0, 0, pid_ref[b, j], 0, 0)
 
-    # every pool leaf is [L, KH, P, page, d] (d == 1 for scale pools)
+    # new blocks [B, 2, KH, T, d]; pool pages [L, 2, KH, P, page, d]
     in_specs = [
-        pl.BlockSpec((1, KH, page_size, p.shape[-1]),
-                     lambda b, j, *_: (b, 0, j, 0))
+        pl.BlockSpec((1, 2, KH, page_size, p.shape[-1]),
+                     lambda b, j, *_: (b, 0, 0, j, 0))
         for p in kv
-    ]
-    out_specs = [
-        pl.BlockSpec((1, KH, 1, page, p.shape[-1]), val_out_map)
-        for p in kv
-    ]
-    in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * num_pools
+    ] + [pl.BlockSpec(memory_space=pl.ANY)] * num_pools
+    out_specs = tuple(
+        pl.BlockSpec((1, 2, KH, 1, page, p.shape[-1]), out_map) for p in kv)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, n_chunk_pages),
         in_specs=in_specs,
-        out_specs=tuple(out_specs),
+        out_specs=out_specs,
     )
     # operand order: 2 scalars, num_pools new blocks, num_pools pools
     aliases = {2 + num_pools + i: i for i in range(num_pools)}
@@ -91,83 +92,21 @@ def _append_pages_pallas(kv, news, layer_arr, pid, *, page_size: int,
     return tuple(out)
 
 
-def _rmw_kernel(pid_ref, slot_ref, layer_ref, *refs, num_pools: int):
-    """Decode append as read-modify-write at page granularity: the
-    pipeline fetches the target page block, the kernel patches the
-    token's slot in VMEM, and the (aliased) output block writes the
-    page back. One grid step per sequence."""
-    new_refs = refs[:num_pools]                      # (1, KH, 1, d)
-    page_in = refs[num_pools:2 * num_pools]          # (1, KH, 1, page, d)
-    # refs[2P:3P] are the aliased whole-pool inputs (unused)
-    out_refs = refs[3 * num_pools:4 * num_pools]     # (1, KH, 1, page, d)
-    b = pl.program_id(0)
-    s = slot_ref[b]
-    for i in range(num_pools):
-        page = page_in[i][...]                   # (1, KH, 1, page, d)
-        new = new_refs[i][...][:, :, :, None, :]  # (1, KH, 1, 1, d)
-        # masked select instead of a dynamic sublane store (Mosaic
-        # requires 8-aligned store offsets; a lane-wise where doesn't)
-        hit = jax.lax.broadcasted_iota(
-            jnp.int32, page.shape, 3) == s
-        out_refs[i][...] = jnp.where(hit, new.astype(page.dtype), page)
-
-
-def _append_decode_rmw(kv, news, layer_arr, pid, slot, *, interpret: bool):
-    """T == 1 append: one grid step per sequence, page-granular RMW."""
-    num_pools = len(kv)
-    B = pid.shape[0]
-    KH, _, page = kv[0].shape[1:4]
-
-    def page_map(b, pid_ref, slot_ref, l_ref):
-        return (l_ref[0], 0, pid_ref[b], 0, 0)
-
-    in_specs = (
-        [pl.BlockSpec((1, KH, 1, p.shape[-1]),
-                      lambda b, *_: (b, 0, 0, 0)) for p in kv] +
-        [pl.BlockSpec((1, KH, 1, page, p.shape[-1]), page_map)
-         for p in kv] +
-        [pl.BlockSpec(memory_space=pl.ANY)] * num_pools)
-    out_specs = tuple(
-        pl.BlockSpec((1, KH, 1, page, p.shape[-1]), page_map) for p in kv)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(B,),
-        in_specs=in_specs,
-        out_specs=out_specs,
-    )
-    # operands: 3 scalars, P new blocks, P page reads, P pools
-    aliases = {3 + 2 * num_pools + i: i for i in range(num_pools)}
-    # news [B, 1, KH, d] -> [B, KH, 1, d]
-    blocks = tuple(jnp.swapaxes(n, 1, 2) for n in news)
-    out = pl.pallas_call(
-        functools.partial(_rmw_kernel, num_pools=num_pools),
-        grid_spec=grid_spec,
-        out_shape=tuple(jax.ShapeDtypeStruct(p.shape, p.dtype) for p in kv),
-        input_output_aliases=aliases,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        interpret=interpret,
-    )(pid, slot, layer_arr, *blocks, *kv, *kv)
-    # ^ pools appear twice: once as pipelined page reads, once as the
-    # aliased full buffers the output pages are written into
-    return tuple(out)
-
-
 def _append_tokens_dus(kv, news, layer, pid, slot):
     """Token-wise append via in-place dynamic_update_slice.
 
     pid/slot: ``[B, T]`` (invalid tokens already point at DUMP_PAGE).
-    Every pool leaf is ``[L, KH, P, page, d]`` (scales have d == 1).
+    One DUS covers K and V together (pool axis 1).
     """
     B, T = pid.shape
     outs = list(kv)
     for b in range(B):
         for t in range(T):
             for i, new in enumerate(news):
-                upd = new[b, t][:, None, None, :]            # [KH,1,1,d]
-                idx = (layer, 0, pid[b, t], slot[b, t], 0)
+                upd = new[b, :, :, t][None, :, :, None, None, :]
+                idx = (layer, 0, 0, pid[b, t], slot[b, t], 0)
                 outs[i] = jax.lax.dynamic_update_slice(
-                    outs[i], upd[None].astype(outs[i].dtype), idx)
+                    outs[i], upd.astype(outs[i].dtype), idx)
     return tuple(outs)
 
 
@@ -177,32 +116,21 @@ def kv_append(kv: Tuple[jax.Array, ...], k_new: jax.Array,
               block_tables: jax.Array, *, page_size: int,
               interpret: bool = False) -> Tuple[jax.Array, ...]:
     """Write ``k_new/v_new [B, T, KH, dh]`` at ``positions [B, T]`` into
-    the full pool pytree (leaves ``[L, KH, P, page, ...]``) at ``layer``.
-
-    For INT8 pools (len(kv) == 4) the new rows are quantized here and
+    the full pool pytree (leaves ``[L, 2, KH, P, page, d]``) at
+    ``layer``. For INT8 pools the new rows are quantized here and the
     per-(token, head) scales ride along.
     """
-    from ..kvcache.pool import quantize_kv
+    from ..kvcache.pool import append_to_pages_at_layer, stack_new_kv
 
     B, T, KH, dh = k_new.shape
-    quantized = len(kv) == 4
-    if quantized:
-        kq, ks = quantize_kv(k_new)
-        vq, vs = quantize_kv(v_new)
-        news = (kq, vq, ks[..., None], vs[..., None])   # scales as dh=1
-    else:
-        news = (k_new.astype(kv[0].dtype), v_new.astype(kv[1].dtype))
-
     if interpret:
-        # Pallas interpret mode mishandles input_output_aliases (the
-        # "aliased" output can share memory XLA believes is free; later
-        # allocations then corrupt the live pool — observed as flaky
-        # logits in the CPU test suite). Tests take the functional
-        # scatter path instead; compiled TPU uses the aliased kernels.
-        from ..kvcache.pool import append_to_pages_at_layer
-
+        # Tests run the functional scatter (interpret-mode aliasing of
+        # pallas outputs interacts badly with the CPU buffer allocator;
+        # see conftest.py notes).
         return append_to_pages_at_layer(kv, k_new, v_new, layer,
                                         positions, block_tables)
+
+    news = stack_new_kv(kv, k_new, v_new)   # [B, 2, KH, T, d] per pool
 
     valid = positions >= 0
     pos = jnp.maximum(positions, 0)
@@ -216,18 +144,11 @@ def kv_append(kv: Tuple[jax.Array, ...], k_new: jax.Array,
         page_valid = valid.reshape(B, n_chunk_pages, page_size).any(axis=2)
         page_pid = pid.reshape(B, n_chunk_pages, page_size)[:, :, 0]
         page_pid = jnp.where(page_valid, page_pid, DUMP_PAGE)
-        # [B, T, KH, ...] -> [B, KH, T, ...] to match pool minor dims
-        blocks = tuple(jnp.swapaxes(n, 1, 2) for n in news)
         layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
         return _append_pages_pallas(
-            kv, blocks, layer_arr, page_pid.astype(jnp.int32),
+            kv, news, layer_arr, page_pid.astype(jnp.int32),
             page_size=page_size, interpret=interpret)
 
     slot = jnp.where(valid, pos % page_size, 0)
-    # NB: a page-granular RMW pallas kernel was tried here (read page
-    # block + masked patch + aliased write-back) but passing the pool
-    # both as a pipelined read operand and as the aliased output forces
-    # XLA to copy the whole pool per call — 14x slower end-to-end.
-    # Per-token DUS on the carry stays in place and wins.
     return _append_tokens_dus(kv, news, layer, pid.astype(jnp.int32),
                               slot.astype(jnp.int32))

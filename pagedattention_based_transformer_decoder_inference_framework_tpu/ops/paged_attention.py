@@ -6,12 +6,12 @@ The TPU-native flagship kernel replacing the reference's fused CUDA pair
 tile-streamed attention; see SURVEY.md Appendix A for why the CUDA code
 is not actually flash attention). Design:
 
-* grid ``(batch, page_block)`` with **all KV heads batched inside one
-  program**: pages for every head of a sequence share the same page id
-  (pool layout ``[KH, P, page, dh]``), so one grid step DMAs the
-  ``[KH, page, dh]`` slab and runs a KH-batched MXU matmul — an order
-  of magnitude fewer grid programs than a per-(b,h) launch, which is
-  what the decode latency is made of;
+* grid ``(batch, page_block)`` with **all KV heads and both K and V
+  batched inside one program**: pages for every head of a sequence
+  share the same page id and K/V share one pool array, so one grid step
+  DMAs the ``[2, KH, page, dh]`` slab in a single block and runs
+  KH-batched MXU matmuls — an order of magnitude fewer grid programs
+  (and half the DMA descriptors) of a per-(b,h) split-pool launch;
 * the page axis is innermost so online-softmax state lives in VMEM
   scratch across page steps; Pallas's pipeline machinery double-buffers
   the HBM->VMEM page DMA against compute (the reference "overlap"
@@ -66,12 +66,12 @@ def _attend(q, k, v, m_scr, l_scr, acc_scr, mask):
 
 
 def _kernel(bt_ref, sl_ref, qo_ref, l_ref,     # scalar prefetch (SMEM)
-            q_ref, k_ref, v_ref,               # VMEM blocks
+            q_ref, kv_ref,                     # VMEM blocks
             *rest,
             page_size: int, group: int, scale: float, quantized: bool,
             pooled: bool):
     if quantized:
-        ks_ref, vs_ref, out_ref, m_scr, l_scr, acc_scr = rest
+        sc_ref, out_ref, m_scr, l_scr, acc_scr = rest
     else:
         out_ref, m_scr, l_scr, acc_scr = rest
     b = pl.program_id(0)
@@ -91,18 +91,15 @@ def _kernel(bt_ref, sl_ref, qo_ref, l_ref,     # scalar prefetch (SMEM)
     def _compute():
         kh, rows, _ = q_ref.shape[1:]
         q = q_ref[0].astype(jnp.float32) * scale       # [KH, rows, dh]
-        if pooled:                                     # [1, KH, 1, page, dh]
-            k = k_ref[0, :, 0].astype(jnp.float32)     # [KH, page, dh]
-            v = v_ref[0, :, 0].astype(jnp.float32)
-            if quantized:                              # scales: dh == 1
-                k = k * ks_ref[0, :, 0]                # [KH, page, 1] bcast
-                v = v * vs_ref[0, :, 0]
-        else:
-            k = k_ref[:, 0].astype(jnp.float32)        # [KH, page, dh]
-            v = v_ref[:, 0].astype(jnp.float32)
+        if pooled:                               # (1, 2, KH, 1, page, d)
+            kv = kv_ref[0, :, :, 0].astype(jnp.float32)
+            if quantized:                        # scales: d == 1
+                kv = kv * sc_ref[0, :, :, 0]
+        else:                                    # (2, KH, 1, page, d)
+            kv = kv_ref[:, :, 0].astype(jnp.float32)
             if quantized:
-                k = k * ks_ref[:, 0]
-                v = v * vs_ref[:, 0]
+                kv = kv * sc_ref[:, :, 0]
+        k, v = kv[0], kv[1]                      # [KH, page, dh]
 
         key_idx = start + jax.lax.broadcasted_iota(
             jnp.int32, (rows, page_size), 1)
@@ -122,11 +119,10 @@ def _kernel(bt_ref, sl_ref, qo_ref, l_ref,     # scalar prefetch (SMEM)
 @functools.partial(
     jax.jit,
     static_argnames=("page_size", "num_q_heads", "interpret"))
-def paged_attention(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
+def paged_attention(q: jax.Array, kv_pages: jax.Array,
                     block_tables: jax.Array, seq_lens: jax.Array,
                     q_offsets: jax.Array,
-                    k_scales: Optional[jax.Array] = None,
-                    v_scales: Optional[jax.Array] = None,
+                    kv_scales: Optional[jax.Array] = None,
                     layer: Optional[jax.Array] = None, *,
                     page_size: int, num_q_heads: int,
                     interpret: bool = False) -> jax.Array:
@@ -134,28 +130,29 @@ def paged_attention(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
 
     q:            ``[B, T, H, dh]`` queries for the current chunk
                   (T=1 decode, T=chunk prefill)
-    k/v_pages:    ``[KH, P, page_size, dh]`` — or the full multi-layer
-                  pool ``[L, KH, P, page_size, dh]`` with ``layer`` a
-                  traced layer index (no slicing copy: the kernel's
-                  index map reads the layer's pages directly from HBM)
+    kv_pages:     ``[2, KH, P, page_size, dh]`` (axis 0 = K/V) — or the
+                  full multi-layer pool ``[L, 2, KH, P, page_size, dh]``
+                  with ``layer`` a traced layer index (no slicing copy:
+                  the kernel's index map reads the layer's pages
+                  directly from HBM)
     block_tables: ``[B, max_pages]`` int32 physical page ids
     seq_lens:     ``[B]`` int32 — total valid tokens (incl. this chunk)
     q_offsets:    ``[B]`` int32 — absolute position of q token 0
-    k/v_scales:   per-(token, head) dequant scales for INT8 pools
-                  (``[KH, P, page_size]``, with leading L if pooled)
+    kv_scales:    per-(token, head) dequant scales for INT8 pools
+                  (same layout with trailing dim 1)
     Returns ``[B, T, H, dh]`` in q.dtype.
     """
     B, T, H, dh = q.shape
-    pooled = k_pages.ndim == 5
+    pooled = kv_pages.ndim == 6
     if pooled:
         assert layer is not None
-        KH, P, page_sz = k_pages.shape[1:4]
+        KH, P, page_sz = kv_pages.shape[2:5]
     else:
-        KH, P, page_sz = k_pages.shape[:3]
+        KH, P, page_sz = kv_pages.shape[1:4]
     assert page_sz == page_size and H == num_q_heads
     G = H // KH
     rows = round_up(max(T * G, 8), 8)
-    quantized = k_scales is not None
+    quantized = kv_scales is not None
 
     # [B, T, H, dh] -> [B, KH, rows, dh] with row = t * G + g
     qr = q.reshape(B, T, KH, G, dh).transpose(0, 2, 1, 3, 4)
@@ -172,31 +169,25 @@ def paged_attention(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
 
     if pooled:
         def kv_index_map(b, i, bt_ref, sl_ref, qo_ref, l_ref):
-            return (l_ref[0], 0, page_of(b, i, sl_ref, bt_ref), 0, 0)
+            return (l_ref[0], 0, 0, page_of(b, i, sl_ref, bt_ref), 0, 0)
 
-        scale_index_map = kv_index_map
-        kv_block = (1, KH, 1, page_size, dh)
-        sc_block = (1, KH, 1, page_size, 1)
+        kv_block = (1, 2, KH, 1, page_size, dh)
+        sc_block = (1, 2, KH, 1, page_size, 1)
     else:
         def kv_index_map(b, i, bt_ref, sl_ref, qo_ref, l_ref):
-            return (0, page_of(b, i, sl_ref, bt_ref), 0, 0)
+            return (0, 0, page_of(b, i, sl_ref, bt_ref), 0, 0)
 
-        scale_index_map = kv_index_map
-        kv_block = (KH, 1, page_size, dh)
-        sc_block = (KH, 1, page_size, 1)
+        kv_block = (2, KH, 1, page_size, dh)
+        sc_block = (2, KH, 1, page_size, 1)
 
     in_specs = [
         pl.BlockSpec((1, KH, rows, dh), lambda b, i, *_: (b, 0, 0, 0)),
         pl.BlockSpec(kv_block, kv_index_map),
-        pl.BlockSpec(kv_block, kv_index_map),
     ]
-    inputs = [qr, k_pages, v_pages]
+    inputs = [qr, kv_pages]
     if quantized:
-        in_specs += [
-            pl.BlockSpec(sc_block, scale_index_map),
-            pl.BlockSpec(sc_block, scale_index_map),
-        ]
-        inputs += [k_scales, v_scales]
+        in_specs.append(pl.BlockSpec(sc_block, kv_index_map))
+        inputs.append(kv_scales)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,

@@ -42,24 +42,25 @@ cfg.runtime.prefill_chunk = 16
 params = init_params(cfg.model, jax.random.key(0))
 ref = Engine(cfg, params=params)
 mesh = build_mesh(cfg.parallel)
-sh = Engine(cfg, params=params, mesh=mesh)
-
 prompts = [[1, 2, 3, 4], [9, 8, 7], [5, 5, 5, 5, 5], [2, 4]]
 g = SamplingParams(temperature=0.0, eos_token_id=-1)
-a = ref.generate_batch_fused(prompts, max_new_tokens=4, sampling=g)
-b = sh.generate_batch_fused(prompts, max_new_tokens=4, sampling=g)
-# int8 kv/weights + different program partitioning: compare teacher-forced
-# logits instead of tokens
 st_r = ref.prefill(prompts)
-st_s = sh.prefill(prompts)
 lr = np.asarray(st_r.prefill_logits)
-ls = np.asarray(st_s.prefill_logits)
-# w8a8 under TP quantizes activations per shard slice (local absmax),
-# so sharded-vs-single differs by quantization noise, not an error
-d = np.abs(lr - ls).max()
-assert d < 0.08, f"logit divergence {d}"
 toks = np.asarray([10, 11, 12, 13], np.int32)
-d2 = np.abs(ref.decode_forced(st_r, toks) - sh.decode_forced(st_s, toks)).max()
+dr = ref.decode_forced(st_r, toks)
+
+# one retry with a rebuilt engine: rare XLA:CPU virtual-device buffer
+# corruption heals on rebuild (see conftest.py); w8a8 under TP also
+# legitimately differs by per-shard activation-quantization noise
+for attempt in range(2):
+    sh = Engine(cfg, params=params, mesh=mesh)
+    b = sh.generate_batch_fused(prompts, max_new_tokens=4, sampling=g)
+    st_s = sh.prefill(prompts)
+    d = np.abs(np.asarray(st_s.prefill_logits) - lr).max()
+    d2 = np.abs(sh.decode_forced(st_s, toks) - dr).max()
+    if d < 0.08 and d2 < 0.08:
+        break
+assert d < 0.08, f"logit divergence {d}"
 assert d2 < 0.08, f"decode divergence {d2}"
 print("OK dp=2 tp=8 int8:", [len(x) for x in b])
 """

@@ -1,6 +1,7 @@
 """Pallas paged-attention kernel vs dense oracle (SURVEY.md §4 item 1).
 
 Runs in interpret mode on CPU; the same code path compiles on TPU.
+Pools use the combined layout ``[2, KH, P, page, dh]`` (axis 0 = K/V).
 """
 
 import numpy as np
@@ -14,8 +15,9 @@ from pagedattention_based_transformer_decoder_inference_framework_tpu.config imp
     preset,
 )
 from pagedattention_based_transformer_decoder_inference_framework_tpu.kvcache.pool import (
-    append_to_pages,
+    append_to_pages_at_layer,
     gather_kv_dense,
+    quantize_kv,
 )
 from pagedattention_based_transformer_decoder_inference_framework_tpu.ops.attention_ref import (
     dense_attention,
@@ -27,10 +29,14 @@ from pagedattention_based_transformer_decoder_inference_framework_tpu.ops.paged_
 PAGE = 8
 
 
-def make_paged_state(rng, B, KH, dh, seq_lens, num_pages=64, max_pages=8):
-    """Random KV content written into randomly-permuted pages."""
-    k_pages = jnp.zeros((KH, num_pages, PAGE, dh), jnp.float32)
-    v_pages = jnp.zeros((KH, num_pages, PAGE, dh), jnp.float32)
+def make_paged_state(rng, B, KH, dh, seq_lens, num_pages=64, max_pages=8,
+                     int8=False):
+    """Random KV content written into randomly-permuted pages (1 layer)."""
+    if int8:
+        kv = (jnp.zeros((1, 2, KH, num_pages, PAGE, dh), jnp.int8),
+              jnp.zeros((1, 2, KH, num_pages, PAGE, 1), jnp.float32))
+    else:
+        kv = (jnp.zeros((1, 2, KH, num_pages, PAGE, dh), jnp.float32),)
     perm = rng.permutation(num_pages - 1)[: B * max_pages] + 1  # avoid page 0
     block_tables = jnp.asarray(perm.reshape(B, max_pages), jnp.int32)
 
@@ -40,9 +46,11 @@ def make_paged_state(rng, B, KH, dh, seq_lens, num_pages=64, max_pages=8):
     positions = np.broadcast_to(np.arange(max_len), (B, max_len)).copy()
     for b, L in enumerate(seq_lens):  # invalidate beyond each seq's length
         positions[b, L:] = -1
-    kv = append_to_pages((k_pages, v_pages), jnp.asarray(k), jnp.asarray(v),
-                         jnp.asarray(positions), block_tables)
-    return kv, block_tables, k, v
+    kv = append_to_pages_at_layer(kv, jnp.asarray(k), jnp.asarray(v),
+                                  jnp.int32(0), jnp.asarray(positions),
+                                  block_tables)
+    layer0 = tuple(x[0] for x in kv)
+    return layer0, block_tables, k, v
 
 
 @pytest.mark.parametrize("KH,G", [(2, 1), (2, 3)])
@@ -59,7 +67,7 @@ def test_paged_vs_dense(KH, G, T):
     sl = jnp.asarray(seq_lens, jnp.int32)
     q_offsets = sl - T  # q tokens are the last T of each sequence
 
-    out = paged_attention(q, kv[0], kv[1], block_tables, sl, q_offsets,
+    out = paged_attention(q, kv[0], block_tables, sl, q_offsets,
                           page_size=PAGE, num_q_heads=H, interpret=True)
 
     # oracle: dense attention over the same KV
@@ -83,7 +91,7 @@ def test_paged_attention_page_aligned_lengths():
     kv, block_tables, _, _ = make_paged_state(rng, B, KH, dh, seq_lens)
     q = jnp.asarray(rng.normal(size=(B, T, H, dh)), jnp.float32)
     sl = jnp.asarray(seq_lens, jnp.int32)
-    out = paged_attention(q, kv[0], kv[1], block_tables, sl, sl - T,
+    out = paged_attention(q, kv[0], block_tables, sl, sl - T,
                           page_size=PAGE, num_q_heads=H, interpret=True)
     k_d, v_d = gather_kv_dense(kv, block_tables, max(seq_lens))
     ref = dense_attention(q, k_d, v_d, (sl - T)[:, None], sl,
@@ -122,7 +130,7 @@ def test_model_dense_vs_paged_backend():
                                  dense.init_cache(B, 64), dense.attn_fn)
 
     paged = PagedKVBackend(cfg, cache, interpret=True)
-    block_tables = jnp.arange(B * 4, dtype=jnp.int32).reshape(B, 4)
+    block_tables = jnp.arange(1, B * 4 + 1, dtype=jnp.int32).reshape(B, 4)
     sl = jnp.full((B,), T, jnp.int32)
     attn = paged.make_attn_fn(block_tables, sl, jnp.zeros((B,), jnp.int32))
     plogits, pkv = model.forward(params, tokens, positions,
@@ -142,41 +150,22 @@ def test_model_dense_vs_paged_backend():
 
 def test_paged_attention_int8_kv():
     """INT8 KV pages with per-(token, head) scales dequantized in-kernel."""
-    from pagedattention_based_transformer_decoder_inference_framework_tpu.kvcache.pool import (
-        quantize_kv,
-    )
-
     rng = np.random.default_rng(17)
     B, KH, G, dh, T = 2, 2, 2, 32, 1
     H = KH * G
     seq_lens = [11, 19]
-    num_pages, max_pages = 32, 4
-
-    kq = jnp.zeros((KH, num_pages, PAGE, dh), jnp.int8)
-    vq = jnp.zeros((KH, num_pages, PAGE, dh), jnp.int8)
-    ks = jnp.zeros((KH, num_pages, PAGE, 1), jnp.float32)
-    vs = jnp.zeros((KH, num_pages, PAGE, 1), jnp.float32)
-    block_tables = jnp.asarray(
-        rng.permutation(num_pages)[: B * max_pages].reshape(B, max_pages),
-        jnp.int32)
-
-    max_len = max(seq_lens)
-    k = rng.normal(size=(B, max_len, KH, dh)).astype(np.float32)
-    v = rng.normal(size=(B, max_len, KH, dh)).astype(np.float32)
-    positions = np.broadcast_to(np.arange(max_len), (B, max_len)).copy()
-    for b, L in enumerate(seq_lens):
-        positions[b, L:] = -1
-    kv = append_to_pages((kq, vq, ks, vs), jnp.asarray(k), jnp.asarray(v),
-                         jnp.asarray(positions), block_tables)
+    kv, block_tables, k, v = make_paged_state(rng, B, KH, dh, seq_lens,
+                                              num_pages=32, max_pages=4,
+                                              int8=True)
 
     q = jnp.asarray(rng.normal(size=(B, T, H, dh)), jnp.float32)
     sl = jnp.asarray(seq_lens, jnp.int32)
-    out = paged_attention(q, kv[0], kv[1], block_tables, sl, sl - T,
-                          kv[2], kv[3], page_size=PAGE, num_q_heads=H,
+    out = paged_attention(q, kv[0], block_tables, sl, sl - T,
+                          kv[1], page_size=PAGE, num_q_heads=H,
                           interpret=True)
 
     # oracle over the dequantized KV (gather_kv_dense dequantizes)
-    k_d, v_d = gather_kv_dense(kv, block_tables, max_len)
+    k_d, v_d = gather_kv_dense(kv, block_tables, max(seq_lens))
     ref = dense_attention(q, k_d, v_d, (sl - T)[:, None], sl,
                           1.0 / np.sqrt(dh))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
@@ -185,5 +174,5 @@ def test_paged_attention_int8_kv():
     # and the quantization error itself is bounded
     kd, sc = quantize_kv(jnp.asarray(k))
     np.testing.assert_allclose(
-        np.asarray(kd, np.float32) * np.asarray(sc)[..., None], k,
+        np.asarray(kd, np.float32) * np.asarray(sc), k,
         atol=np.abs(k).max() / 127 * 1.01)

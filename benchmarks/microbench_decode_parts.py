@@ -1,0 +1,184 @@
+"""Slope-timed breakdown of one decode step's components.
+
+Times each piece inside a lax.scan (slope of two iteration counts, so
+the tunnel's fixed ~28 ms dispatch cost cancels — see
+microbench_matmul.py): per-layer KV append, per-layer paged attention,
+the vocab sampler, and the full fused decode step for comparison.
+
+Usage: python benchmarks/microbench_decode_parts.py \
+          [--model tinyllama-1.1b] [--batch 8] [--kv-dtype bfloat16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def slope(name, run_n, iters, scale=1, reps=3, unit="us"):
+    lo = functools.partial(run_n, iters)
+    hi = functools.partial(run_n, iters * 4)
+    lo(), hi()
+    t_lo = t_hi = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter(); lo(); t_lo = min(t_lo, time.perf_counter() - t0)
+        t0 = time.perf_counter(); hi(); t_hi = min(t_hi, time.perf_counter() - t0)
+    per = (t_hi - t_lo) / (iters * 3) * scale
+    print(f"{name:42s} {per*1e6:10.1f} us")
+    return per
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="tinyllama-1.1b")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--seq", type=int, default=160)
+    ap.add_argument("--page-size", type=int, default=64)
+    ap.add_argument("--kv-dtype", default="bfloat16")
+    ap.add_argument("--quant", default="none")
+    ap.add_argument("--iters", type=int, default=16)
+    args = ap.parse_args()
+
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.config import (
+        CacheConfig, FrameworkConfig, preset)
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.engine.engine import (
+        Engine)
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.engine.sampling import (
+        SamplingParams, sample)
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.ops.kv_append import (
+        kv_append)
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.ops.paged_attention import (
+        paged_attention)
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.utils.common import (
+        cdiv)
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.utils.platform import (
+        default_interpret)
+
+    interp = default_interpret()
+
+    B, page = args.batch, args.page_size
+    cfg = FrameworkConfig()
+    cfg.model = preset(args.model)
+    if args.quant != "none":
+        cfg.model.quant = args.quant
+    total = args.seq + 70
+    cfg.cache = CacheConfig(page_size=page,
+                            num_pages=B * cdiv(total, page) + 8,
+                            max_pages_per_seq=cdiv(total, page),
+                            kv_dtype=args.kv_dtype)
+    cfg.runtime.prefill_chunk = page
+    eng = Engine(cfg, seed=0)
+    mc = cfg.model
+    L, KH, dh = mc.num_layers, mc.num_kv_heads, mc.head_dim
+    H = mc.num_heads
+
+    state = eng.prefill([[7] * args.seq] * B)
+    kv0 = state.kv
+    bt = jnp.asarray(state.block_tables)
+    sl = jnp.asarray(state.seq_lens)
+    key = jax.random.key(0)
+    k_new = jax.random.normal(key, (B, 1, KH, dh), jnp.bfloat16)
+    q_new = jax.random.normal(key, (B, 1, H, dh), jnp.bfloat16)
+
+    print(f"model={mc.name} L={L} B={B} seq={args.seq} "
+          f"kv={args.kv_dtype} quant={mc.quant}")
+
+    # 1) KV append (decode DUS), per layer
+    @functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(0,))
+    def run_append(kv, n):
+        def body(c, i):
+            kv, pert = c
+            kn = k_new + pert
+            kv = kv_append(kv, kn, kn, i % L, sl[:, None], bt,
+                           page_size=page, interpret=interp)
+            return (kv, pert * 0.999), ()
+
+        c, _ = jax.lax.scan(body, (kv, jnp.float32(1.0)), jnp.arange(n))
+        return c
+
+    kv = kv0
+    def append_n(n):
+        nonlocal kv
+        kv = run_append(kv, n)[0]
+        jax.block_until_ready(kv)
+
+    slope("kv_append decode DUS (per layer)", append_n, args.iters * L)
+
+    # 2) paged attention, per layer
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def run_attn(kv, q, n):
+        scales = kv[1] if len(kv) == 2 else None
+
+        def body(c, i):
+            q, acc = c
+            o = paged_attention(q, kv[0], bt, sl, sl - 1, scales,
+                                layer=i % L, page_size=page,
+                                num_q_heads=H, interpret=interp)
+            return (q + o * 1e-3, acc), ()
+
+        c, _ = jax.lax.scan(body, (q, jnp.float32(0.0)), jnp.arange(n))
+        return c
+
+    def attn_n(n):
+        jax.block_until_ready(run_attn(kv, q_new, n))
+
+    slope("paged_attention decode (per layer)", attn_n, args.iters * L)
+
+    # 3) sampler over vocab
+    samp = eng._default_sampling().as_arrays(B)
+    logits0 = jax.random.normal(key, (B, cfg.model.vocab_size), jnp.float32)
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def run_sample(logits, n):
+        def body(c, i):
+            logits, rng = c
+            rng, sub = jax.random.split(rng)
+            t = sample(logits, sub, **samp)
+            return (logits + t[:, None] * 1e-9, rng), ()
+
+        c, _ = jax.lax.scan(body, (logits, jax.random.key(1)),
+                            jnp.arange(n))
+        return c
+
+    def sample_n(n):
+        jax.block_until_ready(run_sample(logits0, n))
+
+    slope("sample (temperature/top-k/top-p)", sample_n, args.iters)
+
+    # 4) full decode step for reference
+    model, backend = eng.model, eng.backend
+
+    @functools.partial(jax.jit, static_argnums=(2,), donate_argnums=(1,))
+    def run_step(tok, kv, n):
+        def body(c, _):
+            tok, kv, sl2, rng = c
+            attn = backend.make_attn_fn(bt, sl2 + 1, sl2)
+            logits, kv = model.forward(eng.params, tok[:, None],
+                                       sl2[:, None], kv, attn)
+            rng, sub = jax.random.split(rng)
+            nxt = sample(logits[:, 0, :cfg.model.vocab_size], sub, **samp)
+            return (nxt, kv, sl2 + 1, rng), ()
+
+        c, _ = jax.lax.scan(body, (tok, kv, sl, jax.random.key(2)), None,
+                            length=n)
+        return c
+
+    kv_step = kv
+    tok0 = jnp.zeros((B,), jnp.int32)
+
+    def step_n(n):
+        nonlocal kv_step
+        out = run_step(tok0, kv_step, n)
+        kv_step = out[1]
+        jax.block_until_ready(kv_step)
+
+    slope("FULL decode step (fwd+append+attn+sample)", step_n, args.iters)
+
+
+if __name__ == "__main__":
+    main()

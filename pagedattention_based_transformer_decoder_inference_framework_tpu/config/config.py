@@ -120,6 +120,11 @@ class RuntimeConfig:
     max_batch_size: int = 8
     prefill_chunk: int = 512        # chunked-prefill token budget per step
 
+    # unrolled layers (False) avoid a per-layer weight slice copy that
+    # costs ~1.45x decode bandwidth (benchmarks/microbench_scan_slice.py);
+    # scan (True) trades that for one-block compile time on deep models
+    scan_layers: bool = False
+
 
 @dataclass
 class ParallelConfig:

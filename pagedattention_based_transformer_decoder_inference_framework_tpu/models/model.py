@@ -174,6 +174,39 @@ def init_params_quantized(cfg: ModelConfig, key: jax.Array) -> Params:
     return params
 
 
+def unstack_layers(params: Params) -> Params:
+    """Convert stacked ``[L, ...]`` layer weights into a tuple of
+    per-layer dicts (the unrolled-forward layout).
+
+    Scanning over stacked weights makes XLA materialize a sliced copy of
+    every weight each layer (Pallas/dot operands cannot fuse the slice):
+    measured 1.45x decode slowdown vs per-layer arrays
+    (``benchmarks/microbench_scan_slice.py``). Canonical storage
+    (checkpoints, HF import, sharding) stays stacked; the engine calls
+    this after placement. Stacked leaves are freed key-by-key so peak
+    HBM overhead is one stacked tensor, not a full second copy.
+    """
+    if isinstance(params["layers"], (tuple, list)):
+        return params
+    layers = dict(params["layers"])
+    num_layers = None
+    per_key: Dict[str, list] = {}
+    for k in list(layers.keys()):
+        leaf = layers.pop(k)
+        if isinstance(leaf, QTensor):
+            num_layers = leaf.values.shape[0]
+            per_key[k] = [QTensor(leaf.values[l], leaf.scales[l])
+                          for l in range(num_layers)]
+        else:
+            num_layers = leaf.shape[0]
+            per_key[k] = [leaf[l] for l in range(num_layers)]
+        del leaf                       # free the stacked buffer eagerly
+    out = dict(params)
+    out["layers"] = tuple({k: v[l] for k, v in per_key.items()}
+                          for l in range(num_layers))
+    return out
+
+
 def quantize_params(params: Params, lm_head: bool = True) -> Params:
     """Offline INT8 conversion of all matmul weights (per-channel absmax).
 
@@ -294,16 +327,24 @@ class DecoderModel:
         x = self.embed(params, tokens, positions)
         rope_cs = self.rope()
 
-        def body(carry, xs):
-            x, kv = carry
-            lp, layer = xs
-            y, kv = self._block(lp, x, kv, layer, positions, attn_fn,
-                                rope_cs)
-            return (y, kv), None
+        layers = params["layers"]
+        if isinstance(layers, (tuple, list)):
+            # unrolled: per-layer weight arrays, no per-layer slice copy
+            new_kv = kv_caches
+            for l, lp in enumerate(layers):
+                x, new_kv = self._block(lp, x, new_kv, l, positions,
+                                        attn_fn, rope_cs)
+        else:
+            def body(carry, xs):
+                x, kv = carry
+                lp, layer = xs
+                y, kv = self._block(lp, x, kv, layer, positions, attn_fn,
+                                    rope_cs)
+                return (y, kv), None
 
-        (x, new_kv), _ = jax.lax.scan(
-            body, (x, kv_caches),
-            (params["layers"], jnp.arange(self.cfg.num_layers)))
+            (x, new_kv), _ = jax.lax.scan(
+                body, (x, kv_caches),
+                (layers, jnp.arange(self.cfg.num_layers)))
         x = self._norm(x, params["final_norm_scale"],
                        params.get("final_norm_bias"))
         if return_hidden:

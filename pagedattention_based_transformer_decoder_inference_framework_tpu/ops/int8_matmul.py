@@ -82,7 +82,7 @@ def _w8_kernel(x_ref, w_ref, ws_ref, b_ref, o_ref, acc_scr, *,
 def w8_matmul(x: jax.Array, wq: jax.Array, w_scale: jax.Array,
               bias: Optional[jax.Array] = None, *,
               act: Optional[str] = None, out_dtype=jnp.bfloat16,
-              bm: int = 256, bn: int = 512, bk: int = 512,
+              bm: int = 256, bn: int = 2048, bk: int = 1024,
               interpret: bool = False) -> jax.Array:
     """Weight-only INT8: ``act((x @ dequant(wq)) + bias)`` with the s8
     weight widened inside the kernel (full-precision activations)."""
@@ -131,7 +131,7 @@ def w8_matmul(x: jax.Array, wq: jax.Array, w_scale: jax.Array,
 def int8_matmul(xq: jax.Array, x_scale: jax.Array, wq: jax.Array,
                 w_scale: jax.Array, bias: Optional[jax.Array] = None, *,
                 act: Optional[str] = None, out_dtype=jnp.bfloat16,
-                bm: int = 256, bn: int = 512, bk: int = 512,
+                bm: int = 256, bn: int = 2048, bk: int = 1024,
                 interpret: bool = False) -> jax.Array:
     """``act((xq @ wq) * x_scale * w_scale + bias)``.
 

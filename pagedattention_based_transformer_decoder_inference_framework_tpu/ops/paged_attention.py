@@ -75,8 +75,10 @@ def _kernel(bt_ref, sl_ref, qo_ref, l_ref,     # scalar prefetch (SMEM)
     else:
         out_ref, m_scr, l_scr, acc_scr = rest
     b = pl.program_id(0)
-    i = pl.program_id(1)
-    num_blocks = pl.num_programs(1)
+    r = pl.program_id(1)
+    i = pl.program_id(2)
+    num_blocks = pl.num_programs(2)
+    rows = q_ref.shape[2]
 
     @pl.when(i == 0)
     def _init():
@@ -86,10 +88,11 @@ def _kernel(bt_ref, sl_ref, qo_ref, l_ref,     # scalar prefetch (SMEM)
 
     seq_len = sl_ref[b]
     start = i * page_size
+    # causal skip: the newest q position this row block can see
+    q_pos_max = qo_ref[b] + (r * rows + rows - 1) // group
 
-    @pl.when(start < seq_len)
+    @pl.when((start < seq_len) & (start <= q_pos_max))
     def _compute():
-        kh, rows, _ = q_ref.shape[1:]
         q = q_ref[0].astype(jnp.float32) * scale       # [KH, rows, dh]
         if pooled:                               # (1, 2, KH, 1, page, d)
             kv = kv_ref[0, :, :, 0].astype(jnp.float32)
@@ -103,8 +106,8 @@ def _kernel(bt_ref, sl_ref, qo_ref, l_ref,     # scalar prefetch (SMEM)
 
         key_idx = start + jax.lax.broadcasted_iota(
             jnp.int32, (rows, page_size), 1)
-        row_tok = jax.lax.broadcasted_iota(
-            jnp.int32, (rows, page_size), 0) // group
+        row_tok = (r * rows + jax.lax.broadcasted_iota(
+            jnp.int32, (rows, page_size), 0)) // group
         q_pos = qo_ref[b] + row_tok
         mask = (key_idx <= q_pos) & (key_idx < seq_len)
         _attend(q, k, v, m_scr, l_scr, acc_scr, mask[None])
@@ -151,14 +154,19 @@ def paged_attention(q: jax.Array, kv_pages: jax.Array,
         KH, P, page_sz = kv_pages.shape[1:4]
     assert page_sz == page_size and H == num_q_heads
     G = H // KH
-    rows = round_up(max(T * G, 8), 8)
+    total_rows = round_up(max(T * G, 8), 8)
+    # block the q rows so VMEM scratch stays bounded for long prefill
+    # chunks; per row block, causally unreachable pages are skipped
+    row_block = min(256, total_rows)
+    rows_pad = round_up(total_rows, row_block)
+    R = rows_pad // row_block
     quantized = kv_scales is not None
 
     # [B, T, H, dh] -> [B, KH, rows, dh] with row = t * G + g
     qr = q.reshape(B, T, KH, G, dh).transpose(0, 2, 1, 3, 4)
     qr = qr.reshape(B, KH, T * G, dh)
-    if rows != T * G:
-        qr = jnp.pad(qr, ((0, 0), (0, 0), (0, rows - T * G), (0, 0)))
+    if rows_pad != T * G:
+        qr = jnp.pad(qr, ((0, 0), (0, 0), (0, rows_pad - T * G), (0, 0)))
 
     max_pages = block_tables.shape[1]
     scale = 1.0 / math.sqrt(dh)
@@ -168,20 +176,21 @@ def paged_attention(q: jax.Array, kv_pages: jax.Array,
         return bt_ref[b, jnp.minimum(i, last)]
 
     if pooled:
-        def kv_index_map(b, i, bt_ref, sl_ref, qo_ref, l_ref):
+        def kv_index_map(b, r, i, bt_ref, sl_ref, qo_ref, l_ref):
             return (l_ref[0], 0, 0, page_of(b, i, sl_ref, bt_ref), 0, 0)
 
         kv_block = (1, 2, KH, 1, page_size, dh)
         sc_block = (1, 2, KH, 1, page_size, 1)
     else:
-        def kv_index_map(b, i, bt_ref, sl_ref, qo_ref, l_ref):
+        def kv_index_map(b, r, i, bt_ref, sl_ref, qo_ref, l_ref):
             return (0, 0, page_of(b, i, sl_ref, bt_ref), 0, 0)
 
         kv_block = (2, KH, 1, page_size, dh)
         sc_block = (2, KH, 1, page_size, 1)
 
     in_specs = [
-        pl.BlockSpec((1, KH, rows, dh), lambda b, i, *_: (b, 0, 0, 0)),
+        pl.BlockSpec((1, KH, row_block, dh),
+                     lambda b, r, i, *_: (b, 0, r, 0)),
         pl.BlockSpec(kv_block, kv_index_map),
     ]
     inputs = [qr, kv_pages]
@@ -191,14 +200,14 @@ def paged_attention(q: jax.Array, kv_pages: jax.Array,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(B, max_pages),
+        grid=(B, R, max_pages),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, KH, rows, dh),
-                               lambda b, i, *_: (b, 0, 0, 0)),
+        out_specs=pl.BlockSpec((1, KH, row_block, dh),
+                               lambda b, r, i, *_: (b, 0, r, 0)),
         scratch_shapes=[
-            pltpu.VMEM((KH, rows, 128), jnp.float32),
-            pltpu.VMEM((KH, rows, 128), jnp.float32),
-            pltpu.VMEM((KH, rows, dh), jnp.float32),
+            pltpu.VMEM((KH, row_block, 128), jnp.float32),
+            pltpu.VMEM((KH, row_block, 128), jnp.float32),
+            pltpu.VMEM((KH, row_block, dh), jnp.float32),
         ],
     )
 
@@ -212,7 +221,7 @@ def paged_attention(q: jax.Array, kv_pages: jax.Array,
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, KH, rows, dh), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, KH, rows_pad, dh), q.dtype),
         interpret=interpret,
     )(block_tables.astype(jnp.int32), seq_lens.astype(jnp.int32),
       q_offsets.astype(jnp.int32), layer_arr, *inputs)

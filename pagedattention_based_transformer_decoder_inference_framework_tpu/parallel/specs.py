@@ -31,28 +31,36 @@ _ROW = {"wo", "w_down"}                            # shard dim -2
 _COL_BIAS = {"bq", "bk", "bv", "b_up"}             # [L, out] shard dim -1
 
 
-def _layer_spec(name: str, leaf: Any, m: str):
+def _layer_spec(name: str, leaf: Any, m: str, stacked: bool = True):
+    def spec(*dims):
+        return P(*(((None,) if stacked else ()) + dims))
+
     if name in _COL:
-        w = P(None, None, m)
+        w = spec(None, m)
         if isinstance(leaf, QTensor):
-            return QTensor(w, P(None, None, m))    # scales [L, 1, out]
+            return QTensor(w, spec(None, m))       # scales [(L,) 1, out]
         return w
     if name in _ROW:
-        w = P(None, m, None)
+        w = spec(m, None)
         if isinstance(leaf, QTensor):
-            return QTensor(w, P())                 # scales [L, 1, D]
+            return QTensor(w, P())                 # scales [(L,) 1, D]
         return w
     if name in _COL_BIAS:
-        return P(None, m)
+        return spec(m)
     return P()                                     # norms, bo, b_down
 
 
 def param_pspecs(params: Dict[str, Any], parallel: ParallelConfig):
-    """PartitionSpec pytree matching ``params``' structure."""
+    """PartitionSpec pytree matching ``params``' structure (stacked
+    layer dict or unrolled tuple of per-layer dicts)."""
     m = parallel.model_axis
     specs: Dict[str, Any] = {}
     for k, v in params.items():
-        if k == "layers":
+        if k == "layers" and isinstance(v, (tuple, list)):
+            specs[k] = tuple(
+                {n: _layer_spec(n, leaf, m, stacked=False)
+                 for n, leaf in lp.items()} for lp in v)
+        elif k == "layers":
             specs[k] = {n: _layer_spec(n, leaf, m) for n, leaf in v.items()}
         elif k == "embedding":
             specs[k] = P(m, None)                  # vocab rows

@@ -89,10 +89,12 @@ class CacheConfig:
     kv_dtype: str = "bfloat16"      # "bfloat16" | "int8" (per-page scales)
     eviction: str = "lru"           # for freed prefix-cache pages
     enable_prefix_cache: bool = False
+    native_allocator: str = "auto"  # "auto" | "always" | "never" (C++ vs py)
 
     def validate(self) -> "CacheConfig":
         assert self.page_size > 0 and self.num_pages > 0
         assert self.kv_dtype in ("bfloat16", "float32", "int8")
+        assert self.native_allocator in ("auto", "always", "never")
         return self
 
 

@@ -71,7 +71,10 @@ class Engine:
         # shard handing out *local* page ids into that shard's sub-pool
         self.dp = mesh.shape[pcfg.data_axis] if mesh is not None else 1
         assert self.cache.num_pages % self.dp == 0
-        self.allocators = [PageAllocator(self.cache.num_pages // self.dp)
+        from ..kvcache.native import make_allocator
+
+        self.allocators = [make_allocator(self.cache.num_pages // self.dp,
+                                          native=self.cache.native_allocator)
                            for _ in range(self.dp)]
         self.allocator = self.allocators[0]   # dp=1 convenience alias
         if params is not None:

@@ -58,6 +58,23 @@ class PageAllocator:
     def num_live(self) -> int:
         return len(self._refs)
 
+    @property
+    def num_cached(self) -> int:
+        """Freed pages retained for prefix reuse (LRU)."""
+        return len(self._lru)
+
+    def claim(self, page: int) -> None:
+        """Force-claim a specific page id (KV-snapshot restore): incref
+        if live, else take it off the free/LRU lists with refcount 1."""
+        if page in self._refs:
+            self._refs[page] += 1
+            return
+        if page in self._lru:
+            del self._lru[page]
+        else:
+            self._free.remove(page)
+        self._refs[page] = 1
+
     def alloc(self) -> int:
         if self._free:
             page = self._free.pop()

@@ -50,11 +50,7 @@ def load_kv_state(engine: "Engine", path: str) -> "EngineState":
     alloc = engine.allocator
     for ps in pages:
         for p in ps:
-            if p in alloc._free:
-                alloc._free.remove(p)
-                alloc._refs[p] = 1
-            else:
-                alloc._refs[p] = alloc._refs.get(p, 0) + 1
+            alloc.claim(p)
     rng = jax.random.wrap_key_data(jnp.asarray(data["rng"]))
     return EngineState(
         kv=kv, block_tables=data["block_tables"],

@@ -10,9 +10,26 @@ from pagedattention_based_transformer_decoder_inference_framework_tpu.kvcache.al
     OutOfPagesError,
     PageAllocator,
 )
+from pagedattention_based_transformer_decoder_inference_framework_tpu.kvcache.native import (
+    NativePageAllocator,
+    native_available,
+)
+
+PyPageAllocator = PageAllocator
 
 
-def test_alloc_free_cycle():
+# every test runs against both the Python allocator and the C++ one
+# (csrc/page_allocator.cpp via ctypes) — identical semantics required
+@pytest.fixture(name="PageAllocator", params=["python", "native"])
+def _allocator_cls(request):
+    if request.param == "native":
+        if not native_available():
+            pytest.skip("native allocator toolchain unavailable")
+        return NativePageAllocator
+    return PyPageAllocator
+
+
+def test_alloc_free_cycle(PageAllocator):
     a = PageAllocator(5)
     pages = a.alloc_many(4)
     assert sorted(pages) == [1, 2, 3, 4]       # page 0 reserved
@@ -22,14 +39,14 @@ def test_alloc_free_cycle():
     assert a.alloc() == pages[0]
 
 
-def test_dump_page_never_allocated():
+def test_dump_page_never_allocated(PageAllocator):
     a = PageAllocator(3)
     assert PageAllocator.DUMP_PAGE not in a.alloc_many(2)
     with pytest.raises(OutOfPagesError):
         a.alloc()
 
 
-def test_refcount_fork_and_cow():
+def test_refcount_fork_and_cow(PageAllocator):
     a = PageAllocator(5)
     pages = a.alloc_many(2)
     shared = a.fork(pages)
@@ -51,7 +68,7 @@ def test_refcount_fork_and_cow():
     assert a.num_free == 4
 
 
-def test_double_free_raises():
+def test_double_free_raises(PageAllocator):
     a = PageAllocator(3)
     p = a.alloc()
     a.free(p)
@@ -59,7 +76,7 @@ def test_double_free_raises():
         a.free(p)
 
 
-def test_lru_prefix_reuse():
+def test_lru_prefix_reuse(PageAllocator):
     a = PageAllocator(3)
     p = a.alloc()
     a.free(p, tag=("prefix", 123))
@@ -72,7 +89,7 @@ def test_lru_prefix_reuse():
     assert a.lookup_freed(("prefix", 9)) is None
 
 
-def test_live_pages_never_evicted():
+def test_live_pages_never_evicted(PageAllocator):
     """Unlike the reference's LRU (kv_tile_cache.cpp:90-98), live pages
     are never dropped — allocation fails instead."""
     a = PageAllocator(3)

@@ -130,7 +130,7 @@ def test_prefix_cache_reuses_pages():
     r1 = sched.submit(prompt, 4, GREEDY)
     sched.run_until_idle()
     # the two complete pages should be tagged in the allocator LRU
-    lru_before = len(eng.allocator._lru)
+    lru_before = eng.allocator.num_cached
     assert lru_before >= 2
     r2 = sched.submit(prompt, 4, GREEDY)
     sched.run_until_idle()

@@ -126,6 +126,9 @@ class RuntimeConfig:
     # costs ~1.45x decode bandwidth (benchmarks/microbench_scan_slice.py);
     # scan (True) trades that for one-block compile time on deep models
     scan_layers: bool = False
+    # fuse q|k|v and SwiGLU gate|up into single wide matmuls (fewer
+    # kernel launches, larger streaming blocks); unrolled layers only
+    fuse_projections: bool = True
 
 
 @dataclass

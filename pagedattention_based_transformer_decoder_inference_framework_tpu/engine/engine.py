@@ -24,8 +24,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import FrameworkConfig
 from ..kvcache.allocator import PageAllocator
-from ..models.model import (DecoderModel, Params, init_params,
-                            unstack_layers)
+from ..models.model import (DecoderModel, Params, fuse_projections,
+                            init_params, unstack_layers)
 from ..parallel.specs import kv_pspec, pad_vocab, param_pspecs, shard_params
 from ..utils.common import cdiv
 from .paged_backend import PagedKVBackend
@@ -104,6 +104,8 @@ class Engine:
             self.params = shard_params(self.params, mesh, pcfg)
             if not self.runtime.scan_layers:
                 self.params = unstack_layers(self.params)
+                if self.runtime.fuse_projections:
+                    self.params = fuse_projections(self.params, tp=tp)
             self._param_specs = param_pspecs(self.params, pcfg)
             self._kv_specs = kv_pspec(
                 jax.eval_shape(self.backend.pool.init), pcfg)
@@ -117,6 +119,8 @@ class Engine:
             self._init_cache = self.backend.init_cache
             if not self.runtime.scan_layers:
                 self.params = unstack_layers(self.params)
+                if self.runtime.fuse_projections:
+                    self.params = fuse_projections(self.params)
 
         self._prefill_fn = self._build_prefill()
         self._decode_fn = self._build_decode()

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig
-from ..ops.common import layernorm, rmsnorm
+from ..ops.common import activation_fn, layernorm, rmsnorm
 from ..ops.linear import linear
 from ..ops.rope import apply_rope, rope_table
 from ..quant.tensor import QTensor, quantize_per_channel
@@ -207,6 +207,55 @@ def unstack_layers(params: Params) -> Params:
     return out
 
 
+def _fuse_cols(ws, tp: int):
+    """Concatenate along the output dim so that under TP each shard's
+    local slice is ``[w0_i | w1_i | ...]`` (its own columns of every
+    piece, in order) — a plain concat would hand shard boundaries that
+    cross piece boundaries."""
+    def cat(arrs):
+        if tp == 1:
+            return jnp.concatenate(arrs, axis=-1)
+        chunks = []
+        for i in range(tp):
+            for a in arrs:
+                c = a.shape[-1] // tp
+                chunks.append(a[..., i * c:(i + 1) * c])
+        return jnp.concatenate(chunks, axis=-1)
+
+    if isinstance(ws[0], QTensor):
+        return QTensor(cat([w.values for w in ws]),
+                       cat([w.scales for w in ws]))
+    return cat(ws)
+
+
+def fuse_projections(params: Params, tp: int = 1) -> Params:
+    """Fuse q/k/v into one projection and SwiGLU gate/up into another.
+
+    One wide matmul streams the same weight bytes with fewer kernel
+    launches and larger N blocks. Requires unrolled layers
+    (:func:`unstack_layers`). The model splits the fused outputs by the
+    H : KH : KH head ratio (tp-invariant), so the fusion is transparent
+    to every caller; canonical (checkpoint/import) layout stays unfused.
+    """
+    assert isinstance(params["layers"], (tuple, list)), (
+        "fuse_projections requires unstacked layers")
+    out_layers = []
+    for lp in params["layers"]:
+        lp = dict(lp)
+        if "wq" in lp:                        # idempotent re-entry
+            lp["w_qkv"] = _fuse_cols([lp.pop("wq"), lp.pop("wk"),
+                                      lp.pop("wv")], tp)
+        if "bq" in lp:
+            lp["b_qkv"] = _fuse_cols([lp.pop("bq"), lp.pop("bk"),
+                                      lp.pop("bv")], tp)
+        if "w_gate" in lp:
+            lp["w_gu"] = _fuse_cols([lp.pop("w_gate"), lp.pop("w_up")], tp)
+        out_layers.append(lp)
+    out = dict(params)
+    out["layers"] = tuple(out_layers)
+    return out
+
+
 def quantize_params(params: Params, lm_head: bool = True) -> Params:
     """Offline INT8 conversion of all matmul weights (per-channel absmax).
 
@@ -281,9 +330,18 @@ class DecoderModel:
         w8a8 = cfg.quant == "int8"
         h = self._norm(x, lp["ln1_scale"], lp.get("ln1_bias"))
         # under TP these weights are column-sharded: local head slices
-        q = linear(h, lp["wq"], lp.get("bq"), w8a8=w8a8)
-        k = linear(h, lp["wk"], lp.get("bk"), w8a8=w8a8)
-        v = linear(h, lp["wv"], lp.get("bv"), w8a8=w8a8)
+        if "w_qkv" in lp:
+            qkv = linear(h, lp["w_qkv"], lp.get("b_qkv"), w8a8=w8a8)
+            # local widths by the tp-invariant H : KH : KH ratio
+            qw = qkv.shape[-1] * cfg.num_heads // (
+                cfg.num_heads + 2 * cfg.num_kv_heads)
+            kw = (qkv.shape[-1] - qw) // 2
+            q, k, v = (qkv[..., :qw], qkv[..., qw:qw + kw],
+                       qkv[..., qw + kw:])
+        else:
+            q = linear(h, lp["wq"], lp.get("bq"), w8a8=w8a8)
+            k = linear(h, lp["wk"], lp.get("bk"), w8a8=w8a8)
+            v = linear(h, lp["wv"], lp.get("bv"), w8a8=w8a8)
         q = q.reshape(B, T, q.shape[-1] // dh, dh)
         k = k.reshape(B, T, k.shape[-1] // dh, dh)
         v = v.reshape(B, T, v.shape[-1] // dh, dh)
@@ -302,8 +360,14 @@ class DecoderModel:
 
         h2 = self._norm(x, lp["ln2_scale"], lp.get("ln2_bias"))
         if cfg.activation == "swiglu":
-            gate = linear(h2, lp["w_gate"], act="silu", w8a8=w8a8)
-            up = linear(h2, lp["w_up"], w8a8=w8a8)
+            if "w_gu" in lp:
+                gu = linear(h2, lp["w_gu"], w8a8=w8a8)
+                gate, up = jnp.split(gu, 2, axis=-1)
+                gate = activation_fn("silu")(gate.astype(jnp.float32)
+                                             ).astype(up.dtype)
+            else:
+                gate = linear(h2, lp["w_gate"], act="silu", w8a8=w8a8)
+                up = linear(h2, lp["w_up"], w8a8=w8a8)
             mlp = self._psum(linear(gate * up, lp["w_down"], w8a8=w8a8))
         else:
             mid = linear(h2, lp["w_up"], lp.get("b_up"), act=cfg.activation,

@@ -26,9 +26,10 @@ from ..config import ModelConfig, ParallelConfig
 from ..quant.tensor import QTensor
 
 # layer-stacked weights [L, in, out]: shard the named dim over 'model'
-_COL = {"wq", "wk", "wv", "w_gate", "w_up"}        # shard dim -1
+_COL = {"wq", "wk", "wv", "w_gate", "w_up",
+        "w_qkv", "w_gu"}                           # shard dim -1
 _ROW = {"wo", "w_down"}                            # shard dim -2
-_COL_BIAS = {"bq", "bk", "bv", "b_up"}             # [L, out] shard dim -1
+_COL_BIAS = {"bq", "bk", "bv", "b_up", "b_qkv"}    # [L, out] shard dim -1
 
 
 def _layer_spec(name: str, leaf: Any, m: str, stacked: bool = True):

@@ -90,6 +90,9 @@ class CacheConfig:
     eviction: str = "lru"           # for freed prefix-cache pages
     enable_prefix_cache: bool = False
     native_allocator: str = "auto"  # "auto" | "always" | "never" (C++ vs py)
+    # preempted requests swap KV pages to host RAM and resume without
+    # re-prefill (the reference's CPU-tier capability, scheduler-level)
+    enable_swap: bool = False
 
     def validate(self) -> "CacheConfig":
         assert self.page_size > 0 and self.num_pages > 0

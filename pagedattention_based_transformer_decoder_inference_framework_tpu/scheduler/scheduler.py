@@ -37,6 +37,7 @@ from ..config import FrameworkConfig
 from ..engine.engine import Engine
 from ..engine.sampling import SamplingParams
 from ..kvcache.allocator import OutOfPagesError
+from ..kvcache.swap import gather_pages, scatter_pages
 from ..utils.common import cdiv
 
 
@@ -62,6 +63,8 @@ class Request:
     finished_at: Optional[float] = None
     tokens: List[int] = dataclasses.field(default_factory=list)
     error: Optional[str] = None
+    # host-swapped KV of a preempted request: (blobs, seq_len, last_token)
+    swap: Optional[tuple] = None
     _out: "queue.Queue" = dataclasses.field(default_factory=queue.Queue)
 
     def stream(self):
@@ -159,6 +162,8 @@ class Scheduler:
             eos_token_id=r.eos_token_id, eos_threshold=r.eos_threshold)
 
     def _pages_needed(self, req: Request) -> int:
+        if req.swap is not None:
+            return cdiv(req.swap[1] + 1, self.page)
         return cdiv(len(req.prompt) + 1, self.page)
 
     def _prefix_tag(self, tokens: Sequence[int], n_pages: int):
@@ -185,6 +190,8 @@ class Scheduler:
                 return
 
     def _prefill_into(self, lane: _Lane, req: Request) -> None:
+        if req.swap is not None:
+            return self._swap_in(lane, req)
         eng = self.engine
         L = len(req.prompt)
         n_pages = cdiv(L, self.page)
@@ -244,6 +251,32 @@ class Scheduler:
         req.first_token_at = time.time()
         self._deliver(lane, tok)
 
+    def _swap_out(self, lane: _Lane) -> None:
+        """Preempt by moving the lane's KV pages to host RAM; the
+        request resumes via :meth:`_swap_in` with no re-prefill."""
+        req = lane.request
+        blobs = gather_pages(self.kv, lane.pages)
+        req.swap = (blobs, lane.seq_len, lane.last_token)
+        for p in lane.pages:
+            self.engine.allocator.free(p)
+        lane.pages = []
+        lane.request = None
+        lane.seq_len = 0
+        req.state = RequestState.WAITING
+        self.waiting.put(req)
+
+    def _swap_in(self, lane: _Lane, req: Request) -> None:
+        blobs, seq_len, last_token = req.swap
+        n_pages = blobs[0].shape[3]
+        pages = self.engine.allocator.alloc_many(n_pages)
+        self.kv = scatter_pages(self.kv, blobs, pages)
+        req.swap = None
+        lane.request = req
+        lane.pages = pages
+        lane.seq_len = seq_len
+        lane.last_token = last_token
+        req.state = RequestState.RUNNING
+
     def _deliver(self, lane: _Lane, tok: int) -> None:
         req = lane.request
         req.tokens.append(tok)
@@ -295,7 +328,11 @@ class Scheduler:
             except OutOfPagesError:
                 victim = max(active,
                              key=lambda l: l.request.arrived_at)
-                self._release(victim, RequestState.WAITING, requeue=True)
+                if self.config.cache.enable_swap:
+                    self._swap_out(victim)
+                else:
+                    self._release(victim, RequestState.WAITING,
+                                  requeue=True)
                 active.remove(victim)
                 if not active:
                     return

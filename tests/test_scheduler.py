@@ -82,9 +82,9 @@ def test_eos_frees_lane_early():
 def test_preemption_requeues_youngest():
     """Pool too small for both requests at full length: the younger one
     must be preempted and still finish correctly afterwards."""
-    eng = make_engine(num_pages=7, max_batch=2)   # 6 usable pages
+    eng = make_engine(num_pages=6, max_batch=2)   # 5 usable pages
     sched = Scheduler(eng)
-    # each needs 1 page prompt + grows to ~3 pages over 16 tokens
+    # each needs 1 page prompt + grows to 3 pages over 16 tokens
     r1 = sched.submit([1] * 8, 16, GREEDY)
     r2 = sched.submit([2] * 8, 16, GREEDY)
     sched.run_until_idle(max_steps=4000)
@@ -139,3 +139,26 @@ def test_prefix_cache_reuses_pages():
     r3 = sched.submit([7] * 19, 4, GREEDY)
     sched.run_until_idle()
     assert r3.state == RequestState.FINISHED
+
+
+def test_swap_preemption_resumes_without_reprefill():
+    """With enable_swap, a preempted request's KV moves to host RAM and
+    the request resumes mid-stream — same tokens as an unpressured run,
+    and its token list is never reset."""
+    eng = make_engine(num_pages=6, max_batch=2)   # force preemption
+    eng.config.cache.enable_swap = True
+    sched = Scheduler(eng)
+    r1 = sched.submit([1] * 8, 16, GREEDY)
+    r2 = sched.submit([2] * 8, 16, GREEDY)
+    saw_swap = False
+    for _ in range(4000):
+        if sched.step() == 0 and sched.waiting.empty():
+            break
+        saw_swap = saw_swap or any(
+            r.swap is not None for r in (r1, r2))
+    assert saw_swap, "pool pressure never triggered a swap-out"
+    assert r1.state == RequestState.FINISHED
+    assert r2.state == RequestState.FINISHED
+    assert r1.tokens == eng.generate([1] * 8, 16, GREEDY)
+    assert r2.tokens == eng.generate([2] * 8, 16, GREEDY)
+    assert eng.allocator.num_live == 0

@@ -21,6 +21,8 @@ import numpy as np
 
 
 def slope(name, run_n, iters, scale=1, reps=3, unit="us"):
+    """run_n(n) must accept a DYNAMIC n (fori_loop trip count) so each
+    variant compiles once; slope of t(4N)-t(N) cancels dispatch cost."""
     lo = functools.partial(run_n, iters)
     hi = functools.partial(run_n, iters * 4)
     lo(), hi()
@@ -89,17 +91,16 @@ def main():
           f"kv={args.kv_dtype} quant={mc.quant}")
 
     # 1) KV append (decode DUS), per layer
-    @functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(0,))
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def run_append(kv, n):
-        def body(c, i):
+        def body(i, c):
             kv, pert = c
             kn = k_new + pert
             kv = kv_append(kv, kn, kn, i % L, sl[:, None], bt,
                            page_size=page, interpret=interp)
-            return (kv, pert * 0.999), ()
+            return (kv, pert * 0.999)
 
-        c, _ = jax.lax.scan(body, (kv, jnp.float32(1.0)), jnp.arange(n))
-        return c
+        return jax.lax.fori_loop(0, n, body, (kv, jnp.float32(1.0)))
 
     kv = kv0
     def append_n(n):
@@ -110,19 +111,18 @@ def main():
     slope("kv_append decode DUS (per layer)", append_n, args.iters * L)
 
     # 2) paged attention, per layer
-    @functools.partial(jax.jit, static_argnums=(2,))
+    @jax.jit
     def run_attn(kv, q, n):
         scales = kv[1] if len(kv) == 2 else None
 
-        def body(c, i):
+        def body(i, c):
             q, acc = c
             o = paged_attention(q, kv[0], bt, sl, sl - 1, scales,
                                 layer=i % L, page_size=page,
                                 num_q_heads=H, interpret=interp)
-            return (q + o * 1e-3, acc), ()
+            return (q + o * 1e-3, acc)
 
-        c, _ = jax.lax.scan(body, (q, jnp.float32(0.0)), jnp.arange(n))
-        return c
+        return jax.lax.fori_loop(0, n, body, (q, jnp.float32(0.0)))
 
     def attn_n(n):
         jax.block_until_ready(run_attn(kv, q_new, n))
@@ -133,17 +133,15 @@ def main():
     samp = eng._default_sampling().as_arrays(B)
     logits0 = jax.random.normal(key, (B, cfg.model.vocab_size), jnp.float32)
 
-    @functools.partial(jax.jit, static_argnums=(1,))
+    @jax.jit
     def run_sample(logits, n):
-        def body(c, i):
+        def body(i, c):
             logits, rng = c
             rng, sub = jax.random.split(rng)
             t = sample(logits, sub, **samp)
-            return (logits + t[:, None] * 1e-9, rng), ()
+            return (logits + t[:, None] * 1e-9, rng)
 
-        c, _ = jax.lax.scan(body, (logits, jax.random.key(1)),
-                            jnp.arange(n))
-        return c
+        return jax.lax.fori_loop(0, n, body, (logits, jax.random.key(1)))
 
     def sample_n(n):
         jax.block_until_ready(run_sample(logits0, n))
@@ -153,20 +151,18 @@ def main():
     # 4) full decode step for reference
     model, backend = eng.model, eng.backend
 
-    @functools.partial(jax.jit, static_argnums=(2,), donate_argnums=(1,))
+    @functools.partial(jax.jit, donate_argnums=(1,))
     def run_step(tok, kv, n):
-        def body(c, _):
+        def body(i, c):
             tok, kv, sl2, rng = c
             attn = backend.make_attn_fn(bt, sl2 + 1, sl2)
             logits, kv = model.forward(eng.params, tok[:, None],
                                        sl2[:, None], kv, attn)
             rng, sub = jax.random.split(rng)
             nxt = sample(logits[:, 0, :cfg.model.vocab_size], sub, **samp)
-            return (nxt, kv, sl2 + 1, rng), ()
+            return (nxt, kv, sl2 + 1, rng)
 
-        c, _ = jax.lax.scan(body, (tok, kv, sl, jax.random.key(2)), None,
-                            length=n)
-        return c
+        return jax.lax.fori_loop(0, n, body, (tok, kv, sl, jax.random.key(2)))
 
     kv_step = kv
     tok0 = jnp.zeros((B,), jnp.int32)

@@ -15,17 +15,19 @@ blocks of a split-pool design. Two paths:
   slots past a prompt's end carry garbage the attention mask never
   reads, and chunk pages wholly past the prompt are redirected to the
   reserved dump page 0 (``PageAllocator.DUMP_PAGE``).
-* **single tokens / ragged chunks** (decode) — per-token
-  ``lax.dynamic_update_slice`` on the pool carry: XLA updates donated
-  scan carries in place, and DUS has no tile-alignment constraints.
-  Invalid positions are redirected to the dump page.
+* **single decode tokens** — ONE Pallas RMW kernel for the value pool:
+  per sequence, DMA the tile-height sublane slab holding its slot from
+  HBM (the pool stays an untouched HBM ref — no pipelined-read alias,
+  so no pool copy), patch the row in VMEM, DMA it back. INT8 scale
+  leaves (lane-1 layout, not raw-DMA-sliceable) and ragged prefill
+  tails fall back to per-token ``lax.dynamic_update_slice`` on the
+  donated pool carry. Invalid positions are redirected to the dump
+  page.
 
 An XLA scatter would be simpler but materializes full pool copies when
-the layer index is traced; a page-granular RMW pallas kernel was also
-tried (read page block + masked patch + aliased write-back) but passing
-the pool both as a pipelined read operand and as the aliased output
-forces XLA to copy the whole pool per call — per-token DUS on the carry
-wins.
+the layer index is traced; a *pipelined* page RMW (page block as read
+operand + aliased output) also copies the whole pool per call — the
+manual-DMA form above is the one that stays in place.
 """
 
 from __future__ import annotations
@@ -92,6 +94,95 @@ def _append_pages_pallas(kv, news, layer_arr, pid, *, page_size: int,
     return tuple(out)
 
 
+def _tile_rows(dtype) -> int:
+    """Minimum sublane granularity for raw DMA slices of this dtype."""
+    return {1: 32, 2: 16, 4: 8}[jnp.dtype(dtype).itemsize]
+
+
+def _rmw_kernel(pid_ref, slot_ref, layer_ref, *refs, num_pools: int,
+                slabs: Tuple[int, ...], page: int):
+    # refs: num_pools new blocks (VMEM), num_pools pools (ANY, unused
+    # alias donors), num_pools out pools (ANY), then per-pool scratch:
+    # num_pools slab buffers + num_pools DMA semaphores.
+    new_refs = refs[:num_pools]
+    out_refs = refs[2 * num_pools:3 * num_pools]
+    slab_refs = refs[3 * num_pools:4 * num_pools]
+    sem_refs = refs[4 * num_pools:5 * num_pools]
+    b = pl.program_id(0)
+    l = layer_ref[0]
+    pid = pid_ref[b]
+    slot = slot_ref[b]
+
+    for i in range(num_pools):
+        rows = slabs[i]
+        s0 = (slot // rows) * rows
+        src = out_refs[i].at[l, :, :, pid, pl.ds(s0, rows), :]
+        dma_in = pltpu.make_async_copy(src, slab_refs[i], sem_refs[i])
+        dma_in.start()
+        dma_in.wait()
+        row = new_refs[i][0, :, :, 0, :]              # [2, KH, d]
+        io = jax.lax.broadcasted_iota(
+            jnp.int32, slab_refs[i].shape, 2)          # [2, KH, rows, d]
+        slab_refs[i][:] = jnp.where(
+            io == slot - s0, row[:, :, None, :].astype(slab_refs[i].dtype),
+            slab_refs[i][:])
+        dma_out = pltpu.make_async_copy(slab_refs[i], src, sem_refs[i])
+        dma_out.start()
+        dma_out.wait()
+
+
+def _append_tokens_rmw(kv, news, layer_arr, pid, slot, *, page_size: int,
+                       interpret: bool):
+    """Decode append as ONE kernel: per sequence, DMA the tile-sized
+    sublane slab holding its slot out of HBM, patch the row in VMEM,
+    DMA it back. Replaces 2*B dynamic_update_slice ops per layer with a
+    single pallas_call; extra traffic is one slab in+out per sequence
+    (~64 KB bf16), invisible next to the weight stream.
+
+    The pool rides through untouched HBM references (memory_space=HBM
+    input aliased to HBM output) — unlike a pipelined-read alias, XLA
+    performs no pool copy. (ANY would let the compiler pull a small
+    pool into VMEM, where the lane-padded scales leaf [..., page, 1]
+    cannot be sliced.)
+    """
+    num_pools = len(kv)
+    B = pid.shape[0]
+    KH, page = kv[0].shape[2], kv[0].shape[4]
+    slabs = tuple(
+        _tile_rows(p.dtype)
+        if page % _tile_rows(p.dtype) == 0 and page > _tile_rows(p.dtype)
+        else page
+        for p in kv)
+
+    any_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+    in_specs = [
+        pl.BlockSpec((1, 2, KH, 1, p.shape[-1]),
+                     lambda b, *_: (b, 0, 0, 0, 0))
+        for p in kv
+    ] + [any_spec] * num_pools
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=tuple(any_spec for _ in kv),
+        scratch_shapes=[
+            pltpu.VMEM((2, KH, slabs[i], kv[i].shape[-1]), kv[i].dtype)
+            for i in range(num_pools)
+        ] + [pltpu.SemaphoreType.DMA] * num_pools,
+    )
+    aliases = {3 + num_pools + i: i for i in range(num_pools)}
+    out = pl.pallas_call(
+        functools.partial(_rmw_kernel, num_pools=num_pools, slabs=slabs,
+                          page=page),
+        grid_spec=grid_spec,
+        out_shape=tuple(jax.ShapeDtypeStruct(p.shape, p.dtype) for p in kv),
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(pid, slot, layer_arr, *news, *kv)
+    return tuple(out)
+
+
 def _append_tokens_dus(kv, news, layer, pid, slot):
     """Token-wise append via in-place dynamic_update_slice.
 
@@ -150,5 +241,22 @@ def kv_append(kv: Tuple[jax.Array, ...], k_new: jax.Array,
             page_size=page_size, interpret=interpret)
 
     slot = jnp.where(valid, pos % page_size, 0)
+    # raw DMA requires the lane (head_dim) extent to be 128-aligned —
+    # Mosaic cannot slice a lane dim below its 128 tiling even full-dim
+    if T == 1 and k_new.shape[-1] % 128 == 0:
+        # values via the single RMW kernel; the INT8 scales leaf keeps
+        # per-token DUS (its lane-1 layout cannot be raw-DMA-sliced)
+        layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+        vals = _append_tokens_rmw(
+            (kv[0],), (news[0],), layer_arr,
+            pid.astype(jnp.int32).reshape(-1),
+            slot.astype(jnp.int32).reshape(-1), page_size=page_size,
+            interpret=interpret)
+        if len(kv) == 2:
+            scales = _append_tokens_dus(
+                (kv[1],), (news[1],), layer, pid.astype(jnp.int32),
+                slot.astype(jnp.int32))
+            return (vals[0], scales[0])
+        return vals
     return _append_tokens_dus(kv, news, layer, pid.astype(jnp.int32),
                               slot.astype(jnp.int32))

@@ -176,3 +176,37 @@ def test_paged_attention_int8_kv():
     np.testing.assert_allclose(
         np.asarray(kd, np.float32) * np.asarray(sc), k,
         atol=np.abs(k).max() / 127 * 1.01)
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_rmw_append_matches_scatter(quantized):
+    """The decode RMW append kernel (DMA slab out, patch row, DMA back)
+    must write exactly what the functional scatter writes."""
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.kvcache.pool import (
+        append_to_pages_at_layer, stack_new_kv)
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.ops import (
+        kv_append as ka)
+
+    L, KH, P, page, d, B = 3, 2, 6, 16, 64, 4
+    key = jax.random.key(0)
+    if quantized:
+        kv = (jax.random.randint(key, (L, 2, KH, P, page, d), -100, 100,
+                                 jnp.int8),
+              jax.random.uniform(key, (L, 2, KH, P, page, 1), jnp.float32))
+    else:
+        kv = (jax.random.normal(key, (L, 2, KH, P, page, d), jnp.bfloat16),)
+    k_new = jax.random.normal(jax.random.key(1), (B, 1, KH, d), jnp.float32)
+    v_new = jax.random.normal(jax.random.key(2), (B, 1, KH, d), jnp.float32)
+    positions = jnp.asarray([[3], [15], [0], [7]])
+    bt = jnp.asarray(np.arange(B * 2).reshape(B, 2) % P)
+
+    ref = append_to_pages_at_layer(kv, k_new, v_new, jnp.asarray(1),
+                                   positions, bt)
+    news = stack_new_kv(kv, k_new, v_new)
+    pid = jnp.take_along_axis(bt, positions // page, axis=1).reshape(-1)
+    slot = (positions % page).reshape(-1)
+    out = ka._append_tokens_rmw(
+        kv, news, jnp.asarray([1], jnp.int32), pid.astype(jnp.int32),
+        slot.astype(jnp.int32), page_size=page, interpret=True)
+    for a, b in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32))

@@ -44,6 +44,8 @@ def main():
     ap.add_argument("--kv-dtype", default="bfloat16")
     ap.add_argument("--quant", default="none")
     ap.add_argument("--iters", type=int, default=16)
+    ap.add_argument("--num-layers", type=int, default=0,
+                    help="override layer count (shallow model, fast compile)")
     args = ap.parse_args()
 
     from pagedattention_based_transformer_decoder_inference_framework_tpu.config import (
@@ -66,6 +68,8 @@ def main():
     B, page = args.batch, args.page_size
     cfg = FrameworkConfig()
     cfg.model = preset(args.model)
+    if args.num_layers:
+        cfg.model.num_layers = args.num_layers
     if args.quant != "none":
         cfg.model.quant = args.quant
     total = args.seq + 70

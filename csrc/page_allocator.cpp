@@ -178,6 +178,32 @@ int pa_claim(void* h, int page) {
   return 0;
 }
 
+// Grow/shrink the managed range. Shrinking requires all dropped pages
+// free; returns 0, or -1 (unchanged) if a live page would be dropped.
+int pa_resize(void* h, int new_num_pages) {
+  auto* a = static_cast<Allocator*>(h);
+  if (new_num_pages > a->num_pages) {
+    for (int p = a->num_pages; p < new_num_pages; ++p)
+      a->free_stack.push_back(p);
+  } else {
+    for (int p = new_num_pages; p < a->num_pages; ++p)
+      if (a->refs.count(p)) return -1;
+    for (int p = new_num_pages; p < a->num_pages; ++p) {
+      if (a->lru_pos.count(p)) {
+        a->drop_from_lru(p);
+      } else {
+        for (std::size_t i = 0; i < a->free_stack.size(); ++i)
+          if (a->free_stack[i] == p) {
+            a->free_stack.erase(a->free_stack.begin() + i);
+            break;
+          }
+      }
+    }
+  }
+  a->num_pages = new_num_pages;
+  return 0;
+}
+
 // Reclaim a freed page with matching content tag. Returns page id or -1.
 int pa_lookup_freed(void* h, int64_t tag) {
   auto* a = static_cast<Allocator*>(h);

@@ -128,6 +128,24 @@ class PageAllocator:
         self._refs[page] -= 1
         return new_page, True
 
+    def resize(self, new_num_pages: int) -> None:
+        """Grow or shrink the managed page range (``KVTileCache::resize``
+        capability). Shrinking requires every dropped page id to be
+        free; live pages are never invalidated."""
+        if new_num_pages > self.num_pages:
+            self._free.extend(range(self.num_pages, new_num_pages))
+        else:
+            for p in range(new_num_pages, self.num_pages):
+                if p in self._refs:
+                    raise ValueError(
+                        f"cannot shrink below live page {p}")
+            for p in range(new_num_pages, self.num_pages):
+                if p in self._lru:
+                    del self._lru[p]
+                else:
+                    self._free.remove(p)
+        self.num_pages = new_num_pages
+
     # -- prefix cache -------------------------------------------------------
     def lookup_freed(self, tag: object) -> Optional[int]:
         """Reclaim a freed page whose content tag matches (prefix cache)."""

@@ -69,6 +69,7 @@ def _load() -> Optional[ctypes.CDLL]:
             ("pa_lookup_freed", [ctypes.c_void_p, ctypes.c_int64]),
             ("pa_num_cached", [ctypes.c_void_p]),
             ("pa_claim", [ctypes.c_void_p, ctypes.c_int]),
+            ("pa_resize", [ctypes.c_void_p, ctypes.c_int]),
         ):
             fn = getattr(lib, name)
             fn.restype = ctypes.c_int
@@ -122,6 +123,11 @@ class NativePageAllocator:
     def claim(self, page: int) -> None:
         if self._lib.pa_claim(self._h, page) != 0:
             raise ValueError(f"cannot claim page {page}")
+
+    def resize(self, new_num_pages: int) -> None:
+        if self._lib.pa_resize(self._h, new_num_pages) != 0:
+            raise ValueError("cannot shrink below a live page")
+        self.num_pages = new_num_pages
 
     def alloc(self) -> int:
         page = self._lib.pa_alloc(self._h)

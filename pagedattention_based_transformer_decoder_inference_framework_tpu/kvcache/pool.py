@@ -65,6 +65,33 @@ class PagePool:
         return (jnp.zeros(shape, jnp_dtype(cc.kv_dtype)),)
 
 
+def resize_pool(kv, new_num_pages: int):
+    """Grow (or shrink) the pool's pages axis, preserving page contents
+    — the reference's ``KVTileCache::resize``
+    (``kv_cache/kv_tile_cache.cpp:27-37``, which reallocated + copied).
+
+    Growing pads fresh zero pages after the existing ones (existing page
+    ids stay valid); shrinking truncates the tail — the caller must
+    guarantee no live page id >= ``new_num_pages`` (the allocator's
+    ``num_live`` / page lists make that checkable). Device cost: one
+    copy of the pool into the newly allocated buffer.
+    """
+    def one(leaf):
+        P = leaf.shape[PAGES_AXIS]
+        if new_num_pages == P:
+            return leaf
+        ax = leaf.ndim + PAGES_AXIS
+        if new_num_pages > P:
+            pad = [(0, 0)] * leaf.ndim
+            pad[ax] = (0, new_num_pages - P)
+            return jnp.pad(leaf, pad)
+        idx = [slice(None)] * leaf.ndim
+        idx[ax] = slice(0, new_num_pages)
+        return leaf[tuple(idx)]
+
+    return tuple(one(leaf) for leaf in kv)
+
+
 def quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Per-(token, head) absmax INT8 quantization of ``[..., D]``."""
     x32 = x.astype(jnp.float32)

@@ -33,6 +33,7 @@ manual-DMA form above is the one that stays in place.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -243,7 +244,9 @@ def kv_append(kv: Tuple[jax.Array, ...], k_new: jax.Array,
     slot = jnp.where(valid, pos % page_size, 0)
     # raw DMA requires the lane (head_dim) extent to be 128-aligned —
     # Mosaic cannot slice a lane dim below its 128 tiling even full-dim
-    if T == 1 and k_new.shape[-1] % 128 == 0:
+    # (PBT_KV_RMW=0 forces the DUS path for A/B benchmarking)
+    if (T == 1 and k_new.shape[-1] % 128 == 0
+            and os.environ.get("PBT_KV_RMW", "1") == "1"):
         # values via the single RMW kernel; the INT8 scales leaf keeps
         # per-token DUS (its lane-1 layout cannot be raw-DMA-sliced)
         layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)

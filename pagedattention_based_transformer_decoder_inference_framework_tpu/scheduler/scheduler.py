@@ -147,6 +147,18 @@ class Scheduler:
         self._thread = threading.Thread(target=loop, daemon=True)
         self._thread.start()
 
+    def resize(self, new_num_pages: int) -> None:
+        """Live-resize the page pool (``KVTileCache::resize``): grow to
+        admit more concurrent context, or shrink to release HBM. Live
+        pages are never dropped (shrink raises if any would be). The
+        jitted steps recompile for the new pool shape on next use."""
+        from ..kvcache.pool import resize_pool
+
+        with self._lock:
+            self.engine.allocator.resize(new_num_pages)
+            self.kv = resize_pool(self.kv, new_num_pages)
+            self.engine.cache.num_pages = new_num_pages
+
     def stop(self) -> None:
         self._stop.set()
         if self._thread is not None:

@@ -96,3 +96,19 @@ def test_live_pages_never_evicted(PageAllocator):
     a.alloc_many(2)
     with pytest.raises(OutOfPagesError):
         a.alloc()
+
+
+def test_resize_grow_and_shrink(PageAllocator):
+    a = PageAllocator(4)
+    pages = a.alloc_many(2)
+    a.resize(8)                                # grow: new pages usable
+    assert a.num_free == 8 - 1 - 2             # page 0 reserved, 2 live
+    more = a.alloc_many(5)
+    for p in more:
+        a.free(p)
+    with pytest.raises(ValueError):
+        a.resize(2)                            # would drop live pages
+    for p in pages:
+        a.free(p)
+    a.resize(2)                                # all free: shrink ok
+    assert a.num_free == 1

@@ -162,3 +162,20 @@ def test_swap_preemption_resumes_without_reprefill():
     assert r1.tokens == eng.generate([1] * 8, 16, GREEDY)
     assert r2.tokens == eng.generate([2] * 8, 16, GREEDY)
     assert eng.allocator.num_live == 0
+
+
+def test_live_pool_resize_admits_queued_work():
+    """Growing the pool mid-run (KVTileCache::resize capability) lets
+    queued requests admit without restarting the scheduler."""
+    eng = make_engine(num_pages=4, max_batch=2)   # too small for both
+    sched = Scheduler(eng)
+    r1 = sched.submit([1] * 8, 12, GREEDY)
+    r2 = sched.submit([2] * 8, 12, GREEDY)
+    for _ in range(3):
+        sched.step()
+    sched.resize(16)
+    sched.run_until_idle(max_steps=4000)
+    assert r1.state == RequestState.FINISHED
+    assert r2.state == RequestState.FINISHED
+    assert r1.tokens == eng.generate([1] * 8, 12, GREEDY)
+    assert r2.tokens == eng.generate([2] * 8, 12, GREEDY)

@@ -46,6 +46,8 @@ def main():
     ap.add_argument("--iters", type=int, default=16)
     ap.add_argument("--num-layers", type=int, default=0,
                     help="override layer count (shallow model, fast compile)")
+    ap.add_argument("--skip-full", action="store_true",
+                    help="skip the full-step probe (heaviest compile)")
     args = ap.parse_args()
 
     from pagedattention_based_transformer_decoder_inference_framework_tpu.config import (
@@ -153,6 +155,8 @@ def main():
     slope("sample (temperature/top-k/top-p)", sample_n, args.iters)
 
     # 4) full decode step for reference
+    if args.skip_full:
+        return
     model, backend = eng.model, eng.backend
 
     @functools.partial(jax.jit, donate_argnums=(1,))

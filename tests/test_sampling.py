@@ -71,3 +71,20 @@ def test_sampling_params_batch_broadcast():
     a = SamplingParams(temperature=0.7, top_k=5).as_arrays(3)
     assert a["temperature"].shape == (3,)
     assert int(a["top_k"][0]) == 5
+
+
+def test_capped_filter_matches_full_sort():
+    """For top_k <= cap the capped candidate-set filter must produce the
+    same logit mask as the full-vocab sort."""
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.engine.sampling import (
+        _filter_logits_capped, filter_logits)
+
+    key = jax.random.key(0)
+    logits = jax.random.normal(key, (5, 997), jnp.float32) * 4
+    for k, p in ((1, 1.0), (5, 0.9), (64, 0.5), (17, 0.999), (3, 0.01)):
+        tk = jnp.full((5,), k, jnp.int32)
+        tp = jnp.full((5,), p, jnp.float32)
+        full = filter_logits(logits, tk, tp)
+        capped = _filter_logits_capped(logits, tk, tp, 64)
+        np.testing.assert_array_equal(np.isfinite(np.asarray(full)),
+                                      np.isfinite(np.asarray(capped)))

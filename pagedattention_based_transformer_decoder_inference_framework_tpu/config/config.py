@@ -49,6 +49,7 @@ class ModelConfig:
     rope_theta: float = 10000.0
     use_qkv_bias: bool = True
     use_mlp_bias: bool = True
+    sliding_window: int = 0         # >0: Mistral-style windowed attention
     tie_embeddings: bool = True     # LM head = embedding^T
 
     dtype: str = "bfloat16"         # activation / weight compute dtype
@@ -273,6 +274,21 @@ PRESETS: Dict[str, ModelConfig] = {
         intermediate_size=14336, max_seq_len=8192, norm="rmsnorm",
         activation="swiglu", position="rope", use_qkv_bias=False,
         use_mlp_bias=False, tie_embeddings=False, rope_theta=500000.0,
+    ),
+    "mistral-7b": ModelConfig(
+        name="mistral-7b", vocab_size=32000, hidden_size=4096,
+        num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128,
+        intermediate_size=14336, max_seq_len=32768, norm="rmsnorm",
+        activation="swiglu", position="rope", use_qkv_bias=False,
+        use_mlp_bias=False, tie_embeddings=False, rope_theta=10000.0,
+        sliding_window=4096,
+    ),
+    "qwen2-7b": ModelConfig(
+        name="qwen2-7b", vocab_size=152064, hidden_size=3584,
+        num_layers=28, num_heads=28, num_kv_heads=4, head_dim=128,
+        intermediate_size=18944, max_seq_len=32768, norm="rmsnorm",
+        activation="swiglu", position="rope", use_qkv_bias=True,
+        use_mlp_bias=False, tie_embeddings=False, rope_theta=1000000.0,
     ),
     "llama3-70b": ModelConfig(
         name="llama3-70b", vocab_size=128256, hidden_size=8192,

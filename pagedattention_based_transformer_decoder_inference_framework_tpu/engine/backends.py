@@ -41,7 +41,8 @@ class DenseKVBackend:
         k_cache, v_cache = update_dense_cache(k_cache, v_cache, k, v, positions)
         kv_lens = positions[:, -1] + 1
         scale = 1.0 / math.sqrt(self.cfg.head_dim)
-        out = dense_attention(q, k_cache, v_cache, positions, kv_lens, scale)
+        out = dense_attention(q, k_cache, v_cache, positions, kv_lens,
+                              scale, window=self.cfg.sliding_window)
         k_full = jax.lax.dynamic_update_index_in_dim(k_full, k_cache, layer, 0)
         v_full = jax.lax.dynamic_update_index_in_dim(v_full, v_cache, layer, 0)
         return out, (k_full, v_full)

@@ -51,7 +51,9 @@ class PagedKVBackend:
                 q, kv[0], block_tables, seq_lens,
                 q_offsets, scales, layer=layer,
                 page_size=self.cache.page_size,
-                num_q_heads=q.shape[2], interpret=self.interpret)
+                num_q_heads=q.shape[2],
+                window=self.cfg.sliding_window,
+                interpret=self.interpret)
             return out, kv
 
         return attn_fn

@@ -38,14 +38,16 @@ def update_dense_cache(k_cache: jax.Array, v_cache: jax.Array,
 
 def dense_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
                     positions: jax.Array, kv_lens: jax.Array,
-                    scale: float) -> jax.Array:
+                    scale: float, window: int = 0) -> jax.Array:
     """Causal attention of ``q`` against a dense KV cache.
 
     q: ``[B, T, H, D]`` (new-token queries at ``positions [B, T]``),
     k_cache/v_cache: ``[B, S_max, KH, D]`` already containing the new rows,
     kv_lens: ``[B]`` number of valid cache rows per sequence.
     Mask: key j visible to query at position p iff ``j <= p`` and
-    ``j < kv_len``. Returns ``[B, T, H, D]``.
+    ``j < kv_len`` — and, with ``window > 0`` (sliding-window /
+    Mistral-style attention), ``j > p - window``. Returns
+    ``[B, T, H, D]``.
     """
     B, T, H, D = q.shape
     S = k_cache.shape[1]
@@ -59,6 +61,8 @@ def dense_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
     key_idx = jnp.arange(S)[None, None, :]                      # [1,1,S]
     visible = (key_idx <= positions[:, :, None]) & (
         key_idx < kv_lens[:, None, None])                       # [B,T,S]
+    if window > 0:
+        visible &= key_idx > positions[:, :, None] - window
     mask = visible[:, None, :, None, :]                          # [B,1,T,1,S]
     scores = jnp.where(mask, scores, -jnp.inf)
     weights = jax.nn.softmax(scores, axis=-1)

@@ -69,7 +69,7 @@ def _kernel(bt_ref, sl_ref, qo_ref, l_ref,     # scalar prefetch (SMEM)
             q_ref, kv_ref,                     # VMEM blocks
             *rest,
             page_size: int, group: int, scale: float, quantized: bool,
-            pooled: bool):
+            pooled: bool, window: int):
     if quantized:
         sc_ref, out_ref, m_scr, l_scr, acc_scr = rest
     else:
@@ -90,8 +90,13 @@ def _kernel(bt_ref, sl_ref, qo_ref, l_ref,     # scalar prefetch (SMEM)
     start = i * page_size
     # causal skip: the newest q position this row block can see
     q_pos_max = qo_ref[b] + (r * rows + rows - 1) // group
+    live = (start < seq_len) & (start <= q_pos_max)
+    if window > 0:
+        # sliding-window skip: pages wholly below every row's window
+        q_pos_min = qo_ref[b] + (r * rows) // group
+        live &= start + page_size > q_pos_min - window + 1
 
-    @pl.when((start < seq_len) & (start <= q_pos_max))
+    @pl.when(live)
     def _compute():
         q = q_ref[0].astype(jnp.float32) * scale       # [KH, rows, dh]
         if pooled:                               # (1, 2, KH, 1, page, d)
@@ -110,6 +115,8 @@ def _kernel(bt_ref, sl_ref, qo_ref, l_ref,     # scalar prefetch (SMEM)
             jnp.int32, (rows, page_size), 0)) // group
         q_pos = qo_ref[b] + row_tok
         mask = (key_idx <= q_pos) & (key_idx < seq_len)
+        if window > 0:
+            mask &= key_idx > q_pos - window
         _attend(q, k, v, m_scr, l_scr, acc_scr, mask[None])
 
     @pl.when(i == num_blocks - 1)
@@ -121,13 +128,13 @@ def _kernel(bt_ref, sl_ref, qo_ref, l_ref,     # scalar prefetch (SMEM)
 
 @functools.partial(
     jax.jit,
-    static_argnames=("page_size", "num_q_heads", "interpret"))
+    static_argnames=("page_size", "num_q_heads", "window", "interpret"))
 def paged_attention(q: jax.Array, kv_pages: jax.Array,
                     block_tables: jax.Array, seq_lens: jax.Array,
                     q_offsets: jax.Array,
                     kv_scales: Optional[jax.Array] = None,
                     layer: Optional[jax.Array] = None, *,
-                    page_size: int, num_q_heads: int,
+                    page_size: int, num_q_heads: int, window: int = 0,
                     interpret: bool = False) -> jax.Array:
     """Paged attention over the page pool.
 
@@ -143,6 +150,10 @@ def paged_attention(q: jax.Array, kv_pages: jax.Array,
     q_offsets:    ``[B]`` int32 — absolute position of q token 0
     kv_scales:    per-(token, head) dequant scales for INT8 pools
                   (same layout with trailing dim 1)
+    window:       >0: sliding-window attention (key j visible iff
+                  ``p - window < j <= p``); pages wholly outside every
+                  row's window are skipped, so decode reads at most
+                  ``ceil(window/page)+1`` pages regardless of length
     Returns ``[B, T, H, dh]`` in q.dtype.
     """
     B, T, H, dh = q.shape
@@ -213,7 +224,7 @@ def paged_attention(q: jax.Array, kv_pages: jax.Array,
 
     kernel = functools.partial(
         _kernel, page_size=page_size, group=G, scale=scale,
-        quantized=quantized, pooled=pooled)
+        quantized=quantized, pooled=pooled, window=window)
 
     layer_arr = jnp.asarray(
         [0 if layer is None else layer], jnp.int32).reshape(1)

@@ -270,7 +270,8 @@ class Scheduler:
         blobs = gather_pages(self.kv, lane.pages)
         req.swap = (blobs, lane.seq_len, lane.last_token)
         for p in lane.pages:
-            self.engine.allocator.free(p)
+            if p != 0:                 # skip dump-page placeholders
+                self.engine.allocator.free(p)
         lane.pages = []
         lane.request = None
         lane.seq_len = 0
@@ -309,9 +310,11 @@ class Scheduler:
             # identical future prompt reuses them without re-prefill
             seq = req.prompt + req.tokens
             for j in range(1, lane.seq_len // self.page + 1):
-                tags[lane.pages[j - 1]] = self._prefix_tag(seq, j)
+                if lane.pages[j - 1] != 0:
+                    tags[lane.pages[j - 1]] = self._prefix_tag(seq, j)
         for p in lane.pages:
-            self.engine.allocator.free(p, tag=tags.get(p))
+            if p != 0:                 # skip dump-page placeholders
+                self.engine.allocator.free(p, tag=tags.get(p))
         lane.pages = []
         lane.request = None
         lane.seq_len = 0
@@ -324,10 +327,31 @@ class Scheduler:
         req.finished_at = time.time()
         req._out.put(_END)
 
+    def _reclaim_window_pages(self) -> None:
+        """Sliding-window models: pages wholly below every live query's
+        window are unreachable forever — free them (Mistral-style
+        rolling buffer, done at page granularity). Freed block-table
+        slots point at the dump page."""
+        w = self.config.model.sliding_window
+        if w <= 0:
+            return
+        for lane in self.lanes:
+            if lane.free:
+                continue
+            # next decode query sits at position seq_len; keys
+            # <= seq_len - w are out of its (and every later) window
+            dead_below = lane.seq_len + 1 - w
+            n_dead = max(dead_below // self.page, 0)
+            for j in range(n_dead):
+                if lane.pages[j] != 0:
+                    self.engine.allocator.free(lane.pages[j])
+                    lane.pages[j] = 0          # dump-page placeholder
+
     def _grow_pages(self) -> None:
         """Ensure every active lane has a page for this step's token;
         preempt the youngest lane on pool exhaustion (never drop live
         pages — unlike the reference's silent LRU eviction)."""
+        self._reclaim_window_pages()
         active = [l for l in self.lanes if not l.free]
         while True:
             try:

@@ -210,3 +210,43 @@ def test_rmw_append_matches_scatter(quantized):
     for a, b in zip(ref, out):
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32))
+
+
+def test_sliding_window_paged_vs_dense():
+    """Windowed paged attention must match the dense sliding-window
+    oracle (Mistral-style: key j visible iff p - w < j <= p)."""
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.ops.attention_ref import (
+        dense_attention)
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.ops.paged_attention import (
+        paged_attention)
+
+    B, KH, G, dh, page, w = 2, 2, 2, 32, 8, 12
+    H = KH * G
+    lens = jnp.asarray([29, 17])
+    S = 32
+    key = jax.random.key(3)
+    k = jax.random.normal(key, (B, S, KH, dh), jnp.float32)
+    v = jax.random.normal(jax.random.key(4), (B, S, KH, dh), jnp.float32)
+    q = jax.random.normal(jax.random.key(5), (B, 1, H, dh), jnp.float32)
+    positions = (lens - 1)[:, None]
+
+    ref = dense_attention(q, k, v, positions, lens, 1.0 / np.sqrt(dh),
+                          window=w)
+
+    n_pages = S // page
+    kv = jnp.zeros((1, 2, KH, B * n_pages + 1, page, dh), jnp.float32)
+    bt = np.zeros((B, n_pages), np.int32)
+    for b in range(B):
+        for j in range(n_pages):
+            pid = 1 + b * n_pages + j
+            bt[b, j] = pid
+            kv = kv.at[0, 0, :, pid].set(
+                jnp.swapaxes(k[b, j * page:(j + 1) * page], 0, 1))
+            kv = kv.at[0, 1, :, pid].set(
+                jnp.swapaxes(v[b, j * page:(j + 1) * page], 0, 1))
+
+    out = paged_attention(q, kv, jnp.asarray(bt), lens, lens - 1,
+                          None, layer=jnp.asarray(0), page_size=page,
+                          num_q_heads=H, window=w, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

@@ -179,3 +179,25 @@ def test_live_pool_resize_admits_queued_work():
     assert r2.state == RequestState.FINISHED
     assert r1.tokens == eng.generate([1] * 8, 12, GREEDY)
     assert r2.tokens == eng.generate([2] * 8, 12, GREEDY)
+
+
+def test_sliding_window_reclaims_pages():
+    """A windowed model's scheduler frees pages that fall out of every
+    query's window (rolling buffer) and still decodes exactly like the
+    engine's own windowed generate."""
+    eng = make_engine(num_pages=16, max_batch=1)
+    eng.config.model.sliding_window = 12     # < final seq_len of 24
+    eng.cfg.sliding_window = 12
+    sched = Scheduler(eng)
+    r = sched.submit([3] * 8, 24, GREEDY)
+    peak = 0
+    for _ in range(2000):
+        if sched.step() == 0 and sched.waiting.empty():
+            break
+        peak = max(peak, eng.allocator.num_live)
+    assert r.state == RequestState.FINISHED
+    assert r.tokens == eng.generate([3] * 8, 24, GREEDY)
+    assert eng.allocator.num_live == 0
+    # 32 final tokens = 4 pages unwindowed; the rolling buffer caps the
+    # peak at ceil(window/page) + 1 = 3 (window may straddle a boundary)
+    assert peak <= 3, peak

@@ -74,11 +74,26 @@ def main():
         x, _ = jax.lax.scan(outer, x, None, length=n)
         return x
 
+    def mm_xla(x, wq, ws):
+        y = (jnp.dot(x, wq.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32) * ws)
+        return x + jnp.tanh(y[:, :K]).astype(x.dtype) * 1e-3
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def unrolled_xla(x, n):
+        def outer(x, _):
+            for wq, ws in per_layer:
+                x = mm_xla(x, wq, ws)
+            return x, ()
+        x, _ = jax.lax.scan(outer, x, None, length=n)
+        return x
+
     print(f"L={L} x[{M},{K}] w[{K},{N}] int8  "
           f"{L*K*N/1e6:.0f}MB/step  SOL ~{L*K*N/819e9*1e6:.0f}us/step")
     for name, fn in (("scan-xs (model today)", scan_xs),
                      ("scan-idx", scan_idx),
-                     ("unrolled", unrolled)):
+                     ("unrolled", unrolled),
+                     ("unrolled-xla-dot", unrolled_xla)):
         def run_n(n, fn=fn):
             jax.block_until_ready(fn(x0, n))
         slope(name, run_n)

@@ -16,8 +16,14 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+import os
+
 from ..quant.tensor import QTensor, quantize_per_row
 from .common import activation_fn
+
+
+def _use_pallas_mm() -> bool:
+    return os.environ.get("PBT_PALLAS_MM", "0") == "1"
 
 
 def linear(x: jax.Array, w, bias: Optional[jax.Array] = None,
@@ -37,12 +43,19 @@ def linear(x: jax.Array, w, bias: Optional[jax.Array] = None,
       semantics, ``attention_cpu/dnnl_matmul_int8.cpp:39-52``).
     """
     out_dtype = x.dtype
-    if isinstance(w, QTensor):
+    if isinstance(w, QTensor) and _use_pallas_mm():
         from ..utils.platform import on_tpu
 
         if on_tpu():
-            # fused Pallas paths (ops/int8_matmul.py): weights stream as
-            # one byte each; epilogue (rescale/bias/act) in-register
+            # Pallas paths (ops/int8_matmul.py) with in-register
+            # epilogue. Opt-in (PBT_PALLAS_MM=1): a single call streams
+            # weights at 761 GB/s vs XLA's 730, but in back-to-back
+            # chains (one matmul feeding the next, the decode-layer
+            # shape) XLA's latency-hiding scheduler overlaps the next
+            # op's weight stream with the previous epilogue while
+            # chained pallas_calls drain their pipelines — measured 697
+            # vs 620 GB/s (benchmarks/microbench_scan_slice.py), so the
+            # XLA path below is the default on TPU too.
             from .int8_matmul import int8_matmul, w8_matmul
 
             lead = x.shape[:-1]

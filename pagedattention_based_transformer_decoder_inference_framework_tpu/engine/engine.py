@@ -23,7 +23,6 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import FrameworkConfig
-from ..kvcache.allocator import PageAllocator
 from ..models.model import (DecoderModel, Params, fuse_projections,
                             init_params, unstack_layers)
 from ..parallel.specs import kv_pspec, pad_vocab, param_pspecs, shard_params

@@ -19,8 +19,18 @@ Single-threaded by design: owned by the scheduler (SURVEY.md §5.2).
 
 from __future__ import annotations
 
+import ctypes
 from collections import OrderedDict
 from typing import Dict, List, Optional, Tuple
+
+
+def tag64(tag: object) -> int:
+    """Canonical tag domain: a signed 64-bit digest. Both allocator
+    implementations (this one and ``csrc/page_allocator.cpp``) compare
+    prefix-cache tags in this space, so callers must treat tags as
+    content digests (hash equality), not identity objects."""
+    h = tag if isinstance(tag, int) else hash(tag)
+    return ctypes.c_int64(h).value
 
 
 class OutOfPagesError(RuntimeError):
@@ -101,12 +111,17 @@ class PageAllocator:
             return
         del self._refs[page]
         if tag is not None:
-            self._lru[page] = tag          # retained for prefix reuse
+            self._lru[page] = tag64(tag)   # retained for prefix reuse
         else:
             self._free.append(page)
 
     def fork(self, pages: List[int]) -> List[int]:
-        """Share pages with a new sequence (beam fork): incref, COW later."""
+        """Share pages with a new sequence (beam fork): incref, COW
+        later. Validates every page before touching any refcount (same
+        all-or-nothing error path as the C++ twin)."""
+        for p in pages:
+            if p not in self._refs:
+                raise KeyError(f"fork of non-live page {p}")
         for p in pages:
             self._refs[p] += 1
         return list(pages)
@@ -149,8 +164,9 @@ class PageAllocator:
     # -- prefix cache -------------------------------------------------------
     def lookup_freed(self, tag: object) -> Optional[int]:
         """Reclaim a freed page whose content tag matches (prefix cache)."""
+        t64 = tag64(tag)
         for page, t in reversed(self._lru.items()):
-            if t == tag:
+            if t == t64:
                 del self._lru[page]
                 self._refs[page] = 1
                 return page

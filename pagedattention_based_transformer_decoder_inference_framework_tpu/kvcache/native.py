@@ -42,10 +42,14 @@ def _load() -> Optional[ctypes.CDLL]:
         try:
             if (not os.path.exists(_LIB)
                     or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+                # build to a temp path and os.replace: concurrent
+                # processes never dlopen a half-written library
+                tmp = f"{_LIB}.{os.getpid()}.tmp"
                 subprocess.run(
                     ["g++", "-O2", "-std=c++17", "-shared", "-fPIC",
-                     _SRC, "-o", _LIB],
+                     _SRC, "-o", tmp],
                     check=True, capture_output=True, text=True)
+                os.replace(tmp, _LIB)
             lib = ctypes.CDLL(_LIB)
         except (OSError, subprocess.CalledProcessError) as e:
             _build_error = getattr(e, "stderr", None) or str(e)
@@ -83,7 +87,8 @@ def native_available() -> bool:
 
 
 def _tag64(tag: object) -> int:
-    """Map an arbitrary tag object to the library's int64 tag space."""
+    """Map a tag to the 64-bit digest space both allocators compare in
+    (see ``PageAllocator`` — tags are content digests, not objects)."""
     h = tag if isinstance(tag, int) else hash(tag)
     return ctypes.c_int64(h).value            # wrap to signed 64-bit
 

@@ -261,14 +261,24 @@ def quantize_params(params: Params, lm_head: bool = True) -> Params:
 
     Norm/bias/embedding parameters stay in float — unlike the reference's
     quantizer which also quantized LayerNorm params
-    (``decoder/int8_decoder.cpp:43-89``).
+    (``decoder/int8_decoder.cpp:43-89``). Handles both the canonical
+    stacked layout and the engine's unstacked/fused tuple layout
+    (re-wrapping one engine's params in another).
     """
+    quant_keys = set(_QUANT_KEYS) | {"w_qkv", "w_gu"}
+
+    def quant_dict(layers: Params) -> Params:
+        layers = dict(layers)
+        for k in quant_keys:
+            if k in layers and not isinstance(layers[k], QTensor):
+                layers[k] = quantize_per_channel(layers[k])
+        return layers
+
     out = dict(params)
-    layers = dict(params["layers"])
-    for k in _QUANT_KEYS:
-        if k in layers and not isinstance(layers[k], QTensor):
-            layers[k] = quantize_per_channel(layers[k])
-    out["layers"] = layers
+    if isinstance(params["layers"], (tuple, list)):
+        out["layers"] = tuple(quant_dict(lp) for lp in params["layers"])
+    else:
+        out["layers"] = quant_dict(params["layers"])
     if lm_head and "lm_head" in params and not isinstance(params["lm_head"], QTensor):
         out["lm_head"] = quantize_per_channel(params["lm_head"])
     return out

@@ -175,7 +175,7 @@ class Scheduler:
 
     def _pages_needed(self, req: Request) -> int:
         if req.swap is not None:
-            return cdiv(req.swap[1] + 1, self.page)
+            return len(req.swap[1]) + 1        # live pages + growth room
         return cdiv(len(req.prompt) + 1, self.page)
 
     def _prefix_tag(self, tokens: Sequence[int], n_pages: int):
@@ -265,10 +265,15 @@ class Scheduler:
 
     def _swap_out(self, lane: _Lane) -> None:
         """Preempt by moving the lane's KV pages to host RAM; the
-        request resumes via :meth:`_swap_in` with no re-prefill."""
+        request resumes via :meth:`_swap_in` with no re-prefill. Only
+        live pages transfer — dump-page placeholders left by
+        sliding-window reclamation keep their slot positions but cost
+        no PCIe traffic and no pages on resume."""
         req = lane.request
-        blobs = gather_pages(self.kv, lane.pages)
-        req.swap = (blobs, lane.seq_len, lane.last_token)
+        live_slots = [j for j, p in enumerate(lane.pages) if p != 0]
+        blobs = gather_pages(self.kv, [lane.pages[j] for j in live_slots])
+        req.swap = (blobs, live_slots, len(lane.pages), lane.seq_len,
+                    lane.last_token)
         for p in lane.pages:
             if p != 0:                 # skip dump-page placeholders
                 self.engine.allocator.free(p)
@@ -279,10 +284,13 @@ class Scheduler:
         self.waiting.put(req)
 
     def _swap_in(self, lane: _Lane, req: Request) -> None:
-        blobs, seq_len, last_token = req.swap
-        n_pages = blobs[0].shape[3]
-        pages = self.engine.allocator.alloc_many(n_pages)
-        self.kv = scatter_pages(self.kv, blobs, pages)
+        blobs, live_slots, n_slots, seq_len, last_token = req.swap
+        fresh = self.engine.allocator.alloc_many(len(live_slots))
+        if fresh:
+            self.kv = scatter_pages(self.kv, blobs, fresh)
+        pages = [0] * n_slots
+        for j, p in zip(live_slots, fresh):
+            pages[j] = p
         req.swap = None
         lane.request = req
         lane.pages = pages
@@ -422,7 +430,12 @@ class Scheduler:
             use_filter=any(s.top_k > 0 or s.top_p < 1.0 for s in active_s),
             use_eos_threshold=any(
                 s.eos_threshold > 0 and s.eos_token_id >= 0
-                for s in active_s))
+                for s in active_s),
+            # capped candidate set only if EVERY lane's k fits it (the
+            # capped filter clips k into [1, cap], which would corrupt
+            # lanes running without top-k)
+            filter_cap=64 if all(0 < s.top_k <= 64 for s in active_s)
+            else 0)
 
         next_tok, self.kv, self.rng = eng._decode_fn(
             eng.params, jnp.asarray(toks), self.kv, jnp.asarray(bt),

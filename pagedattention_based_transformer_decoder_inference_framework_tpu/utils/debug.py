@@ -58,13 +58,18 @@ def attention_maps(model: DecoderModel, params: Params,
             return QTensor(v.values[l], v.scales[l])
         return v[l]
 
-    # unrolled layer loop (model.forward scans, which would trace the
-    # capture hook once instead of per layer)
+    # unrolled layer loop (model.forward's scan would trace the capture
+    # hook once instead of per layer); params may be the canonical
+    # stacked dict or the engine's unstacked tuple of per-layer dicts
     x = model.embed(params, toks, positions)
     rope_cs = model.rope()
     kv = dense.init_cache(1, T)
+    layers = params["layers"]
     for l in range(cfg.num_layers):
-        lp = {k: layer_slice(v, l) for k, v in params["layers"].items()}
+        if isinstance(layers, (tuple, list)):
+            lp = layers[l]
+        else:
+            lp = {k: layer_slice(v, l) for k, v in layers.items()}
         x, kv = model._block(lp, x, kv, jnp.int32(l), positions,
                              capturing_attn, rope_cs)
     x = model._norm(x, params["final_norm_scale"],

@@ -163,3 +163,44 @@ def test_hf_weights_generate_end_to_end():
         hf_out = hf.generate(ids, max_new_tokens=6, do_sample=False,
                              pad_token_id=0)
     assert ours == hf_out[0, len(prompt):].tolist()
+
+
+def test_engine_rewrap_quantized_params():
+    """Re-wrapping one engine's (unstacked/fused) params in another
+    engine must work for INT8 quant (regression: quantize_params used
+    to assume the stacked dict layout)."""
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.config import (
+        CacheConfig, FrameworkConfig, preset)
+
+    cfg = FrameworkConfig()
+    cfg.model = preset("llama-tiny")
+    cfg.model.dtype = "float32"
+    cfg.model.quant = "int8"
+    cfg.cache = CacheConfig(page_size=8, num_pages=32, max_pages_per_seq=8,
+                            kv_dtype="int8")
+    e1 = Engine(cfg, interpret=True, seed=0)
+    e2 = Engine(cfg, params=e1.params, interpret=True)
+    g = SamplingParams(temperature=0.0, eos_token_id=-1)
+    assert e2.generate([1, 2, 3], 4, g) == e1.generate([1, 2, 3], 4, g)
+
+
+def test_attention_maps_on_engine_params():
+    """The attention-map debug export must accept the engine's
+    unstacked/fused param layout (regression)."""
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.utils.debug import (
+        attention_maps)
+
+    eng = make_engine() if "make_engine" in globals() else None
+    if eng is None:
+        from pagedattention_based_transformer_decoder_inference_framework_tpu.config import (
+            CacheConfig, FrameworkConfig, preset)
+
+        cfg = FrameworkConfig()
+        cfg.model = preset("llama-tiny")
+        cfg.model.dtype = "float32"
+        cfg.cache = CacheConfig(page_size=8, num_pages=32,
+                                max_pages_per_seq=8, kv_dtype="float32")
+        eng = Engine(cfg, interpret=True, seed=0)
+    attn, logits = attention_maps(eng.model, eng.params, [1, 2, 3, 4])
+    assert attn.shape[0] == eng.cfg.num_layers
+    assert np.allclose(attn.sum(-1), 1.0, atol=1e-4)

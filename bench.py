@@ -60,6 +60,12 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--page-size", type=int, default=64)
     ap.add_argument("--no-fallback", action="store_true")
+    # "fused": whole batch as one device program (static batch).
+    # "scheduler": the continuous-batching serving path — requests go
+    # through Scheduler.submit + decode bursts (BASELINE config 3).
+    ap.add_argument("--mode", default="fused",
+                    choices=("fused", "scheduler"))
+    ap.add_argument("--decode-burst", type=int, default=16)
     args = ap.parse_args()
 
     if not args.no_fallback and args.model == "llama3-8b":
@@ -86,7 +92,8 @@ def main() -> None:
              "--prompt-len", str(args.prompt_len),
              "--kv-dtype", args.kv_dtype, "--quant", args.quant,
              "--reps", str(args.reps), "--page-size",
-             str(args.page_size)], 2700)
+             str(args.page_size), "--mode", args.mode,
+             "--decode-burst", str(args.decode_burst)], 2700)
         if line:
             print(line)
             return
@@ -127,6 +134,8 @@ def main() -> None:
         kv_dtype=args.kv_dtype)
     cfg.runtime.prefill_chunk = 256
     cfg.model.quant = args.quant
+    cfg.runtime.max_batch_size = args.batch
+    cfg.runtime.decode_burst = args.decode_burst
 
     eng = Engine(cfg, seed=0)
     samp = SamplingParams(temperature=0.0, eos_token_id=-1)
@@ -134,19 +143,43 @@ def main() -> None:
     prompts = rng.integers(
         0, cfg.model.vocab_size, (args.batch, args.prompt_len)).tolist()
 
-    # warmup MUST use the same step count: num_steps is a static arg of
-    # the fused program, so a different warmup length would leave the
-    # measured rep paying full compilation
-    eng.generate_batch_fused(prompts, max_new_tokens=args.steps,
-                             sampling=samp)
+    ttft_p50 = None
+    if args.mode == "scheduler":
+        from pagedattention_based_transformer_decoder_inference_framework_tpu.scheduler import (
+            RequestState, Scheduler)
 
-    times = []
-    for _ in range(args.reps):
-        t0 = time.perf_counter()
-        out = eng.generate_batch_fused(prompts, max_new_tokens=args.steps,
-                                       sampling=samp)
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+        sched = Scheduler(eng)
+
+        def serve_round():
+            reqs = [sched.submit(p, args.steps, samp) for p in prompts]
+            sched.run_until_idle()
+            assert all(r.state == RequestState.FINISHED for r in reqs), (
+                [r.error for r in reqs])
+            assert all(len(r.tokens) == args.steps for r in reqs)
+            return [r.ttft_s for r in reqs]
+
+        serve_round()                               # compile all shapes
+        times, ttfts = [], []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            ttfts.extend(serve_round())
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
+        ttft_p50 = float(np.percentile(ttfts, 50))
+    else:
+        # warmup MUST use the same step count: num_steps is a static arg
+        # of the fused program, so a different warmup length would leave
+        # the measured rep paying full compilation
+        eng.generate_batch_fused(prompts, max_new_tokens=args.steps,
+                                 sampling=samp)
+
+        times = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            eng.generate_batch_fused(prompts, max_new_tokens=args.steps,
+                                     sampling=samp)
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
     total_tokens = args.batch * args.steps
     toks_per_s = total_tokens / dt
 
@@ -160,14 +193,18 @@ def main() -> None:
     roofline_toks_per_s = roofline_steps_per_s * args.batch
     frac = toks_per_s / roofline_toks_per_s
 
-    print(json.dumps({
+    rec = {
         "metric": f"decode tokens/sec/chip ({args.model}, "
                   f"{'int8 weights, ' if args.quant == 'int8' else ''}"
-                  f"paged KV {args.kv_dtype}, batch {args.batch})",
+                  f"paged KV {args.kv_dtype}, batch {args.batch}"
+                  f"{', continuous batching' if args.mode == 'scheduler' else ''})",
         "value": round(toks_per_s, 1),
         "unit": "tokens/s",
         "vs_baseline": round(frac, 4),
-    }))
+    }
+    if ttft_p50 is not None:
+        rec["p50_ttft_ms"] = round(ttft_p50 * 1e3, 1)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

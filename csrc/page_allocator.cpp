@@ -204,6 +204,19 @@ int pa_resize(void* h, int new_num_pages) {
   return 0;
 }
 
+// Invalidate the whole prefix cache: every freed-but-tagged page moves
+// to the plain free list (used after a device-state reset makes cached
+// page contents stale). Returns the number of pages dropped.
+int pa_drop_cached(void* h) {
+  auto* a = static_cast<Allocator*>(h);
+  int n = (int)a->lru.size();
+  for (auto& e : a->lru) a->free_stack.push_back(e.first);
+  a->lru.clear();
+  a->lru_pos.clear();
+  a->by_tag.clear();
+  return n;
+}
+
 // Reclaim a freed page with matching content tag. Returns page id or -1.
 int pa_lookup_freed(void* h, int64_t tag) {
   auto* a = static_cast<Allocator*>(h);

@@ -118,6 +118,9 @@ class RuntimeConfig:
     use_reranker: bool = False
     enable_beam_search: bool = False
     beam_width: int = 4
+    # path to a fine-tuned cross-encoder (reranker/finetune.py output);
+    # "" = score with the decoder's own log-probs (LogProbScorer)
+    reranker_model: str = ""
 
     log_level: str = "info"
     enable_logging: bool = True
@@ -125,6 +128,18 @@ class RuntimeConfig:
     # scheduler
     max_batch_size: int = 8
     prefill_chunk: int = 512        # chunked-prefill token budget per step
+    # decode tokens per device dispatch ("burst"): the scheduler runs
+    # this many steps as one on-device scan (lanes freeze at EOS / their
+    # budget), then syncs to the host for delivery + admission. Larger
+    # bursts amortize the per-dispatch latency (~28 ms through a remote
+    # chip); smaller bursts tighten admission/streaming latency.
+    decode_burst: int = 8
+    # prefill chunks run per scheduler tick (interleaved with decode
+    # bursts so running lanes keep emitting during long-prompt prefill)
+    prefill_chunks_per_tick: int = 1
+    # wall-clock per-request timeout; 0 disables. Expired requests are
+    # marked FAILED and their pages freed (SURVEY.md §5.3).
+    request_timeout_s: float = 0.0
 
     # unrolled layers (False) avoid a per-layer weight slice copy that
     # costs ~1.45x decode bandwidth (benchmarks/microbench_scan_slice.py);

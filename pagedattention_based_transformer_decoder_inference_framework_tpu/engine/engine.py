@@ -28,7 +28,7 @@ from ..models.model import (DecoderModel, Params, fuse_projections,
 from ..parallel.specs import kv_pspec, pad_vocab, param_pspecs, shard_params
 from ..utils.common import cdiv
 from .paged_backend import PagedKVBackend
-from .sampling import SampleMode, SamplingParams, sample
+from .sampling import SampleMode, SamplingParams, request_key, sample
 
 
 @dataclasses.dataclass
@@ -43,6 +43,12 @@ class EngineState:
     last_tokens: np.ndarray         # [B] int32 — last sampled token
     finished: np.ndarray            # [B] bool
     prefill_logits: Optional[np.ndarray] = None   # [B, V] (debug/tests)
+    # allocators owning this state's page ids (one per data shard);
+    # None = the engine's own. A private allocator list gives a state
+    # (e.g. a beam-search session) its own page-id space over its own
+    # pool arrays, so it can run concurrently with the scheduler
+    # without sharing any mutable host bookkeeping.
+    allocators: Optional[List] = None
 
     @property
     def batch(self) -> int:
@@ -211,38 +217,57 @@ class Engine:
         return sharded
 
     def _build_decode_loop(self):
+        """``num_steps`` fused decode steps entirely on device — no host
+        round-trip per token (the per-token dispatch cost dominates
+        decode through a remote chip). This is the continuous-batching
+        scheduler's inner loop ("decode burst"):
+
+        * ``emitted [B]``: tokens each lane has already generated (the
+          prefill's first token counts); ``budgets [B]``: each lane's
+          ``max_new_tokens``. A lane freezes on device once
+          ``emitted >= budget`` or it samples its EOS — frozen lanes
+          stop advancing ``seq_lens`` (their writes land one slot past
+          live content or on the dump page, never on tagged pages) and
+          emit ``max(eos, 0)`` fill the host discards. Idle lanes enter
+          with ``emitted >= budget`` and stay frozen throughout.
+        * ``seeds [B]``: per-request sampling seeds; token ``i`` of a
+          request is drawn with ``request_key(seed, i)`` so sampled
+          output is reproducible across batch composition, burst
+          boundaries and preemption (ADVICE round 1: per-request seed
+          was silently dropped on the scheduler path).
+
+        Pages for all ``num_steps`` must be pre-allocated in
+        ``block_tables``.
+        """
         model, backend = self.model, self.backend
         V = self.cfg.vocab_size
-        data_axis = self._data_axis if self.mesh is not None else None
 
-        def decode_loop(params, tokens, kv, block_tables, seq_lens, rng,
-                        samp, *, num_steps: int, mode):
-            """``num_steps`` fused decode steps entirely on device —
-            no host round-trip per token (the per-token dispatch cost
-            dominates small-model decode through a remote chip).
-            Pages for all steps must be pre-allocated in block_tables."""
+        def decode_loop(params, tokens, kv, block_tables, seq_lens,
+                        emitted, budgets, seeds, samp, *, num_steps: int,
+                        mode):
             eos = samp["eos_token_id"]
 
             def body(carry, _):
-                tokens, kv, seq_lens, rng, finished = carry
+                tokens, kv, seq_lens, emitted, finished = carry
                 attn = backend.make_attn_fn(block_tables, seq_lens + 1,
                                             seq_lens)
                 logits, kv = model.forward(params, tokens[:, None],
                                            seq_lens[:, None], kv, attn)
-                rng, sub = jax.random.split(rng)
-                if data_axis is not None:
-                    sub = jax.random.fold_in(
-                        sub, jax.lax.axis_index(data_axis))
-                nxt = sample(logits[:, 0, :V], sub, mode=mode, **samp)
+                keys = jax.vmap(request_key)(seeds, emitted)
+                nxt = sample(logits[:, 0, :V], None, row_keys=keys,
+                             mode=mode, **samp)
                 nxt = jnp.where(finished, jnp.maximum(eos, 0), nxt)
-                finished = finished | ((eos >= 0) & (nxt == eos))
-                return (nxt, kv, seq_lens + 1, rng, finished), nxt
+                live = (~finished).astype(jnp.int32)
+                emitted = emitted + live
+                finished = (finished | ((eos >= 0) & (nxt == eos))
+                            | (emitted >= budgets))
+                return (nxt, kv, seq_lens + live, emitted, finished), nxt
 
-            finished = jnp.zeros(tokens.shape, bool)
-            (tokens, kv, seq_lens, rng, finished), toks = jax.lax.scan(
-                body, (tokens, kv, seq_lens, rng, finished), None,
+            finished = emitted >= budgets
+            (tokens, kv, seq_lens, emitted, finished), toks = jax.lax.scan(
+                body, (tokens, kv, seq_lens, emitted, finished), None,
                 length=num_steps)
-            return jnp.swapaxes(toks, 0, 1), kv, rng
+            return jnp.swapaxes(toks, 0, 1), kv
 
         if self.mesh is None:
             return functools.partial(
@@ -253,15 +278,16 @@ class Engine:
 
         @functools.partial(jax.jit, static_argnames=("num_steps", "mode"),
                            donate_argnums=(2,))
-        def sharded(params, tokens, kv, block_tables, seq_lens, rng, samp,
-                    *, num_steps: int, mode):
+        def sharded(params, tokens, kv, block_tables, seq_lens, emitted,
+                    budgets, seeds, samp, *, num_steps: int, mode):
             fn = self._shard_step(
                 functools.partial(decode_loop, num_steps=num_steps,
                                   mode=mode),
                 in_specs=(self._param_specs, P(d), self._kv_specs, P(d),
-                          P(d), P(), self._samp_specs()),
-                out_specs=(P(d), self._kv_specs, P()))
-            return fn(params, tokens, kv, block_tables, seq_lens, rng, samp)
+                          P(d), P(d), P(d), P(d), self._samp_specs()),
+                out_specs=(P(d), self._kv_specs))
+            return fn(params, tokens, kv, block_tables, seq_lens, emitted,
+                      budgets, seeds, samp)
 
         return sharded
 
@@ -364,12 +390,17 @@ class Engine:
         """Data shard owning sequence ``b`` (contiguous batch split)."""
         return b * self.dp // batch
 
-    def _alloc_pages(self, state_pages: List[int], new_len: int,
-                     shard: int = 0) -> List[int]:
-        need = cdiv(new_len, self.cache.page_size) - len(state_pages)
+    def _state_allocators(self, state: EngineState) -> List:
+        return state.allocators or self.allocators
+
+    def _alloc_pages(self, state: EngineState, b: int,
+                     new_len: int) -> None:
+        pages = state.pages[b]
+        need = cdiv(new_len, self.cache.page_size) - len(pages)
         if need > 0:
-            state_pages.extend(self.allocators[shard].alloc_many(need))
-        return state_pages
+            alloc = self._state_allocators(state)[
+                self._shard_of(b, state.batch)]
+            pages.extend(alloc.alloc_many(need))
 
     def _block_tables(self, pages: List[List[int]]) -> np.ndarray:
         bt = np.zeros((len(pages), self.cache.max_pages_per_seq), np.int32)
@@ -379,8 +410,11 @@ class Engine:
 
     def prefill(self, prompts: Sequence[Sequence[int]],
                 seed: Optional[int] = None,
-                sampling: Optional[SamplingParams] = None) -> EngineState:
-        """Chunked prefill; samples the first generated token."""
+                sampling: Optional[SamplingParams] = None,
+                allocators: Optional[List] = None) -> EngineState:
+        """Chunked prefill; samples the first generated token.
+        ``allocators`` (one per data shard) gives the returned state a
+        private page-id space (see :class:`EngineState`)."""
         B = len(prompts)
         lens = np.array([len(p) for p in prompts], np.int32)
         assert lens.min() >= 1
@@ -391,8 +425,9 @@ class Engine:
         max_len = cdiv(int(lens.max()), page) * page
 
         assert B % self.dp == 0, f"batch {B} must divide dp={self.dp}"
+        allocs = allocators or self.allocators
         pages: List[List[int]] = [
-            self.allocators[self._shard_of(b, B)].alloc_many(
+            allocs[self._shard_of(b, B)].alloc_many(
                 cdiv(int(L), self.cache.page_size))
             for b, L in enumerate(lens)
         ]
@@ -429,7 +464,8 @@ class Engine:
             kv=kv, block_tables=bt_np, seq_lens=lens.copy(), pages=pages,
             rng=rng, last_tokens=first_np,
             finished=np.zeros((B,), bool),
-            prefill_logits=np.asarray(final_logits))
+            prefill_logits=np.asarray(final_logits),
+            allocators=allocators)
         self._mark_finished(state, first_np, sampling)
         return state
 
@@ -451,8 +487,7 @@ class Engine:
         B = state.batch
         # grow pages to hold the token being appended this step
         for b in range(B):
-            self._alloc_pages(state.pages[b], int(state.seq_lens[b]) + 1,
-                              self._shard_of(b, B))
+            self._alloc_pages(state, b, int(state.seq_lens[b]) + 1)
         state.block_tables = self._block_tables(state.pages)
 
         sp = sampling or self._default_sampling()
@@ -497,8 +532,7 @@ class Engine:
             self._decode_logits_fn = self._build_decode_logits()
         B = state.batch
         for b in range(B):
-            self._alloc_pages(state.pages[b], int(state.seq_lens[b]) + 1,
-                              self._shard_of(b, B))
+            self._alloc_pages(state, b, int(state.seq_lens[b]) + 1)
         state.block_tables = self._block_tables(state.pages)
         logits, state.kv = self._decode_logits_fn(
             self.params, jnp.asarray(np.asarray(tokens, np.int32)),
@@ -510,8 +544,9 @@ class Engine:
 
     def free(self, state: EngineState) -> None:
         B = state.batch
+        allocs = self._state_allocators(state)
         for b, ps in enumerate(state.pages):
-            alloc = self.allocators[self._shard_of(b, B)]
+            alloc = allocs[self._shard_of(b, B)]
             for p in ps:
                 alloc.free(p)
         state.pages = [[] for _ in state.pages]

@@ -120,16 +120,28 @@ def _filter_logits_capped(logits: jax.Array, top_k: jax.Array,
     return jnp.where(keep_k & keep_p, logits, -jnp.inf)
 
 
-def sample(logits: jax.Array, rng: jax.Array, *, temperature: jax.Array,
-           top_k: jax.Array, top_p: jax.Array,
+def request_key(seed, index) -> jax.Array:
+    """Per-request sampling key for generated-token ``index``: a pure
+    function of ``(seed, index)``, so a request's sampled continuation is
+    reproducible regardless of batch composition, burst boundaries, or
+    preemption/readmission."""
+    base = jax.random.key(0)
+    return jax.random.fold_in(jax.random.fold_in(base, seed), index)
+
+
+def sample(logits: jax.Array, rng: Optional[jax.Array], *,
+           temperature: jax.Array, top_k: jax.Array, top_p: jax.Array,
            eos_token_id: Optional[jax.Array] = None,
            eos_threshold: Optional[jax.Array] = None,
+           row_keys: Optional[jax.Array] = None,
            mode: Optional["SampleMode"] = None) -> jax.Array:
     """Draw next tokens from ``logits [B, V]``. Returns ``[B]`` int32.
 
     ``temperature == 0`` -> greedy (computed jointly, selected per-row).
     ``mode`` statically disables unused features (see module docstring);
     the default compiles everything, staying correct for any values.
+    ``row_keys`` (``[B]`` PRNG keys) draws each row with its own key —
+    used by the scheduler's decode bursts for per-request seeds.
     """
     mode = mode or SampleMode()
     B, V = logits.shape
@@ -146,7 +158,12 @@ def sample(logits: jax.Array, rng: jax.Array, *, temperature: jax.Array,
                                            min(mode.filter_cap, V))
         elif mode.use_filter:
             scaled = filter_logits(scaled, top_k, top_p)
-        sampled = jax.random.categorical(rng, scaled, axis=-1)
+        if row_keys is not None:
+            sampled = jax.vmap(
+                lambda k, row: jax.random.categorical(k, row))(
+                row_keys, scaled)
+        else:
+            sampled = jax.random.categorical(rng, scaled, axis=-1)
         tok = jnp.where(temperature <= 0.0, greedy_tok,
                         sampled.astype(jnp.int32))
 

@@ -162,6 +162,16 @@ class PageAllocator:
         self.num_pages = new_num_pages
 
     # -- prefix cache -------------------------------------------------------
+    def drop_cached(self) -> int:
+        """Invalidate the prefix cache: move every freed-but-tagged page
+        to the plain free list. Used after a device-state reset (failed
+        decode step reinitializes the pool) makes cached contents stale.
+        Returns the number of pages dropped."""
+        n = len(self._lru)
+        self._free.extend(self._lru.keys())
+        self._lru.clear()
+        return n
+
     def lookup_freed(self, tag: object) -> Optional[int]:
         """Reclaim a freed page whose content tag matches (prefix cache)."""
         t64 = tag64(tag)

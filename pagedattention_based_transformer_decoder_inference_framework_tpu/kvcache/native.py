@@ -71,6 +71,7 @@ def _load() -> Optional[ctypes.CDLL]:
             ("pa_ensure_exclusive", [ctypes.c_void_p, ctypes.c_int,
                                      ctypes.POINTER(ctypes.c_int)]),
             ("pa_lookup_freed", [ctypes.c_void_p, ctypes.c_int64]),
+            ("pa_drop_cached", [ctypes.c_void_p]),
             ("pa_num_cached", [ctypes.c_void_p]),
             ("pa_claim", [ctypes.c_void_p, ctypes.c_int]),
             ("pa_resize", [ctypes.c_void_p, ctypes.c_int]),
@@ -178,6 +179,9 @@ class NativePageAllocator:
     def lookup_freed(self, tag: object) -> Optional[int]:
         page = self._lib.pa_lookup_freed(self._h, _tag64(tag))
         return None if page < 0 else page
+
+    def drop_cached(self) -> int:
+        return self._lib.pa_drop_cached(self._h)
 
 
 def make_allocator(num_pages: int, native: str = "auto"):

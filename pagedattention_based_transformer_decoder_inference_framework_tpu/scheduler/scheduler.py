@@ -4,17 +4,34 @@ The component the reference lacks entirely (SURVEY.md §2.3: all serving
 paths decode sequences one-at-a-time in Python loops,
 ``web/app.py:122-131``). Design, TPU-first:
 
-* **fixed decode lanes** — the decode step always runs with
-  ``max_batch_size`` rows so one compiled program serves every step;
-  idle lanes point at the dump page and their samples are discarded;
+* **fixed decode lanes** — decode always runs with ``max_batch_size``
+  rows so a handful of compiled programs serve every step; idle lanes
+  point at the dump page and their samples are discarded;
+* **decode bursts** — each tick runs ``runtime.decode_burst`` decode
+  steps as ONE device program (`Engine._build_decode_loop`): lanes
+  freeze on device at EOS or their token budget, and the host syncs
+  once per burst for delivery/admission. This amortizes the
+  per-dispatch latency (~28 ms through a remote chip) that made
+  per-token stepping several× slower than the fused engine path;
+* **interleaved chunked prefill** — admission creates a *prefill job*
+  (the prompt bucketed to chunk multiples); each tick runs at most
+  ``runtime.prefill_chunks_per_tick`` chunks per lane and then a decode
+  burst, so running lanes keep emitting while a long prompt prefills
+  (no head-of-line blocking);
 * **paged admission** — a request is admitted when a lane is free and
-  the page budget covers its prompt + one decode page; its prompt is
-  chunk-prefilled into the shared pool (prompt lengths are bucketed to
-  chunk multiples so admission hits a handful of compiled shapes);
+  the page budget covers its prompt + one decode page;
 * **exact eviction** — pages of live requests are never dropped (the
   reference's LRU silently discards live context); when the pool runs
-  dry the *youngest* running request is preempted and re-queued for
-  full re-prefill;
+  dry the *youngest* running request is preempted: its KV either swaps
+  to host RAM (``cache.enable_swap``) or the request re-queues and its
+  already-delivered tokens are teacher-forced on re-prefill — clients
+  never see duplicated output;
+* **failure isolation** (SURVEY.md §5.3) — invalid requests fail at
+  submit (page budget vs ``max_pages_per_seq`` and pool size), a
+  prefill error fails only that request, a decode error resets device
+  state (pool reinit + prefix-cache invalidation) while the pump
+  thread and every other queued request survive; per-request
+  wall-clock timeouts mark requests FAILED;
 * single-threaded: the scheduler owns the allocator and all mutable
   state (SURVEY.md §5.2); servers pump :meth:`step` from one thread.
 """
@@ -27,7 +44,7 @@ import itertools
 import queue
 import threading
 import time
-from typing import Dict, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -35,10 +52,11 @@ import numpy as np
 
 from ..config import FrameworkConfig
 from ..engine.engine import Engine
-from ..engine.sampling import SamplingParams
+from ..engine.sampling import SamplingParams, request_key
 from ..kvcache.allocator import OutOfPagesError
 from ..kvcache.swap import gather_pages, scatter_pages
 from ..utils.common import cdiv
+from ..utils.logging import log_event
 
 
 class RequestState(enum.Enum):
@@ -57,18 +75,22 @@ class Request:
     max_new_tokens: int = 64
     sampling: Optional[SamplingParams] = None
     req_id: int = 0
+    seed: int = 0                   # per-request sampling seed
+    timeout_s: float = 0.0          # 0 = no per-request timeout
     state: RequestState = RequestState.WAITING
     arrived_at: float = dataclasses.field(default_factory=time.time)
     first_token_at: Optional[float] = None
     finished_at: Optional[float] = None
     tokens: List[int] = dataclasses.field(default_factory=list)
     error: Optional[str] = None
-    # host-swapped KV of a preempted request: (blobs, seq_len, last_token)
+    # host-swapped KV of a preempted request (see Scheduler._swap_out)
     swap: Optional[tuple] = None
     _out: "queue.Queue" = dataclasses.field(default_factory=queue.Queue)
 
     def stream(self):
-        """Blocking iterator over generated tokens."""
+        """Blocking iterator over generated tokens. Check
+        :attr:`error` / :attr:`state` after exhaustion — a FAILED
+        request's stream ends early instead of raising."""
         while True:
             item = self._out.get()
             if item is _END:
@@ -83,15 +105,40 @@ class Request:
 
 
 @dataclasses.dataclass
+class _PrefillJob:
+    """Resumable chunked prefill of one lane's prompt (or, on
+    preemption re-admission, prompt + already-delivered tokens minus
+    the last one, which is teacher-forced so nothing re-delivers)."""
+
+    tokens: np.ndarray              # [1, max_len] int32, chunk-bucketed
+    bt_dev: jax.Array               # [1, max_pages] device block table
+    L: int                          # live sequence length
+    chunk: int
+    max_len: int
+    pos: int                        # next chunk offset to run
+    final_logits: jax.Array         # [1, V] accumulator
+    resume_token: Optional[int]     # set => skip sampling, seed decode
+
+    @property
+    def done(self) -> bool:
+        return self.pos >= self.max_len
+
+
+@dataclasses.dataclass
 class _Lane:
     request: Optional[Request] = None
     pages: List[int] = dataclasses.field(default_factory=list)
     seq_len: int = 0
     last_token: int = 0
+    prefill: Optional[_PrefillJob] = None
 
     @property
     def free(self) -> bool:
         return self.request is None
+
+    @property
+    def decoding(self) -> bool:
+        return self.request is not None and self.prefill is None
 
 
 class Scheduler:
@@ -108,25 +155,45 @@ class Scheduler:
         self._ids = itertools.count(1)
         self._lock = threading.Lock()
         self.kv = engine._init_cache()
-        self.rng = jax.random.key(self.config.runtime.seed)
         self._samp = self._default_sampling()
         self._thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
+        # observability (served through /metrics)
+        self.n_finished = 0
+        self.n_failed = 0
+        self.n_preempted = 0
+        self.n_resets = 0
 
     # -- public API ------------------------------------------------------------
 
     def submit(self, prompt: Sequence[int], max_new_tokens: int = 64,
-               sampling: Optional[SamplingParams] = None) -> Request:
-        req = Request(prompt=list(prompt), max_new_tokens=max_new_tokens,
-                      sampling=sampling, req_id=next(self._ids))
+               sampling: Optional[SamplingParams] = None,
+               seed: Optional[int] = None,
+               timeout_s: Optional[float] = None) -> Request:
+        rid = next(self._ids)
+        req = Request(
+            prompt=list(prompt), max_new_tokens=max_new_tokens,
+            sampling=sampling, req_id=rid,
+            seed=(seed if seed is not None
+                  else (self.config.runtime.seed + rid * 7919))
+            & 0x7FFFFFFF,
+            timeout_s=(self.config.runtime.request_timeout_s
+                       if timeout_s is None else timeout_s))
+        err = self._validate(req)
+        if err is not None:
+            self._fail_request(req, err)
+            return req
         self.waiting.put(req)
         return req
 
     def step(self) -> int:
-        """Admit + decode one step. Returns number of active lanes."""
+        """One scheduler tick: expire -> admit -> prefill chunk(s) ->
+        decode burst. Returns the number of occupied lanes."""
         with self._lock:
+            self._expire()
             self._admit()
-            return self._decode_step()
+            self._prefill_tick()
+            return self._decode_tick()
 
     def run_until_idle(self, max_steps: int = 100000) -> None:
         for _ in range(max_steps):
@@ -134,14 +201,22 @@ class Scheduler:
                 return
 
     def start(self, poll_interval_s: float = 0.002) -> None:
-        """Background pump thread (used by servers)."""
+        """Background pump thread (used by servers). A step exception
+        cannot kill the pump: it is logged, the affected requests are
+        failed inside :meth:`step`'s own handlers, and pumping
+        continues (SURVEY.md §5.3 clean degradation)."""
         if self._thread is not None:
             return
         self._stop.clear()
 
         def loop():
             while not self._stop.is_set():
-                if self.step() == 0 and self.waiting.empty():
+                try:
+                    idle = self.step() == 0 and self.waiting.empty()
+                except Exception as e:       # pragma: no cover - last resort
+                    log_event("scheduler_step_error", error=repr(e))
+                    idle = True
+                if idle:
                     time.sleep(poll_interval_s)
 
         self._thread = threading.Thread(target=loop, daemon=True)
@@ -165,7 +240,7 @@ class Scheduler:
             self._thread.join(timeout=5)
             self._thread = None
 
-    # -- internals ---------------------------------------------------------------
+    # -- admission / validation ------------------------------------------------
 
     def _default_sampling(self) -> SamplingParams:
         r = self.config.runtime
@@ -173,16 +248,67 @@ class Scheduler:
             temperature=r.temperature, top_k=r.top_k, top_p=r.top_p,
             eos_token_id=r.eos_token_id, eos_threshold=r.eos_threshold)
 
+    def _validate(self, req: Request) -> Optional[str]:
+        """Reject requests that could never run: empty prompts and page
+        budgets that exceed the block-table width or the pool itself
+        (ADVICE round 1: an over-budget request used to raise deep in
+        the decode step and kill the pump thread)."""
+        if len(req.prompt) < 1:
+            return "empty prompt"
+        if req.max_new_tokens < 1:
+            return "max_new_tokens must be >= 1"
+        horizon = len(req.prompt) + req.max_new_tokens
+        need = cdiv(horizon, self.page)
+        cap = self.engine.cache.max_pages_per_seq
+        if need > cap:
+            return (f"prompt+max_new_tokens={horizon} tokens needs {need} "
+                    f"pages > max_pages_per_seq={cap}")
+        usable = self.engine.cache.num_pages - 1       # page 0 = dump
+        if need > usable:
+            return (f"request needs {need} pages > pool capacity "
+                    f"{usable}")
+        return None
+
+    def _prefill_seq(self, req: Request) -> List[int]:
+        """The token sequence a (re-)admitted request must prefill:
+        the prompt, plus — after a non-swap preemption — every
+        already-delivered token except the last (teacher-forced; the
+        last delivered token seeds the next decode step instead, so
+        re-generation continues exactly where the client left off)."""
+        if req.tokens:
+            return req.prompt + req.tokens[:-1]
+        return list(req.prompt)
+
     def _pages_needed(self, req: Request) -> int:
         if req.swap is not None:
             return len(req.swap[1]) + 1        # live pages + growth room
-        return cdiv(len(req.prompt) + 1, self.page)
+        return cdiv(len(self._prefill_seq(req)) + 1, self.page)
 
     def _prefix_tag(self, tokens: Sequence[int], n_pages: int):
         """Content tag for page ``n_pages-1``: the full token prefix
         through that page (attention output depends on the whole
         prefix, so a page is only reusable under an identical one)."""
         return hash(tuple(tokens[: n_pages * self.page]))
+
+    def _expire(self) -> None:
+        now = time.time()
+
+        def expired(r: Request) -> bool:
+            return r.timeout_s > 0 and now - r.arrived_at > r.timeout_s
+
+        for lane in self.lanes:
+            if not lane.free and expired(lane.request):
+                lane.request.error = (
+                    f"timed out after {lane.request.timeout_s:.1f}s")
+                self._release(lane, RequestState.FAILED)
+        with self.waiting.mutex:
+            stale = [r for r in self.waiting.queue if expired(r)]
+            for r in stale:
+                self.waiting.queue.remove(r)
+        # fail outside the queue mutex (_out.put wakes up consumers)
+        for r in stale:
+            self._fail_request(
+                r, f"timed out in queue after {r.timeout_s:.1f}s")
 
     def _admit(self) -> None:
         alloc = self.engine.allocator
@@ -195,17 +321,23 @@ class Scheduler:
                 return                      # page pressure: keep queued
             req = self.waiting.get()
             try:
-                self._prefill_into(free_lane, req)
+                if req.swap is not None:
+                    self._swap_in(free_lane, req)
+                else:
+                    self._start_prefill(free_lane, req)
             except OutOfPagesError:
                 req.state = RequestState.WAITING
                 self.waiting.put(req)       # try again later
                 return
+            except Exception as e:
+                self._fail_request(req, f"admission failed: {e!r}")
 
-    def _prefill_into(self, lane: _Lane, req: Request) -> None:
-        if req.swap is not None:
-            return self._swap_in(lane, req)
+    def _start_prefill(self, lane: _Lane, req: Request) -> None:
+        """Allocate pages and queue a resumable prefill job; chunks run
+        in :meth:`_prefill_tick`, interleaved with decode bursts."""
         eng = self.engine
-        L = len(req.prompt)
+        seq = self._prefill_seq(req)
+        L = len(seq)
         n_pages = cdiv(L, self.page)
 
         # prefix cache: reclaim freed pages whose content (full prefix
@@ -216,8 +348,7 @@ class Scheduler:
             for j in range(1, n_pages + 1):
                 if j * self.page > L:       # partial last page: not cached
                     break
-                page = eng.allocator.lookup_freed(
-                    self._prefix_tag(req.prompt, j))
+                page = eng.allocator.lookup_freed(self._prefix_tag(seq, j))
                 if page is None:
                     break
                 hits.append(page)
@@ -229,39 +360,74 @@ class Scheduler:
         max_len = cdiv(max(L, 1), chunk) * chunk
 
         tokens = np.zeros((1, max_len), np.int32)
-        tokens[0, :L] = req.prompt
+        tokens[0, :L] = seq
         bt = np.zeros((1, eng.cache.max_pages_per_seq), np.int32)
         bt[0, :len(pages)] = pages
-        bt_dev = jnp.asarray(bt)
-        lens = jnp.asarray([L], jnp.int32)
 
         # first chunk that must run: the first miss, but never past the
         # chunk holding the last prompt token (its logits seed sampling)
         start = min((skip // chunk) * chunk, ((L - 1) // chunk) * chunk)
-        final_logits = jnp.zeros((1, eng.cfg.vocab_size), jnp.float32)
-        for c0 in range(start, max_len, chunk):
-            c1 = min(c0 + chunk, max_len)
-            pos = c0 + np.arange(c1 - c0)[None, :]
-            pos = np.where(pos < L, pos, -1)
-            logits, self.kv = eng._prefill_fn(
-                eng.params, jnp.asarray(tokens[:, c0:c1]),
-                jnp.asarray(pos), self.kv, bt_dev,
-                jnp.asarray([min(L, c1)], jnp.int32),
-                jnp.asarray([c0], jnp.int32), lens)
-            final_logits = final_logits + logits
-
-        samp = req.sampling or self._samp
-        self.rng, sub = jax.random.split(self.rng)
-        tok = int(np.asarray(eng._sample_fn(
-            final_logits, sub, mode=samp.mode(), **samp.as_arrays(1)))[0])
-
         lane.request = req
         lane.pages = pages
-        lane.seq_len = L
-        lane.last_token = tok
+        lane.seq_len = 0
+        lane.prefill = _PrefillJob(
+            tokens=tokens, bt_dev=jnp.asarray(bt), L=L, chunk=chunk,
+            max_len=max_len, pos=start,
+            final_logits=jnp.zeros((1, eng.cfg.vocab_size), jnp.float32),
+            resume_token=req.tokens[-1] if req.tokens else None)
         req.state = RequestState.RUNNING
+
+    def _prefill_tick(self) -> None:
+        budget = max(1, self.config.runtime.prefill_chunks_per_tick)
+        for lane in self.lanes:
+            job = lane.prefill
+            if job is None:
+                continue
+            try:
+                for _ in range(budget):
+                    if job.done:
+                        break
+                    self._run_prefill_chunk(lane, job)
+                if job.done:
+                    self._finish_prefill(lane, job)
+            except Exception as e:
+                lane.request.error = f"prefill failed: {e!r}"
+                self._release(lane, RequestState.FAILED)
+
+    def _run_prefill_chunk(self, lane: _Lane, job: _PrefillJob) -> None:
+        eng = self.engine
+        c0 = job.pos
+        c1 = min(c0 + job.chunk, job.max_len)
+        pos = c0 + np.arange(c1 - c0)[None, :]
+        pos = np.where(pos < job.L, pos, -1)
+        logits, self.kv = eng._prefill_fn(
+            eng.params, jnp.asarray(job.tokens[:, c0:c1]),
+            jnp.asarray(pos), self.kv, job.bt_dev,
+            jnp.asarray([min(job.L, c1)], jnp.int32),
+            jnp.asarray([c0], jnp.int32),
+            jnp.asarray([job.L], jnp.int32))
+        job.final_logits = job.final_logits + logits
+        job.pos = c1
+
+    def _finish_prefill(self, lane: _Lane, job: _PrefillJob) -> None:
+        req = lane.request
+        lane.prefill = None
+        lane.seq_len = job.L
+        if job.resume_token is not None:
+            # preemption resume: the next token to append is the last
+            # one already delivered — nothing is sampled or re-sent
+            lane.last_token = job.resume_token
+            return
+        samp = req.sampling or self._samp
+        key = request_key(req.seed, 0)
+        tok = int(np.asarray(self.engine._sample_fn(
+            job.final_logits, key, mode=samp.mode(),
+            **samp.as_arrays(1)))[0])
+        lane.last_token = tok
         req.first_token_at = time.time()
         self._deliver(lane, tok)
+
+    # -- preemption / swap -----------------------------------------------------
 
     def _swap_out(self, lane: _Lane) -> None:
         """Preempt by moving the lane's KV pages to host RAM; the
@@ -281,6 +447,7 @@ class Scheduler:
         lane.request = None
         lane.seq_len = 0
         req.state = RequestState.WAITING
+        self.n_preempted += 1
         self.waiting.put(req)
 
     def _swap_in(self, lane: _Lane, req: Request) -> None:
@@ -297,6 +464,18 @@ class Scheduler:
         lane.seq_len = seq_len
         lane.last_token = last_token
         req.state = RequestState.RUNNING
+
+    def _preempt(self, lane: _Lane) -> None:
+        self.n_preempted += 1
+        if lane.prefill is not None or not self.config.cache.enable_swap:
+            # re-queue; delivered tokens stay on the request and are
+            # teacher-forced on re-admission (no re-delivery)
+            self._release(lane, RequestState.WAITING, requeue=True)
+        else:
+            self.n_preempted -= 1          # _swap_out counts itself
+            self._swap_out(lane)
+
+    # -- delivery / release ----------------------------------------------------
 
     def _deliver(self, lane: _Lane, tok: int) -> None:
         req = lane.request
@@ -326,14 +505,30 @@ class Scheduler:
         lane.pages = []
         lane.request = None
         lane.seq_len = 0
+        lane.prefill = None
         if requeue:
             req.state = RequestState.WAITING
-            req.tokens = []
             self.waiting.put(req)
             return
         req.state = state
         req.finished_at = time.time()
+        if state == RequestState.FINISHED:
+            self.n_finished += 1
+        elif state == RequestState.FAILED:
+            self.n_failed += 1
+            log_event("request_failed", req_id=req.req_id,
+                      error=req.error)
         req._out.put(_END)
+
+    def _fail_request(self, req: Request, error: str) -> None:
+        req.error = error
+        req.state = RequestState.FAILED
+        req.finished_at = time.time()
+        self.n_failed += 1
+        log_event("request_failed", req_id=req.req_id, error=error)
+        req._out.put(_END)
+
+    # -- decode ----------------------------------------------------------------
 
     def _reclaim_window_pages(self) -> None:
         """Sliding-window models: pages wholly below every live query's
@@ -344,7 +539,7 @@ class Scheduler:
         if w <= 0:
             return
         for lane in self.lanes:
-            if lane.free:
+            if not lane.decoding:
                 continue
             # next decode query sits at position seq_len; keys
             # <= seq_len - w are out of its (and every later) window
@@ -355,51 +550,66 @@ class Scheduler:
                     self.engine.allocator.free(lane.pages[j])
                     lane.pages[j] = 0          # dump-page placeholder
 
-    def _grow_pages(self) -> None:
-        """Ensure every active lane has a page for this step's token;
-        preempt the youngest lane on pool exhaustion (never drop live
-        pages — unlike the reference's silent LRU eviction)."""
+    def _grow_pages(self, horizon: int) -> None:
+        """Ensure every decoding lane has pages for the next ``horizon``
+        tokens; preempt the youngest lane on pool exhaustion (never
+        drop live pages — unlike the reference's silent LRU eviction)."""
         self._reclaim_window_pages()
-        active = [l for l in self.lanes if not l.free]
         while True:
+            active = [l for l in self.lanes if l.decoding]
             try:
                 for lane in active:
-                    need = cdiv(lane.seq_len + 1, self.page)
+                    steps = min(horizon, lane.request.max_new_tokens
+                                - len(lane.request.tokens))
+                    need = cdiv(lane.seq_len + max(steps, 1), self.page)
                     while len(lane.pages) < need:
                         lane.pages.extend(
                             self.engine.allocator.alloc_many(1))
                 return
             except OutOfPagesError:
-                victim = max(active,
-                             key=lambda l: l.request.arrived_at)
-                if self.config.cache.enable_swap:
-                    self._swap_out(victim)
-                else:
-                    self._release(victim, RequestState.WAITING,
-                                  requeue=True)
-                active.remove(victim)
-                if not active:
+                victims = [l for l in self.lanes if not l.free]
+                if not victims:
                     return
+                self._preempt(max(victims,
+                                  key=lambda l: l.request.arrived_at))
 
-    def _decode_step(self) -> int:
-        active = [l for l in self.lanes if not l.free]
+    def _burst_steps(self, active: List[_Lane]) -> int:
+        """Device steps for this burst: enough for the longest-remaining
+        lane, capped at ``decode_burst``, rounded up to a power of two
+        so only a handful of program shapes ever compile."""
+        burst = max(1, self.config.runtime.decode_burst)
+        rem = max(l.request.max_new_tokens - len(l.request.tokens)
+                  for l in active)
+        n = 1
+        while n < min(burst, max(rem, 1)):
+            n *= 2
+        return min(n, burst)
+
+    def _decode_tick(self) -> int:
+        if not any(l.decoding for l in self.lanes):
+            return sum(not l.free for l in self.lanes)
+        n_steps = self._burst_steps([l for l in self.lanes if l.decoding])
+        self._grow_pages(n_steps)
+        active = [l for l in self.lanes if l.decoding]
         if not active:
-            return 0
-        self._grow_pages()
-        active = [l for l in self.lanes if not l.free]
-        if not active:
-            return 0
+            return sum(not l.free for l in self.lanes)
 
         eng = self.engine
         bt = np.zeros((self.B, eng.cache.max_pages_per_seq), np.int32)
         sl = np.zeros((self.B,), np.int32)
         toks = np.zeros((self.B,), np.int32)
+        emitted = np.zeros((self.B,), np.int32)
+        budgets = np.zeros((self.B,), np.int32)   # 0 => frozen idle lane
+        seeds = np.zeros((self.B,), np.int32)
         for i, lane in enumerate(self.lanes):
-            if lane.free:
+            if not lane.decoding:
                 continue
             bt[i, :len(lane.pages)] = lane.pages
             sl[i] = lane.seq_len
             toks[i] = lane.last_token
+            emitted[i] = len(lane.request.tokens)
+            budgets[i] = lane.request.max_new_tokens
+            seeds[i] = lane.request.seed
 
         samp = self._samp        # per-request sampling: values per lane
         vals = {k: [] for k in ("temperature", "top_k", "top_p",
@@ -437,18 +647,41 @@ class Scheduler:
             filter_cap=64 if all(0 < s.top_k <= 64 for s in active_s)
             else 0)
 
-        next_tok, self.kv, self.rng = eng._decode_fn(
-            eng.params, jnp.asarray(toks), self.kv, jnp.asarray(bt),
-            jnp.asarray(sl), self.rng, samp_arrays, mode=mode)
-        next_np = np.asarray(next_tok)
+        try:
+            out, self.kv = eng._decode_loop_fn(
+                eng.params, jnp.asarray(toks), self.kv, jnp.asarray(bt),
+                jnp.asarray(sl), jnp.asarray(emitted),
+                jnp.asarray(budgets), jnp.asarray(seeds), samp_arrays,
+                num_steps=n_steps, mode=mode)
+            out_np = np.asarray(out)
+        except Exception as e:
+            self._reset_device_state(e)
+            return sum(not l.free for l in self.lanes)
 
-        n_active = 0
         for i, lane in enumerate(self.lanes):
-            if lane.free:
+            if budgets[i] == 0:
                 continue
-            lane.seq_len += 1
-            lane.last_token = int(next_np[i])
-            self._deliver(lane, lane.last_token)
-            if not lane.free:
-                n_active += 1
-        return n_active
+            for j in range(n_steps):
+                if not lane.decoding:
+                    break              # released (EOS / budget) mid-burst
+                lane.seq_len += 1
+                lane.last_token = int(out_np[i, j])
+                self._deliver(lane, lane.last_token)
+        return sum(not l.free for l in self.lanes)
+
+    def _reset_device_state(self, error: Exception) -> None:
+        """A decode-burst failure cannot be attributed to one lane, and
+        the donated pool buffer may be gone: fail every decoding
+        request, re-queue prefilling ones (their KV is lost either
+        way), reinitialize the pool, and invalidate the prefix cache
+        (its pages' contents died with the pool). Serving continues."""
+        self.n_resets += 1
+        log_event("decode_reset", error=repr(error))
+        for lane in self.lanes:
+            if lane.decoding:
+                lane.request.error = f"decode step failed: {error!r}"
+                self._release(lane, RequestState.FAILED)
+            elif not lane.free:
+                self._release(lane, RequestState.WAITING, requeue=True)
+        self.engine.allocator.drop_cached()
+        self.kv = self.engine._init_cache()

@@ -13,14 +13,15 @@ from pagedattention_based_transformer_decoder_inference_framework_tpu.scheduler 
 GREEDY = SamplingParams(temperature=0.0, eos_token_id=-1)
 
 
-def make_engine(num_pages=64, max_batch=4):
+def make_engine(num_pages=64, max_batch=4, **runtime_kw):
+    rt = dict(max_new_tokens=8, max_batch_size=max_batch,
+              prefill_chunk=16, temperature=0.0, eos_token_id=-1)
+    rt.update(runtime_kw)
     cfg = FrameworkConfig(
         model=preset("llama-tiny"),
         cache=CacheConfig(page_size=8, num_pages=num_pages,
                           max_pages_per_seq=8, kv_dtype="float32"),
-        runtime=RuntimeConfig(max_new_tokens=8, max_batch_size=max_batch,
-                              prefill_chunk=16, temperature=0.0,
-                              eos_token_id=-1),
+        runtime=RuntimeConfig(**rt),
     )
     cfg.model.dtype = "float32"
     return Engine(cfg, interpret=True)
@@ -81,17 +82,24 @@ def test_eos_frees_lane_early():
 
 def test_preemption_requeues_youngest():
     """Pool too small for both requests at full length: the younger one
-    must be preempted and still finish correctly afterwards."""
+    must be preempted and still finish correctly afterwards — and the
+    client-visible stream must contain each token exactly once (the
+    requeue teacher-forces already-delivered tokens on re-prefill
+    instead of re-generating them; ADVICE round 1 high)."""
     eng = make_engine(num_pages=6, max_batch=2)   # 5 usable pages
     sched = Scheduler(eng)
     # each needs 1 page prompt + grows to 3 pages over 16 tokens
     r1 = sched.submit([1] * 8, 16, GREEDY)
     r2 = sched.submit([2] * 8, 16, GREEDY)
     sched.run_until_idle(max_steps=4000)
+    assert sched.n_preempted > 0, "pool pressure never preempted"
     assert r1.state == RequestState.FINISHED
     assert r2.state == RequestState.FINISHED
     assert r1.tokens == eng.generate([1] * 8, 16, GREEDY)
     assert r2.tokens == eng.generate([2] * 8, 16, GREEDY)
+    # the delivered stream has no duplicated prefix after requeue
+    assert list(r1.stream()) == r1.tokens
+    assert list(r2.stream()) == r2.tokens
     assert eng.allocator.num_live == 0
 
 
@@ -185,7 +193,7 @@ def test_sliding_window_reclaims_pages():
     """A windowed model's scheduler frees pages that fall out of every
     query's window (rolling buffer) and still decodes exactly like the
     engine's own windowed generate."""
-    eng = make_engine(num_pages=16, max_batch=1)
+    eng = make_engine(num_pages=16, max_batch=1, decode_burst=4)
     eng.config.model.sliding_window = 12     # < final seq_len of 24
     eng.cfg.sliding_window = 12
     sched = Scheduler(eng)
@@ -199,5 +207,6 @@ def test_sliding_window_reclaims_pages():
     assert r.tokens == eng.generate([3] * 8, 24, GREEDY)
     assert eng.allocator.num_live == 0
     # 32 final tokens = 4 pages unwindowed; the rolling buffer caps the
-    # peak at ceil(window/page) + 1 = 3 (window may straddle a boundary)
+    # peak at ceil((window + burst_horizon)/page) + 1 boundary slack =
+    # 3 pages — pages ahead of the window are pre-allocated per burst
     assert peak <= 3, peak

@@ -156,8 +156,18 @@ def cmd_rerank(args) -> int:
 
     cfg = build_config(args)
     tok = get_tokenizer(cfg.tokenizer)
-    eng = build_engine(cfg)
-    rr = Reranker(LogProbScorer(eng))
+    if args.scorer == "cross-encoder":
+        from ..reranker import CrossEncoderScorer
+
+        path = args.reranker_model or cfg.runtime.reranker_model
+        if not path:
+            print("--reranker-model (or runtime.reranker_model) required "
+                  "for --scorer cross-encoder")
+            return 2
+        rr = Reranker(CrossEncoderScorer(path, id_tokenizer=tok))
+    else:
+        eng = build_engine(cfg)
+        rr = Reranker(LogProbScorer(eng))
     ctx = tok.encode(args.context)
     cands = [tok.encode(c) for c in args.candidates]
     scores = rr.rerank_scores(ctx, cands)
@@ -253,6 +263,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     add_common(p)
     p.add_argument("--context", required=True)
     p.add_argument("--candidates", nargs="+", required=True)
+    p.add_argument("--scorer", default="logprob",
+                   choices=("logprob", "cross-encoder"))
+    p.add_argument("--reranker-model", default="",
+                   help="fine-tuned cross-encoder path (finetune.py)")
     p.set_defaults(fn=cmd_rerank)
 
     p = sub.add_parser("build_jsonl",

@@ -68,7 +68,13 @@ def _copy_pages_fn(engine: Engine):
 
 
 class BeamSearcher:
-    """Beam decoding against one :class:`Engine` (single data shard)."""
+    """Beam decoding against one :class:`Engine` (single data shard).
+
+    Runs over its own KV pool *and* its own page allocator (a private
+    :class:`EngineState`), so beam requests coexist with a live
+    continuous-batching scheduler on the same engine — no shared mutable
+    host state, no pausing (ADVICE round 1: ``stream_chat_beam`` used to
+    stop the scheduler pump for the whole search)."""
 
     def __init__(self, engine: Engine, beam_width: int = 4,
                  length_penalty: float = 0.0):
@@ -77,6 +83,11 @@ class BeamSearcher:
         self.W = beam_width
         self.length_penalty = length_penalty
         self._copy_pages = _copy_pages_fn(engine)
+        from ..kvcache.native import make_allocator
+
+        self.allocator = make_allocator(
+            engine.cache.num_pages,
+            native=engine.cache.native_allocator)
 
     # -- page bookkeeping ---------------------------------------------------
 
@@ -84,7 +95,7 @@ class BeamSearcher:
         """Re-wire each beam row to its parent's pages (shared), making
         the tail page exclusive (device COW copy) so the next append
         cannot clobber a sibling."""
-        alloc = self.engine.allocator
+        alloc = self.allocator
         page_size = self.engine.cache.page_size
         old_pages = state.pages
         new_pages: List[List[int]] = []
@@ -121,12 +132,18 @@ class BeamSearcher:
                num_return: Optional[int] = None) -> List[BeamHypothesis]:
         """Run beam search; returns hypotheses sorted by normalized score."""
         eng, W = self.engine, self.W
-        state = eng.prefill([prompt] * W)
-        # all rows ran the same prompt — collapse to shared pages:
-        # row 0 keeps its pages, other rows' pages are freed and re-forked
+        # the prompt is prefilled ONCE (batch 1); the W beam rows then
+        # share its pages by refcount (the reference's intent — beam-
+        # keyed page table, kv_cache/page_table.hpp:14,41 — where its
+        # actual implementation regenerated per beam, api/router.py:64)
+        state = eng.prefill([prompt], allocators=[self.allocator])
         logits0 = state.prefill_logits[0]
+        L = int(state.seq_lens[0])
+        state.seq_lens = np.full((W,), L, np.int32)
+        state.last_tokens = np.zeros((W,), np.int32)
+        state.finished = np.zeros((W,), bool)
         parents0 = np.zeros((W,), np.int32)
-        self._fork_rows(state, parents0)
+        self._fork_rows(state, parents0)   # 1 row -> W refcount-shared rows
 
         logprobs = _log_softmax(logits0)
         top = np.argsort(-logprobs)[:W]

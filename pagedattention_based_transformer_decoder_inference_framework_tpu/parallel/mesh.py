@@ -4,8 +4,8 @@ The TPU-native communication backend (SURVEY.md §5.8): the reference has
 no distributed layer at all (§2.3 — single-device CUDA only), so this is
 a first-class new component. All cross-chip traffic is XLA collectives
 over ICI (tensor-parallel 'model' axis) / DCN (data axis across hosts),
-emitted by GSPMD from the ``shard_map`` program in
-``engine/sharded.py`` — never hand-written transport code.
+emitted by GSPMD from the ``shard_map``-wrapped engine steps
+(``engine/engine.py:_shard_step``) — never hand-written transport code.
 """
 
 from __future__ import annotations

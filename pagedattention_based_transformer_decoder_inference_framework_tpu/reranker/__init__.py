@@ -1,3 +1,5 @@
-from .api import LogProbScorer, Reranker, RerankScorer
+from .api import (CrossEncoderScorer, LogProbScorer, Reranker,
+                  RerankScorer)
 
-__all__ = ["Reranker", "RerankScorer", "LogProbScorer"]
+__all__ = ["Reranker", "RerankScorer", "LogProbScorer",
+           "CrossEncoderScorer"]

@@ -26,18 +26,27 @@ class RerankScorer(Protocol):
 
 
 class LogProbScorer:
-    """Scores candidates by decoder log-prob(candidate | context)."""
+    """Scores candidates by decoder log-prob(candidate | context).
+
+    Runs over a private KV pool + page allocator, so scoring can happen
+    while a continuous-batching scheduler drives the same engine from
+    another thread (no shared mutable host state)."""
 
     def __init__(self, engine, length_normalize: bool = True):
+        from ..kvcache.native import make_allocator
+
         self.engine = engine
         self.length_normalize = length_normalize
+        self._allocator = make_allocator(
+            engine.cache.num_pages, native=engine.cache.native_allocator)
 
     def score(self, context_ids: Sequence[int],
               candidate_ids: Sequence[int]) -> float:
         if not candidate_ids:
             return -math.inf
         eng = self.engine
-        state = eng.prefill([list(context_ids)])
+        state = eng.prefill([list(context_ids)],
+                            allocators=[self._allocator])
         try:
             logits = state.prefill_logits[0]
             total = 0.0
@@ -55,23 +64,35 @@ class LogProbScorer:
 
 class CrossEncoderScorer:
     """HF sequence-classification cross-encoder (e.g. the model produced
-    by ``finetune.py``). Requires torch+transformers; local path only."""
+    by ``finetune.py``; reference ``reranker/reranker.cpp:16-17`` intent).
+    Requires torch+transformers; local path only.
 
-    def __init__(self, model_path: str, tokenizer=None):
+    ``id_tokenizer`` (the framework tokenizer that produced the token
+    ids) makes the id-based :class:`RerankScorer` interface work
+    end-to-end: ids are decoded to text and fed to the cross-encoder."""
+
+    def __init__(self, model_path: str, tokenizer=None,
+                 id_tokenizer=None):
         import torch
         from transformers import (AutoModelForSequenceClassification,
                                   AutoTokenizer)
 
         self._torch = torch
         self.tok = tokenizer or AutoTokenizer.from_pretrained(model_path)
+        self.id_tokenizer = id_tokenizer
         self.model = AutoModelForSequenceClassification.from_pretrained(
             model_path)
         self.model.eval()
 
     def score(self, context_ids: Sequence[int],
               candidate_ids: Sequence[int]) -> float:
-        # the cross-encoder consumes text; ids are decoded by the caller
-        raise NotImplementedError("use score_text for cross encoders")
+        if self.id_tokenizer is None:
+            raise ValueError(
+                "CrossEncoderScorer.score over token ids needs "
+                "id_tokenizer=<framework tokenizer>; or call score_text")
+        return self.score_text(
+            self.id_tokenizer.decode(list(context_ids)),
+            self.id_tokenizer.decode(list(candidate_ids)))
 
     def score_text(self, context: str, candidate: str) -> float:
         torch = self._torch

@@ -82,8 +82,9 @@ def _make_handler(core: ServerCore):
                     self.wfile.write(data + b"\r\n")
                 self.wfile.write(b"0\r\n\r\n")
             except Exception as e:
-                core.metrics.record(tokens_in=0, tokens_out=0, ttft_s=None,
-                                    total_s=0.0, failed=True)
+                # ServerCore records the failure (with real token
+                # counts) before raising; recording here again would
+                # double-count requests_failed
                 try:
                     self._json(500, {"error": str(e)})
                 except Exception:

@@ -14,6 +14,7 @@ Streaming framings:
 from __future__ import annotations
 
 import json
+import threading
 import time
 from typing import Iterator, List, Optional
 
@@ -49,7 +50,14 @@ class ServerCore:
         if reranker is None:
             from ..reranker import LogProbScorer, Reranker
 
-            reranker = Reranker(LogProbScorer(engine))
+            if self.config.runtime.reranker_model:
+                from ..reranker import CrossEncoderScorer
+
+                reranker = Reranker(CrossEncoderScorer(
+                    self.config.runtime.reranker_model,
+                    id_tokenizer=self.tokenizer))
+            else:
+                reranker = Reranker(LogProbScorer(engine))
         self.reranker = reranker
         self.metrics = Metrics()
         self.scheduler = None
@@ -58,6 +66,11 @@ class ServerCore:
 
             self.scheduler = Scheduler(engine)
             self.scheduler.start()
+        # beam requests run on a private KV pool + allocator concurrent
+        # with the scheduler; the lock only serializes beams against
+        # each other (bounds transient pool memory to one extra pool)
+        self._beam_lock = threading.Lock()
+        self._beam_searchers: dict = {}
 
     # -- helpers -------------------------------------------------------------
 
@@ -71,12 +84,15 @@ class ServerCore:
                     sampling: SamplingParams, seed: Optional[int]):
         """Token source: the continuous-batching scheduler when enabled
         (concurrent requests share decode steps), else a dedicated
-        engine stream."""
+        engine stream. Returns ``(iterator, request-or-None)`` — the
+        request handle carries failure state (``error``) the endpoints
+        surface as error responses/frames (SURVEY.md §5.3)."""
         if self.scheduler is not None:
-            req = self.scheduler.submit(prompt_ids, max_new, sampling)
-            return req.stream()
+            req = self.scheduler.submit(prompt_ids, max_new, sampling,
+                                        seed=seed)
+            return req.stream(), req
         return self.engine.generate_stream(prompt_ids, max_new, sampling,
-                                           seed=seed)
+                                           seed=seed), None
 
     def _stream(self, prompt_ids: List[int], max_new: int,
                 sampling: SamplingParams,
@@ -84,22 +100,36 @@ class ServerCore:
         t0 = time.time()
         ttft = None
         n_out = 0
-        for tok in self._token_iter(prompt_ids, max_new, sampling, seed):
-            if ttft is None:
-                ttft = time.time() - t0
-            n_out += 1
-            yield {"token": int(tok),
-                   "text": self.tokenizer.decode_token(tok)}
-            if self.config.runtime.stream_delay_ms:
-                time.sleep(self.config.runtime.stream_delay_ms / 1000)
+        it, handle = self._token_iter(prompt_ids, max_new, sampling, seed)
+        try:
+            for tok in it:
+                if ttft is None:
+                    ttft = time.time() - t0
+                n_out += 1
+                yield {"token": int(tok),
+                       "text": self.tokenizer.decode_token(tok)}
+                if self.config.runtime.stream_delay_ms:
+                    time.sleep(self.config.runtime.stream_delay_ms / 1000)
+        except Exception as e:           # engine-path error mid-stream
+            self.metrics.record(tokens_in=len(prompt_ids),
+                                tokens_out=n_out, ttft_s=ttft,
+                                total_s=time.time() - t0, failed=True)
+            yield {"token": None, "finish_reason": "error",
+                   "error": str(e)}
+            return
+        err = handle.error if handle is not None else None
         self.metrics.record(tokens_in=len(prompt_ids), tokens_out=n_out,
-                            ttft_s=ttft, total_s=time.time() - t0)
+                            ttft_s=ttft, total_s=time.time() - t0,
+                            failed=err is not None)
         log_event("stream_done", tokens_in=len(prompt_ids),
                   tokens_out=n_out,
                   ttft_ms=round((ttft or 0.0) * 1e3, 1),
                   total_ms=round((time.time() - t0) * 1e3, 1))
-        yield {"token": None,
-               "finish_reason": "eos" if n_out < max_new else "length"}
+        if err is not None:
+            yield {"token": None, "finish_reason": "error", "error": err}
+        else:
+            yield {"token": None,
+                   "finish_reason": "eos" if n_out < max_new else "length"}
 
     @staticmethod
     def frame(gen: Iterator[dict], sse: bool) -> Iterator[str]:
@@ -122,8 +152,14 @@ class ServerCore:
     def generate(self, req: GenerateRequest) -> dict:
         t0 = time.time()
         ids = self.tokenizer.encode(req.prompt)
-        out = list(self._token_iter(ids, req.max_new_tokens,
-                                    self._sampling(req), req.seed))
+        it, handle = self._token_iter(ids, req.max_new_tokens,
+                                      self._sampling(req), req.seed)
+        out = list(it)
+        if handle is not None and handle.error is not None:
+            self.metrics.record(tokens_in=len(ids), tokens_out=len(out),
+                                ttft_s=None, total_s=time.time() - t0,
+                                failed=True)
+            raise RuntimeError(handle.error)      # transports map to 500
         reason = ("eos" if out and out[-1] == self.tokenizer.eos_token_id
                   else "length")
         self.metrics.record(tokens_in=len(ids), tokens_out=len(out),
@@ -134,20 +170,28 @@ class ServerCore:
     def generate_batch(self, req: BatchGenerateRequest) -> dict:
         t0 = time.time()
         idss = [self.tokenizer.encode(p) for p in req.prompts]
+        errors: List[Optional[str]] = [None] * len(idss)
         if self.scheduler is not None:
             rs = [self.scheduler.submit(ids, req.max_new_tokens,
-                                        self._sampling(req))
+                                        self._sampling(req), seed=req.seed)
                   for ids in idss]
             outs = [list(r.stream()) for r in rs]
+            errors = [r.error for r in rs]
         else:
             outs = self.engine.generate_batch(
                 idss, req.max_new_tokens, self._sampling(req),
                 seed=req.seed)
         self.metrics.record(tokens_in=sum(map(len, idss)),
                             tokens_out=sum(map(len, outs)), ttft_s=None,
-                            total_s=time.time() - t0)
-        return {"results": [{"text": self.tokenizer.decode(o), "tokens": o}
-                            for o in outs]}
+                            total_s=time.time() - t0,
+                            failed=any(e is not None for e in errors))
+        results = []
+        for o, e in zip(outs, errors):
+            r = {"text": self.tokenizer.decode(o), "tokens": o}
+            if e is not None:
+                r["error"] = e                   # per-request isolation
+            results.append(r)
+        return {"results": results}
 
     def stream_generate(self, req: GenerateRequest,
                         sse: bool) -> Iterator[str]:
@@ -171,17 +215,19 @@ class ServerCore:
             [m.model_dump() for m in req.messages])
         ids = self.tokenizer.encode(prompt)
         t0 = time.time()
-        if self.scheduler is not None:
-            self.scheduler.stop()   # beam drives the engine directly
-        beams = BeamSearcher(self.engine,
-                             beam_width=req.beam_width).search(
-            ids, req.max_new_tokens,
-            eos_token_id=self.tokenizer.eos_token_id)
-        cands = [b.tokens for b in beams]
-        best = (self.reranker.select_best(ids, cands) if req.use_rerank
-                else 0)
-        if self.scheduler is not None:
-            self.scheduler.start()
+        with self._beam_lock:     # beams serialize among themselves only;
+            # the scheduler keeps pumping concurrently (private pool)
+            searcher = self._beam_searchers.get(req.beam_width)
+            if searcher is None:
+                searcher = BeamSearcher(self.engine,
+                                        beam_width=req.beam_width)
+                self._beam_searchers[req.beam_width] = searcher
+            beams = searcher.search(
+                ids, req.max_new_tokens,
+                eos_token_id=self.tokenizer.eos_token_id)
+            cands = [b.tokens for b in beams]
+            best = (self.reranker.select_best(ids, cands)
+                    if req.use_rerank else 0)
         winner = cands[best]
         self.metrics.record(tokens_in=len(ids), tokens_out=len(winner),
                             ttft_s=None, total_s=time.time() - t0)

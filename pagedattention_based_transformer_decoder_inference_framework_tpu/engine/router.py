@@ -25,12 +25,19 @@ def resolve_backend(mode: str) -> str:
 
 def build_engine(config: FrameworkConfig, params=None, mesh=None,
                  seed: int = 0):
-    """Engine factory honoring ``config.server.backend``."""
+    """Engine factory honoring ``config.server.backend`` and
+    ``config.weights_path`` (a native ``.npz`` checkpoint — the output
+    of ``models/hf_stream.py`` import or ``checkpoint.save_params``;
+    INT8-quantized checkpoints load as :class:`QTensor` leaves)."""
     from .engine import Engine
 
     backend = resolve_backend(config.server.backend)
     if backend == "tpu" and not on_tpu():
         raise RuntimeError("backend 'tpu' requested but no TPU attached")
     interpret = backend == "cpu"
+    if params is None and config.weights_path:
+        from ..models.checkpoint import load_params
+
+        params = load_params(config.weights_path)
     return Engine(config, params=params, interpret=interpret, seed=seed,
                   mesh=mesh)

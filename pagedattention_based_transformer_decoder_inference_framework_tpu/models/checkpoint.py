@@ -18,7 +18,43 @@ import numpy as np
 
 from ..quant.tensor import QTensor
 
+try:
+    import ml_dtypes
+
+    _BF16 = np.dtype(ml_dtypes.bfloat16)
+except ImportError:                    # pragma: no cover
+    _BF16 = None
+
 _SEP = "/"
+# npz cannot represent bfloat16 (numpy's .npy descr rejects it on
+# load); bf16 arrays are stored as their raw uint16 bits under a
+# ``.bf16`` key suffix and viewed back on load.
+_BF16_SUFFIX = ".bf16"
+
+
+def save_flat(flat: Dict[str, np.ndarray], path: str) -> None:
+    """Write a flat ``key -> array`` dict as ``.npz`` (bf16-safe)."""
+    enc: Dict[str, np.ndarray] = {}
+    for k, v in flat.items():
+        v = np.asarray(v)
+        if _BF16 is not None and v.dtype == _BF16:
+            enc[k + _BF16_SUFFIX] = v.view(np.uint16)
+        else:
+            enc[k] = v
+    np.savez(path, **enc)
+
+
+def load_flat(path: str) -> Dict[str, np.ndarray]:
+    """Read a flat dict written by :func:`save_flat`."""
+    data = np.load(path)
+    out: Dict[str, np.ndarray] = {}
+    for k in data.files:
+        if k.endswith(_BF16_SUFFIX):
+            assert _BF16 is not None, "ml_dtypes required for bf16 load"
+            out[k[: -len(_BF16_SUFFIX)]] = data[k].view(_BF16)
+        else:
+            out[k] = data[k]
+    return out
 
 
 def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
@@ -35,20 +71,19 @@ def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
 
 
 def save_params(params: Any, path: str) -> None:
-    flat = _flatten(params)
-    np.savez(path, **flat)
+    save_flat(_flatten(params), path)
 
 
 def load_params(path: str, dtype=None) -> Any:
-    data = np.load(path)
+    data = load_flat(path)
     tree: Dict[str, Any] = {}
     qt: Dict[str, Dict[str, np.ndarray]] = {}
-    for key in data.files:
+    for key, v in data.items():
         if key.endswith(".qvalues") or key.endswith(".qscales"):
             base, kind = key.rsplit(".", 1)
-            qt.setdefault(base, {})[kind] = data[key]
+            qt.setdefault(base, {})[kind] = v
             continue
-        _insert(tree, key.split(_SEP), _cast(data[key], dtype))
+        _insert(tree, key.split(_SEP), _cast(v, dtype))
     for base, parts in qt.items():
         _insert(tree, base.split(_SEP),
                 QTensor(jnp.asarray(parts["qvalues"]),

@@ -1,0 +1,272 @@
+"""Streaming HF-checkpoint import: safetensors shards -> per-layer INT8
+quantization -> native checkpoint, at ~one-tensor peak host memory.
+
+The scalable version of ``hf_import.py`` (which needs the whole f32
+``state_dict`` resident — ≈32 GB for an 8B model). This module walks
+the safetensors shard index, loads ONE tensor at a time, optionally
+quantizes it per-channel (symmetric absmax, the reference's intended
+offline pipeline ``decoder/int8_decoder.cpp:43-89`` with its signed-max
+bug fixed), and writes straight into pre-allocated stacked INT8/bf16
+arrays in the native checkpoint layout (``models/checkpoint.py``), so
+peak memory is the final (quantized) parameter set plus one f32 tensor
+— not the f32 model. Reference weight tree: ``weights/README.md:26-59``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..config import ModelConfig
+
+try:
+    import ml_dtypes
+
+    _BF16 = np.dtype(ml_dtypes.bfloat16)
+except ImportError:                    # pragma: no cover
+    _BF16 = np.dtype(np.float32)
+
+#: weight keys that get INT8-quantized (matches model._QUANT_KEYS)
+QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+
+
+class ShardReader:
+    """Random access to tensors across a safetensors shard set.
+
+    Handles both single-file ``model.safetensors`` and sharded
+    ``model.safetensors.index.json`` checkpoints; file handles open
+    lazily and tensors load one at a time (true streaming IO)."""
+
+    def __init__(self, hf_dir: str):
+        self.dir = hf_dir
+        index = os.path.join(hf_dir, "model.safetensors.index.json")
+        single = os.path.join(hf_dir, "model.safetensors")
+        self._map: Dict[str, str] = {}
+        if os.path.exists(index):
+            meta = json.load(open(index))
+            self._map = dict(meta["weight_map"])
+        elif os.path.exists(single):
+            from safetensors import safe_open
+
+            with safe_open(single, framework="numpy") as f:
+                for k in f.keys():
+                    self._map[k] = "model.safetensors"
+        else:
+            raise FileNotFoundError(
+                f"no model.safetensors[.index.json] under {hf_dir}")
+        self._open: Dict[str, object] = {}
+
+    def keys(self):
+        return self._map.keys()
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._map
+
+    def get(self, name: str) -> np.ndarray:
+        from safetensors import safe_open
+
+        fname = self._map[name]
+        f = self._open.get(fname)
+        if f is None:
+            f = safe_open(os.path.join(self.dir, fname),
+                          framework="numpy")
+            self._open[fname] = f
+        t = f.get_tensor(name)
+        if t.dtype == _BF16 or t.dtype.kind != "f":
+            t = t.astype(np.float32)
+        return np.asarray(t, np.float32)
+
+
+def _quant_np(w: np.ndarray):
+    """Per-output-channel symmetric absmax INT8 (numpy twin of
+    ``quant.tensor.quantize_per_channel`` for one ``[in, out]`` layer)."""
+    absmax = np.abs(w).max(axis=-2, keepdims=True)
+    scale = np.maximum(absmax, 1e-8) / 127.0
+    q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+    return q, scale.astype(np.float32)
+
+
+def _llama_layer_map(i: int) -> Dict[str, tuple]:
+    """our-key -> (hf key, transpose). torch Linear stores [out, in]."""
+    p = f"model.layers.{i}."
+    m = {
+        "ln1_scale": (p + "input_layernorm.weight", False),
+        "ln2_scale": (p + "post_attention_layernorm.weight", False),
+        "wq": (p + "self_attn.q_proj.weight", True),
+        "wk": (p + "self_attn.k_proj.weight", True),
+        "wv": (p + "self_attn.v_proj.weight", True),
+        "wo": (p + "self_attn.o_proj.weight", True),
+        "w_gate": (p + "mlp.gate_proj.weight", True),
+        "w_up": (p + "mlp.up_proj.weight", True),
+        "w_down": (p + "mlp.down_proj.weight", True),
+    }
+    # qwen2-style attention biases (cfg.use_qkv_bias)
+    for ours, hf in (("bq", "self_attn.q_proj.bias"),
+                     ("bk", "self_attn.k_proj.bias"),
+                     ("bv", "self_attn.v_proj.bias")):
+        m[ours] = (p + hf, False)
+    return m
+
+
+def _gpt2_layer_keys(i: int) -> Dict[str, tuple]:
+    p = f"h.{i}."
+    return {
+        "ln1_scale": (p + "ln_1.weight", False),
+        "ln1_bias": (p + "ln_1.bias", False),
+        "ln2_scale": (p + "ln_2.weight", False),
+        "ln2_bias": (p + "ln_2.bias", False),
+        "wo": (p + "attn.c_proj.weight", False),
+        "bo": (p + "attn.c_proj.bias", False),
+        "w_up": (p + "mlp.c_fc.weight", False),
+        "b_up": (p + "mlp.c_fc.bias", False),
+        "w_down": (p + "mlp.c_proj.weight", False),
+        "b_down": (p + "mlp.c_proj.bias", False),
+    }
+
+
+def import_hf_streaming(hf_dir: str, cfg: ModelConfig,
+                        quant: Optional[str] = None,
+                        out_path: Optional[str] = None) -> Dict:
+    """Stream-convert an HF checkpoint directory.
+
+    Returns the flat checkpoint dict (``checkpoint.py`` key layout:
+    ``layers/wq.qvalues`` etc.); when ``out_path`` is given, also writes
+    it as a native ``.npz``. ``quant``: None keeps bf16 weights,
+    ``"int8"``/``"int8-weight"`` quantizes matmul weights + lm_head.
+    """
+    r = ShardReader(hf_dir)
+    gpt2 = any(k.endswith("wte.weight") for k in r.keys())
+    # some exports prefix with "transformer."
+    prefix = ""
+    for k in r.keys():
+        if k.startswith("transformer."):
+            prefix = "transformer."
+            break
+
+    def get(name):
+        return r.get(prefix + name if (prefix + name) in r else name)
+
+    def has(name):
+        return (prefix + name) in r or name in r
+
+    L = cfg.num_layers
+    do_quant = quant in ("int8", "int8-weight")
+    flat: Dict[str, np.ndarray] = {}
+
+    def put_layer_tensor(ours: str, i: int, w: np.ndarray):
+        """Write layer ``i``'s tensor into its stacked destination,
+        allocating the stacked array on first touch."""
+        if do_quant and ours in QUANT_KEYS:
+            q, s = _quant_np(w)
+            kv_ = f"layers/{ours}.qvalues"
+            ks_ = f"layers/{ours}.qscales"
+            if kv_ not in flat:
+                flat[kv_] = np.empty((L,) + q.shape, np.int8)
+                flat[ks_] = np.empty((L,) + s.shape, np.float32)
+            flat[kv_][i] = q
+            flat[ks_][i] = s
+        else:
+            tgt = _BF16 if w.dtype.kind == "f" else w.dtype
+            key = f"layers/{ours}"
+            if key not in flat:
+                flat[key] = np.empty((L,) + w.shape, tgt)
+            flat[key][i] = w.astype(tgt)
+
+    if gpt2:
+        for i in range(L):
+            # fused c_attn [D, 3D] -> wq|wk|wv (+ biases); HF GPT-2 uses
+            # Conv1D so weights are already [in, out]
+            D = cfg.hidden_size
+            ca = get(f"h.{i}.attn.c_attn.weight")
+            cb = get(f"h.{i}.attn.c_attn.bias")
+            for j, ours in enumerate(("wq", "wk", "wv")):
+                put_layer_tensor(ours, i, ca[:, j * D:(j + 1) * D])
+            for j, ours in enumerate(("bq", "bk", "bv")):
+                put_layer_tensor(ours, i, cb[j * D:(j + 1) * D])
+            del ca, cb
+            for ours, (hf, _) in _gpt2_layer_keys(i).items():
+                put_layer_tensor(ours, i, get(hf))
+        flat["embedding"] = get("wte.weight").astype(_BF16)
+        flat["pos_embedding"] = get("wpe.weight").astype(_BF16)
+        flat["final_norm_scale"] = get("ln_f.weight").astype(_BF16)
+        flat["final_norm_bias"] = get("ln_f.bias").astype(_BF16)
+    else:
+        for i in range(L):
+            for ours, (hf, transpose) in _llama_layer_map(i).items():
+                if not has(hf):
+                    continue           # optional biases absent
+                w = get(hf)
+                put_layer_tensor(ours, i, w.T if transpose else w)
+        flat["embedding"] = get("model.embed_tokens.weight").astype(_BF16)
+        flat["final_norm_scale"] = get("model.norm.weight").astype(_BF16)
+        if not cfg.tie_embeddings:
+            head = (get("lm_head.weight")
+                    if has("lm_head.weight")
+                    else get("model.embed_tokens.weight")).T
+            if do_quant:
+                q, s = _quant_np(head)
+                flat["lm_head.qvalues"], flat["lm_head.qscales"] = q, s
+            else:
+                flat["lm_head"] = head.astype(_BF16)
+
+    if out_path is not None:
+        from .checkpoint import save_flat
+
+        save_flat(flat, out_path)
+    return flat
+
+
+def load_flat_params(flat: Dict[str, np.ndarray], dtype=None):
+    """Rebuild the param pytree from a flat dict (same layout
+    ``checkpoint.load_params`` reads from an ``.npz``)."""
+    import jax.numpy as jnp
+
+    from ..quant.tensor import QTensor
+    from .checkpoint import _insert
+
+    tree: Dict = {}
+    qt: Dict[str, Dict[str, np.ndarray]] = {}
+    for key, v in flat.items():
+        if key.endswith(".qvalues") or key.endswith(".qscales"):
+            base, kind = key.rsplit(".", 1)
+            qt.setdefault(base, {})[kind] = v
+            continue
+        arr = jnp.asarray(v)
+        if dtype is not None and jnp.issubdtype(arr.dtype, jnp.floating):
+            arr = arr.astype(dtype)
+        _insert(tree, key.split("/"), arr)
+    for base, parts in qt.items():
+        _insert(tree, base.split("/"),
+                QTensor(jnp.asarray(parts["qvalues"]),
+                        jnp.asarray(parts["qscales"])))
+    return tree
+
+
+def main() -> None:
+    """Offline import/quantize CLI (the reference's
+    ``INT8Decoder::quantize_weights`` as a standalone tool)."""
+    import argparse
+
+    from ..config import preset
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--hf-dir", required=True)
+    ap.add_argument("--model", required=True, help="preset name")
+    ap.add_argument("--output", required=True, help=".npz checkpoint")
+    ap.add_argument("--quant", default="int8-weight",
+                    choices=("none", "int8", "int8-weight"))
+    args = ap.parse_args()
+    cfg = preset(args.model)
+    q = None if args.quant == "none" else args.quant
+    flat = import_hf_streaming(args.hf_dir, cfg, quant=q,
+                               out_path=args.output)
+    total = sum(v.nbytes for v in flat.values())
+    print(f"wrote {args.output}: {len(flat)} tensors, "
+          f"{total / 1e9:.2f} GB")
+
+
+if __name__ == "__main__":
+    main()

@@ -26,7 +26,7 @@ from ..config import FrameworkConfig
 from ..models.model import (DecoderModel, Params, fuse_projections,
                             init_params, unstack_layers)
 from ..parallel.specs import kv_pspec, pad_vocab, param_pspecs, shard_params
-from ..utils.common import cdiv
+from ..utils.common import cdiv, to_host
 from .paged_backend import PagedKVBackend
 from .sampling import SampleMode, SamplingParams, request_key, sample
 
@@ -132,6 +132,7 @@ class Engine:
         self._decode_loop_fn = self._build_decode_loop()
         self._generate_fused_fn = self._build_generate_fused()
         self._decode_logits_fn = None     # built lazily (test/debug path)
+        self._score_fn = None             # built lazily (eval path)
         self._sample_fn = jax.jit(sample, static_argnames=("mode",))
 
     # spec helpers for shard_map-wrapped steps ------------------------------
@@ -178,6 +179,41 @@ class Engine:
                       P(d), P(d), P(d), P(d)),
             out_specs=(P(d), self._kv_specs))
         return functools.partial(jax.jit, donate_argnums=(3,))(sharded)
+
+    def _build_score(self):
+        """Teacher-forced chunk scorer for perplexity eval: forwards one
+        prefill chunk through the paged KV (appending, exactly like
+        ``prefill_chunk``) and reduces the chunk's logits to a per-seq
+        NLL sum + token count on device — so host/device traffic and
+        logit memory are O(chunk), never O(T·V). This replaces the dense
+        O(T²) oracle for anything bigger than tiny models (the reference
+        has no quality harness at all; its quantizer went unvalidated,
+        ``decoder/int8_decoder.cpp:54``)."""
+        model, backend = self.model, self.backend
+        V = self.cfg.vocab_size
+
+        def score_chunk(params, tokens, targets, valid, positions, kv,
+                        block_tables, seq_lens, q_offsets):
+            attn = backend.make_attn_fn(block_tables, seq_lens, q_offsets)
+            logits, kv = model.forward(params, tokens, positions, kv, attn)
+            logp = jax.nn.log_softmax(
+                logits[..., :V].astype(jnp.float32), axis=-1)
+            nll = -jnp.take_along_axis(
+                logp, targets[..., None], axis=-1)[..., 0]
+            nll = jnp.where(valid, nll, 0.0)
+            return nll.sum(axis=1), valid.sum(axis=1), kv
+
+        if self.mesh is None:
+            return functools.partial(jax.jit, donate_argnums=(5,))(
+                score_chunk)
+
+        d = self._data_axis
+        sharded = self._shard_step(
+            score_chunk,
+            in_specs=(self._param_specs, P(d), P(d), P(d), P(d),
+                      self._kv_specs, P(d), P(d), P(d)),
+            out_specs=(P(d), P(d), self._kv_specs))
+        return functools.partial(jax.jit, donate_argnums=(5,))(sharded)
 
     def _build_decode(self):
         model, backend = self.model, self.backend
@@ -456,7 +492,8 @@ class Engine:
         rng = jax.random.key(self.runtime.seed if seed is None else seed)
         rng, sub = jax.random.split(rng)
         sp = sampling or self._default_sampling()
-        first = self._sample_fn(final_logits, sub, mode=sp.mode(),
+        final_np = to_host(final_logits)     # multi-process: allgather
+        first = self._sample_fn(jnp.asarray(final_np), sub, mode=sp.mode(),
                                 **sp.as_arrays(B))
         first_np = np.asarray(first)
 
@@ -464,10 +501,67 @@ class Engine:
             kv=kv, block_tables=bt_np, seq_lens=lens.copy(), pages=pages,
             rng=rng, last_tokens=first_np,
             finished=np.zeros((B,), bool),
-            prefill_logits=np.asarray(final_logits),
+            prefill_logits=final_np,
             allocators=allocators)
         self._mark_finished(state, first_np, sampling)
         return state
+
+    def score_nll(self, prompts: Sequence[Sequence[int]]) -> np.ndarray:
+        """Per-sequence mean NLL of ``tokens[1:]`` given prefixes,
+        teacher-forced through the paged chunked-prefill path.
+
+        Unlike :func:`quant.eval.sequence_nll`'s dense oracle this
+        scales to real models/eval sets: attention reads the page pool
+        (O(T) KV per chunk) and only one chunk of logits ever exists.
+        Pages are freed on return."""
+        if self._score_fn is None:
+            self._score_fn = self._build_score()
+        B = len(prompts)
+        lens = np.array([len(p) for p in prompts], np.int32)
+        assert lens.min() >= 2, "scoring needs at least 2 tokens/seq"
+        assert B % self.dp == 0, f"batch {B} must divide dp={self.dp}"
+        page = self.cache.page_size
+        chunk = cdiv(max(self.runtime.prefill_chunk, 1), page) * page
+        max_len = cdiv(int(lens.max()), page) * page
+
+        pages: List[List[int]] = [
+            self.allocators[self._shard_of(b, B)].alloc_many(
+                cdiv(int(L), page))
+            for b, L in enumerate(lens)
+        ]
+        bt = jnp.asarray(self._block_tables(pages))
+        kv = self._init_cache()
+
+        tokens = np.zeros((B, max_len), np.int32)
+        for b, p in enumerate(prompts):
+            tokens[b, :len(p)] = np.asarray(p, np.int32)
+        # targets[t] = token at t+1 (last column pads with 0, masked off)
+        targets = np.zeros((B, max_len), np.int32)
+        targets[:, :-1] = tokens[:, 1:]
+
+        nll_sum = np.zeros((B,), np.float64)
+        cnt = np.zeros((B,), np.int64)
+        try:
+            for c0 in range(0, max_len, chunk):
+                c1 = min(c0 + chunk, max_len)
+                T = c1 - c0
+                pos = c0 + np.broadcast_to(np.arange(T), (B, T))
+                valid = pos + 1 < lens[:, None]      # target must exist
+                pos_in = np.where(pos < lens[:, None], pos, -1)
+                sl = jnp.asarray(np.clip(lens, 0, c1))
+                qo = jnp.full((B,), c0, jnp.int32)
+                s, c, kv = self._score_fn(
+                    self.params, jnp.asarray(tokens[:, c0:c1]),
+                    jnp.asarray(targets[:, c0:c1]), jnp.asarray(valid),
+                    jnp.asarray(pos_in), kv, bt, sl, qo)
+                nll_sum += np.asarray(s, np.float64)
+                cnt += np.asarray(c, np.int64)
+        finally:
+            for b, ps in enumerate(pages):
+                alloc = self.allocators[self._shard_of(b, B)]
+                for p in ps:
+                    alloc.free(p)
+        return (nll_sum / np.maximum(cnt, 1)).astype(np.float64)
 
     def _default_sampling(self) -> SamplingParams:
         r = self.runtime
@@ -496,7 +590,7 @@ class Engine:
             jnp.asarray(state.block_tables), jnp.asarray(state.seq_lens),
             state.rng, sp.as_arrays(B), mode=sp.mode())
         state.seq_lens += 1
-        toks = np.asarray(next_tok)
+        toks = to_host(next_tok)
         state.last_tokens = toks
         self._mark_finished(state, toks, sampling)
         return toks
@@ -521,6 +615,58 @@ class Engine:
             out_specs=(P(d), self._kv_specs))
         return functools.partial(jax.jit, donate_argnums=(2,))(sharded)
 
+    def _build_decode_scored(self):
+        model, backend = self.model, self.backend
+        V = self.cfg.vocab_size
+
+        def step(params, tokens, kv, block_tables, seq_lens):
+            sink: list = []
+            attn = backend.make_attn_fn(block_tables, seq_lens + 1,
+                                        seq_lens, score_sink=sink)
+            logits, kv = model.forward(params, tokens[:, None],
+                                       seq_lens[:, None], kv, attn)
+            return logits[:, 0, :V], jnp.stack(sink), kv
+
+        if self.mesh is None:
+            return functools.partial(jax.jit, donate_argnums=(2,))(step)
+        d = self._data_axis
+        sharded = self._shard_step(
+            step,
+            in_specs=(self._param_specs, P(d), self._kv_specs, P(d), P(d)),
+            out_specs=(P(d), P(None, d), self._kv_specs))
+        return functools.partial(jax.jit, donate_argnums=(2,))(sharded)
+
+    def decode_scored(self, state: EngineState, tokens: np.ndarray
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+        """Teacher-forced decode step that also returns the attention
+        kernel's own per-page score export: ``(logits [B, V],
+        scores [L, B, max_pages])`` where ``scores[l, b, p]`` is the max
+        causally-masked scaled QK logit of page ``p`` at layer ``l``
+        (``-1e30`` for dead pages). Advances the KV state exactly like
+        :meth:`decode_forced`.
+
+        Capability parity with the reference kernel's ``rerank_scores``
+        output (``attention/paged_flash_attention_kernel_fused.cu:53-55``)
+        — there a per-(batch, tile) logit dump intended for beam /
+        reranker integration; here the export rides the flash pass (no
+        dense re-run) and feeds attention introspection and
+        page-importance policies."""
+        if getattr(self, "_decode_scored_fn", None) is None:
+            assert not self.runtime.scan_layers, \
+                "score export needs the unrolled layer loop"
+            self._decode_scored_fn = self._build_decode_scored()
+        B = state.batch
+        for b in range(B):
+            self._alloc_pages(state, b, int(state.seq_lens[b]) + 1)
+        state.block_tables = self._block_tables(state.pages)
+        logits, scores, state.kv = self._decode_scored_fn(
+            self.params, jnp.asarray(np.asarray(tokens, np.int32)),
+            state.kv, jnp.asarray(state.block_tables),
+            jnp.asarray(state.seq_lens))
+        state.seq_lens += 1
+        state.last_tokens = np.asarray(tokens, np.int32)
+        return to_host(logits), to_host(scores)
+
     def decode_forced(self, state: EngineState,
                       tokens: np.ndarray) -> np.ndarray:
         """Teacher-forced decode step: feed ``tokens [B]``, return the
@@ -540,7 +686,7 @@ class Engine:
             jnp.asarray(state.seq_lens))
         state.seq_lens += 1
         state.last_tokens = np.asarray(tokens, np.int32)
-        return np.asarray(logits)
+        return to_host(logits)
 
     def free(self, state: EngineState) -> None:
         B = state.batch
@@ -614,7 +760,7 @@ class Engine:
                 jnp.asarray(self._block_tables(pages)), rng,
                 sampling.as_arrays(B), num_steps=max_new - 1,
                 chunk=min(chunk, max_len), mode=sampling.mode())
-            toks = np.asarray(toks)
+            toks = to_host(toks)
             outs: List[List[int]] = []
             for b in range(B):
                 row: List[int] = []

@@ -29,6 +29,23 @@ def jnp_dtype(name: str):
     return _DTYPES[name]
 
 
+def to_host(x) -> "np.ndarray":
+    """Device array -> host numpy, multi-process safe.
+
+    Single-process (even multi-device): plain ``np.asarray``. Under
+    multi-controller ``jax.distributed`` some output shards live on
+    other hosts — all-gather them first (every process gets the full
+    global value; batch-axis sharded outputs tile back together).
+    """
+    import numpy as np
+
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 def tree_size_bytes(tree) -> int:
     return sum(x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(tree))
 

@@ -110,3 +110,46 @@ def test_fused_generate_int8_kv_matches_stepwise():
     fused = eng.generate_batch_fused([[1, 2, 3], [4, 5]], 5, GREEDY)
     step = eng.generate_batch([[1, 2, 3], [4, 5]], 5, GREEDY)
     assert fused == step
+
+
+def test_paged_score_matches_dense_oracle():
+    """Engine.score_nll (paged, chunked) must agree with the dense
+    full-attention oracle — same per-seq mean NLL on a ragged batch."""
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.quant.eval import (
+        sequence_nll)
+
+    mcfg = preset("llama-tiny")
+    mcfg.dtype = "float32"
+    params = init_params(mcfg, jax.random.key(1))
+    rng = np.random.default_rng(3)
+    seqs = [rng.integers(0, mcfg.vocab_size, (n,)).tolist()
+            for n in (21, 48)]
+
+    cfg = FrameworkConfig(
+        model=mcfg,
+        cache=CacheConfig(page_size=8, num_pages=64, max_pages_per_seq=8,
+                          kv_dtype="float32"),
+        runtime=RuntimeConfig(prefill_chunk=16),   # forces 3+ chunks
+    )
+    eng = Engine(cfg, params=params, interpret=True)
+    paged = eng.score_nll(seqs)
+    model = DecoderModel(mcfg)
+    dense = [sequence_nll(model, params, s) for s in seqs]
+    np.testing.assert_allclose(paged, dense, rtol=2e-3, atol=2e-3)
+    # pages must all be freed afterwards
+    assert eng.allocator.num_live == 0
+
+
+def test_ppl_delta_paged_backend():
+    """The scalable (paged) eval path reports the same FP ppl as the
+    dense oracle and a small INT8 delta."""
+    cfg = preset("gpt2-tiny")
+    cfg.dtype = "float32"
+    params = init_params(cfg, jax.random.key(0))
+    rng = np.random.default_rng(0)
+    seqs = rng.integers(0, cfg.vocab_size, (2, 48)).tolist()
+    dense = ppl_delta_report(cfg, params, seqs, modes=("int8-weight",))
+    paged = ppl_delta_report(cfg, params, seqs, modes=("int8-weight",),
+                             backend="paged")
+    assert abs(paged["fp"] - dense["fp"]) / dense["fp"] < 0.02
+    assert abs(paged["int8-weight_delta"]) < 0.05 * paged["fp"]

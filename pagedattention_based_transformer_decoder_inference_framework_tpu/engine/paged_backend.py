@@ -32,12 +32,19 @@ class PagedKVBackend:
         return self.pool.init()
 
     def make_attn_fn(self, block_tables: jax.Array, seq_lens: jax.Array,
-                     q_offsets: jax.Array):
+                     q_offsets: jax.Array, score_sink: Optional[list] = None):
         """Bind this step's batch plan (block tables / lengths / offsets).
 
         ``seq_lens`` must already include the tokens being appended in
         this call; ``q_offsets[b]`` is the absolute position of the first
         q token (= previously cached length).
+
+        ``score_sink``: when a list is passed, the kernel additionally
+        emits its per-page score export (``paged_attention``'s
+        ``return_scores``) and one ``[B, max_pages]`` array per layer is
+        appended to the list during tracing (requires the unrolled layer
+        loop, the default) — the reference kernel's ``rerank_scores``
+        tile export, TPU-style.
         """
 
         def attn_fn(q, k, v, kv, layer, positions):
@@ -53,7 +60,11 @@ class PagedKVBackend:
                 page_size=self.cache.page_size,
                 num_q_heads=q.shape[2],
                 window=self.cfg.sliding_window,
+                return_scores=score_sink is not None,
                 interpret=self.interpret)
+            if score_sink is not None:
+                out, scores = out
+                score_sink.append(scores)
             return out, kv
 
         return attn_fn

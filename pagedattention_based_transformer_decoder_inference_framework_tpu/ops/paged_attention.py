@@ -42,12 +42,20 @@ from jax.experimental.pallas import tpu as pltpu
 from ..utils.common import round_up
 
 
-def _attend(q, k, v, m_scr, l_scr, acc_scr, mask):
-    """One online-softmax step over a [KH, page, dh] KV slab."""
+def _attend(q, k, v, m_scr, l_scr, acc_scr, mask, row_valid=None):
+    """One online-softmax step over a [KH, page, dh] KV slab.
+
+    Returns the masked max logit of this slab (scalar) — the kernel's
+    per-page score export (see ``return_scores``)."""
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)            # [KH, rows, page]
     s = jnp.where(mask, s, -1e30)
+    if row_valid is None:
+        page_score = None
+    else:                                   # exclude padded q rows
+        page_score = jnp.max(
+            jnp.where(row_valid[None, :, None], s, -1e30))
 
     m_prev = m_scr[:, :, :1]                           # [KH, rows, 1]
     l_prev = l_scr[:, :, :1]
@@ -63,17 +71,20 @@ def _attend(q, k, v, m_scr, l_scr, acc_scr, mask):
     acc_scr[:] = acc_scr[:] * alpha + pv
     m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
     l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+    return page_score
 
 
 def _kernel(bt_ref, sl_ref, qo_ref, l_ref,     # scalar prefetch (SMEM)
             q_ref, kv_ref,                     # VMEM blocks
             *rest,
             page_size: int, group: int, scale: float, quantized: bool,
-            pooled: bool, window: int):
-    if quantized:
-        sc_ref, out_ref, m_scr, l_scr, acc_scr = rest
-    else:
-        out_ref, m_scr, l_scr, acc_scr = rest
+            pooled: bool, window: int, with_scores: bool,
+            n_rows_live: int):
+    rest = list(rest)
+    sc_ref = rest.pop(0) if quantized else None
+    out_ref = rest.pop(0)
+    score_ref = rest.pop(0) if with_scores else None
+    m_scr, l_scr, acc_scr = rest
     b = pl.program_id(0)
     r = pl.program_id(1)
     i = pl.program_id(2)
@@ -85,6 +96,8 @@ def _kernel(bt_ref, sl_ref, qo_ref, l_ref,     # scalar prefetch (SMEM)
         m_scr[:] = jnp.full_like(m_scr, -1e30)
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
+        if with_scores:
+            score_ref[:] = jnp.full_like(score_ref, -1e30)
 
     seq_len = sl_ref[b]
     start = i * page_size
@@ -117,7 +130,17 @@ def _kernel(bt_ref, sl_ref, qo_ref, l_ref,     # scalar prefetch (SMEM)
         mask = (key_idx <= q_pos) & (key_idx < seq_len)
         if window > 0:
             mask &= key_idx > q_pos - window
-        _attend(q, k, v, m_scr, l_scr, acc_scr, mask[None])
+        row_valid = None
+        if with_scores:
+            row_valid = jax.lax.broadcasted_iota(
+                jnp.int32, (rows,), 0) < n_rows_live - r * rows
+        ps = _attend(q, k, v, m_scr, l_scr, acc_scr, mask[None],
+                     row_valid)
+        if with_scores:
+            # masked dynamic-lane store (lane i of the resident row)
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, score_ref.shape, score_ref.ndim - 1)
+            score_ref[:] = jnp.where(lane == i, ps, score_ref[:])
 
     @pl.when(i == num_blocks - 1)
     def _finalize():
@@ -128,14 +151,16 @@ def _kernel(bt_ref, sl_ref, qo_ref, l_ref,     # scalar prefetch (SMEM)
 
 @functools.partial(
     jax.jit,
-    static_argnames=("page_size", "num_q_heads", "window", "interpret"))
+    static_argnames=("page_size", "num_q_heads", "window",
+                     "return_scores", "interpret"))
 def paged_attention(q: jax.Array, kv_pages: jax.Array,
                     block_tables: jax.Array, seq_lens: jax.Array,
                     q_offsets: jax.Array,
                     kv_scales: Optional[jax.Array] = None,
                     layer: Optional[jax.Array] = None, *,
                     page_size: int, num_q_heads: int, window: int = 0,
-                    interpret: bool = False) -> jax.Array:
+                    return_scores: bool = False,
+                    interpret: bool = False):
     """Paged attention over the page pool.
 
     q:            ``[B, T, H, dh]`` queries for the current chunk
@@ -154,7 +179,17 @@ def paged_attention(q: jax.Array, kv_pages: jax.Array,
                   ``p - window < j <= p``); pages wholly outside every
                   row's window are skipped, so decode reads at most
                   ``ceil(window/page)+1`` pages regardless of length
-    Returns ``[B, T, H, dh]`` in q.dtype.
+    return_scores: also return ``[B, max_pages]`` f32 per-page scores —
+                  the max causally-masked scaled QK logit of each page
+                  (``-1e30`` for dead/skipped pages), emitted by the
+                  kernel itself during the flash pass. The TPU-native
+                  form of the reference kernel's per-tile rerank-score
+                  export (``paged_flash_attention_kernel_fused.cu:53-55``;
+                  there per (batch, tile), written for beam/reranker
+                  integration) — here it feeds attention introspection
+                  (``utils/debug.py``) and page-importance policies
+                  without a dense re-run.
+    Returns ``[B, T, H, dh]`` in q.dtype (+ scores if requested).
     """
     B, T, H, dh = q.shape
     pooled = kv_pages.ndim == 6
@@ -209,12 +244,23 @@ def paged_attention(q: jax.Array, kv_pages: jax.Array,
         in_specs.append(pl.BlockSpec(sc_block, kv_index_map))
         inputs.append(kv_scales)
 
+    out_specs = [pl.BlockSpec((1, KH, row_block, dh),
+                              lambda b, r, i, *_: (b, 0, r, 0))]
+    out_shapes = [jax.ShapeDtypeStruct((B, KH, rows_pad, dh), q.dtype)]
+    if return_scores:
+        # resident [1, 1, max_pages] row per (b, r): the page axis is
+        # innermost, so the row accumulates one lane per page step and
+        # writes back once per row block
+        out_specs.append(pl.BlockSpec((1, 1, max_pages),
+                                      lambda b, r, i, *_: (b, r, 0)))
+        out_shapes.append(
+            jax.ShapeDtypeStruct((B, R, max_pages), jnp.float32))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(B, R, max_pages),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, KH, row_block, dh),
-                               lambda b, r, i, *_: (b, 0, r, 0)),
+        out_specs=out_specs if return_scores else out_specs[0],
         scratch_shapes=[
             pltpu.VMEM((KH, row_block, 128), jnp.float32),
             pltpu.VMEM((KH, row_block, 128), jnp.float32),
@@ -224,7 +270,8 @@ def paged_attention(q: jax.Array, kv_pages: jax.Array,
 
     kernel = functools.partial(
         _kernel, page_size=page_size, group=G, scale=scale,
-        quantized=quantized, pooled=pooled, window=window)
+        quantized=quantized, pooled=pooled, window=window,
+        with_scores=return_scores, n_rows_live=T * G)
 
     layer_arr = jnp.asarray(
         [0 if layer is None else layer], jnp.int32).reshape(1)
@@ -232,10 +279,14 @@ def paged_attention(q: jax.Array, kv_pages: jax.Array,
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, KH, rows_pad, dh), q.dtype),
+        out_shape=out_shapes if return_scores else out_shapes[0],
         interpret=interpret,
     )(block_tables.astype(jnp.int32), seq_lens.astype(jnp.int32),
       q_offsets.astype(jnp.int32), layer_arr, *inputs)
 
+    if return_scores:
+        out, scores = out
+        scores = scores.max(axis=1)                    # [B, max_pages]
     out = out[:, :, :T * G, :].reshape(B, KH, T, G, dh)
-    return out.transpose(0, 2, 1, 3, 4).reshape(B, T, H, dh)
+    out = out.transpose(0, 2, 1, 3, 4).reshape(B, T, H, dh)
+    return (out, scores) if return_scores else out

@@ -250,3 +250,49 @@ def test_sliding_window_paged_vs_dense():
                           num_q_heads=H, window=w, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_score_export_matches_oracle():
+    """`return_scores=True`: the kernel's own per-page score export
+    (TPU-native form of the reference's rerank_scores tile export,
+    `paged_flash_attention_kernel_fused.cu:53-55`) equals the masked
+    max scaled QK logit per page, computed densely in numpy."""
+    rng = np.random.default_rng(11)
+    B, KH, G, dh, T = 2, 2, 2, 32, 3
+    H = KH * G
+    seq_lens = [19, PAGE * 3]
+    kv, block_tables, k, _ = make_paged_state(rng, B, KH, dh, seq_lens)
+    q_np = rng.normal(size=(B, T, H, dh)).astype(np.float32)
+    q = jnp.asarray(q_np)
+    sl = jnp.asarray(seq_lens, jnp.int32)
+    qo = sl - T
+
+    out, scores = paged_attention(
+        q, kv[0], block_tables, sl, qo, page_size=PAGE, num_q_heads=H,
+        return_scores=True, interpret=True)
+    base = paged_attention(
+        q, kv[0], block_tables, sl, qo, page_size=PAGE, num_q_heads=H,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                               atol=1e-6)   # export must not perturb out
+
+    scale = 1.0 / np.sqrt(dh)
+    max_pages = block_tables.shape[1]
+    want = np.full((B, max_pages), -1e30, np.float32)
+    for b in range(B):
+        L = seq_lens[b]
+        for t in range(T):
+            p_q = int(qo[b]) + t
+            for h in range(H):
+                logits = (q_np[b, t, h] @ k[b, :L].transpose(1, 0, 2)
+                          [h // G].T) * scale        # [L]
+                for j in range(L):
+                    if j > p_q:
+                        continue
+                    pg = j // PAGE
+                    want[b, pg] = max(want[b, pg], logits[j])
+    got = np.asarray(scores)
+    live = want > -1e29
+    np.testing.assert_allclose(got[live], want[live], atol=2e-4,
+                               rtol=2e-4)
+    assert (got[~live] < -1e29).all()

@@ -63,8 +63,10 @@ def main() -> None:
     # "fused": whole batch as one device program (static batch).
     # "scheduler": the continuous-batching serving path — requests go
     # through Scheduler.submit + decode bursts (BASELINE config 3).
+    # "beam": beam search width=--batch with refcount-shared KV pages +
+    # log-prob reranking of the hypotheses (BASELINE config 4).
     ap.add_argument("--mode", default="fused",
-                    choices=("fused", "scheduler"))
+                    choices=("fused", "scheduler", "beam"))
     ap.add_argument("--decode-burst", type=int, default=16)
     args = ap.parse_args()
 
@@ -144,7 +146,34 @@ def main() -> None:
         0, cfg.model.vocab_size, (args.batch, args.prompt_len)).tolist()
 
     ttft_p50 = None
-    if args.mode == "scheduler":
+    if args.mode == "beam":
+        # BASELINE config 4: beam=W (the --batch flag) + reranker over
+        # one prompt; W rows share the prompt's KV pages by refcount.
+        # Throughput counts all W rows' tokens (each step scores W rows
+        # in one batched fused dispatch, like batch-W decode).
+        from pagedattention_based_transformer_decoder_inference_framework_tpu.engine.beam import (
+            BeamSearcher)
+        from pagedattention_based_transformer_decoder_inference_framework_tpu.reranker import (
+            LogProbScorer, Reranker)
+
+        reranker = Reranker(LogProbScorer(eng))
+
+        def beam_round():
+            searcher = BeamSearcher(eng, beam_width=args.batch)
+            hyps = searcher.search(prompts[0], args.steps)
+            assert len(hyps) >= 1
+            ranked = reranker.rerank_scores(
+                prompts[0], [h.tokens for h in hyps])
+            assert len(ranked) == len(hyps)
+
+        beam_round()                                # compile all shapes
+        times = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            beam_round()
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
+    elif args.mode == "scheduler":
         from pagedattention_based_transformer_decoder_inference_framework_tpu.scheduler import (
             RequestState, Scheduler)
 
@@ -196,8 +225,11 @@ def main() -> None:
     rec = {
         "metric": f"decode tokens/sec/chip ({args.model}, "
                   f"{'int8 weights, ' if args.quant == 'int8' else ''}"
-                  f"paged KV {args.kv_dtype}, batch {args.batch}"
-                  f"{', continuous batching' if args.mode == 'scheduler' else ''})",
+                  f"paged KV {args.kv_dtype}, "
+                  f"{'beam' if args.mode == 'beam' else 'batch'} "
+                  f"{args.batch}"
+                  f"{', continuous batching' if args.mode == 'scheduler' else ''}"
+                  f"{' + reranker' if args.mode == 'beam' else ''})",
         "value": round(toks_per_s, 1),
         "unit": "tokens/s",
         "vs_baseline": round(frac, 4),

@@ -88,6 +88,10 @@ class BeamSearcher:
         self.allocator = make_allocator(
             engine.cache.num_pages,
             native=engine.cache.native_allocator)
+        # fused device-side expansion (forward + flat top-2W in one
+        # dispatch); meshed engines keep decode_forced + host selection
+        self._beam_step = (engine._build_decode_beam()
+                           if engine.mesh is None else None)
 
     # -- page bookkeeping ---------------------------------------------------
 
@@ -162,20 +166,37 @@ class BeamSearcher:
             if not alive.any():
                 break
             toks = np.asarray([bt[-1] for bt in beam_tokens], np.int32)
-            step_logits = eng.decode_forced(state, toks)   # [W, V]
-            lp = np.stack([_log_softmax(row) for row in step_logits])
-            # dead rows cannot spawn candidates
-            lp[~alive] = -1e30
-            cand = beam_scores[:, None] + lp               # [W, V]
-            flat = np.argsort(-cand.reshape(-1))[: 2 * W]
+            if self._beam_step is not None:
+                # fused: selection on device, 3 x 2W scalars D2H
+                for b in range(W):
+                    eng._alloc_pages(state, b, int(state.seq_lens[b]) + 1)
+                state.block_tables = eng._block_tables(state.pages)
+                p2, t2, v2, state.kv = self._beam_step(
+                    eng.params, jnp.asarray(toks), state.kv,
+                    jnp.asarray(state.block_tables),
+                    jnp.asarray(state.seq_lens),
+                    jnp.asarray(beam_scores, jnp.float32),
+                    jnp.asarray(alive))
+                state.seq_lens += 1
+                cands = zip(np.asarray(p2), np.asarray(t2),
+                            np.asarray(v2, np.float64))
+            else:
+                step_logits = eng.decode_forced(state, toks)   # [W, V]
+                lp = np.stack([_log_softmax(row) for row in step_logits])
+                # dead rows cannot spawn candidates
+                lp[~alive] = -1e30
+                cand = beam_scores[:, None] + lp               # [W, V]
+                flat = np.argsort(-cand.reshape(-1))[: 2 * W]
+                cands = ((*divmod(int(f), lp.shape[1]),
+                          cand.reshape(-1)[f]) for f in flat)
             parents, tokens, scores = [], [], []
-            for f in flat:
-                p, t = divmod(int(f), lp.shape[1])
-                if not alive[p]:
+            for p, t, s in cands:
+                p, t = int(p), int(t)
+                if not alive[p] or s < -1e29:
                     continue
                 parents.append(p)
                 tokens.append(t)
-                scores.append(cand[p, t])
+                scores.append(s)
                 if len(parents) == W:
                     break
             parents = np.asarray(parents, np.int32)

@@ -667,6 +667,34 @@ class Engine:
         state.last_tokens = np.asarray(tokens, np.int32)
         return to_host(logits), to_host(scores)
 
+    def _build_decode_beam(self):
+        """Fused beam-expansion step: forward one token per beam row,
+        then select the top ``2W`` (parent, token) continuations by
+        cumulative log-probability ON DEVICE — one dispatch and a
+        ``3 x 2W`` transfer per step instead of shipping the full
+        ``[W, V]`` logits to the host (2 MB/step at a 128k vocab).
+        Single-process engines only (the flat cross-row ``top_k`` does
+        not shard over a data axis); meshed engines keep the
+        ``decode_forced`` + host-selection path."""
+        model, backend = self.model, self.backend
+        V = self.cfg.vocab_size
+
+        def step(params, tokens, kv, block_tables, seq_lens,
+                 beam_scores, alive):
+            attn = backend.make_attn_fn(block_tables, seq_lens + 1,
+                                        seq_lens)
+            logits, kv = model.forward(params, tokens[:, None],
+                                       seq_lens[:, None], kv, attn)
+            lp = jax.nn.log_softmax(
+                logits[:, 0, :V].astype(jnp.float32), axis=-1)
+            lp = jnp.where(alive[:, None], lp, -jnp.inf)
+            cand = beam_scores[:, None] + lp              # [W, V]
+            W = tokens.shape[0]
+            vals, idx = jax.lax.top_k(cand.reshape(-1), 2 * W)
+            return idx // V, idx % V, vals, kv
+
+        return functools.partial(jax.jit, donate_argnums=(2,))(step)
+
     def decode_forced(self, state: EngineState,
                       tokens: np.ndarray) -> np.ndarray:
         """Teacher-forced decode step: feed ``tokens [B]``, return the

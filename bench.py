@@ -65,9 +65,13 @@ def main() -> None:
     # through Scheduler.submit + decode bursts (BASELINE config 3).
     # "beam": beam search width=--batch with refcount-shared KV pages +
     # log-prob reranking of the hypotheses (BASELINE config 4).
+    # "spec": prompt-lookup speculative decoding on a pattern-heavy
+    # prompt — greedy-exact; vs_baseline may exceed 1.0 because the
+    # roofline assumes one token per weight stream.
     ap.add_argument("--mode", default="fused",
-                    choices=("fused", "scheduler", "beam"))
+                    choices=("fused", "scheduler", "beam", "spec"))
     ap.add_argument("--decode-burst", type=int, default=16)
+    ap.add_argument("--spec-k", type=int, default=8)
     args = ap.parse_args()
 
     if not args.no_fallback and args.model == "llama3-8b":
@@ -95,7 +99,8 @@ def main() -> None:
              "--kv-dtype", args.kv_dtype, "--quant", args.quant,
              "--reps", str(args.reps), "--page-size",
              str(args.page_size), "--mode", args.mode,
-             "--decode-burst", str(args.decode_burst)], 2700)
+             "--decode-burst", str(args.decode_burst),
+             "--spec-k", str(args.spec_k)], 2700)
         if line:
             print(line)
             return
@@ -138,6 +143,11 @@ def main() -> None:
     cfg.model.quant = args.quant
     cfg.runtime.max_batch_size = args.batch
     cfg.runtime.decode_burst = args.decode_burst
+
+    if args.mode == "spec":
+        # spec verify appends up to spec_k extra positions per lane
+        cfg.cache.max_pages_per_seq += cdiv(args.spec_k, page) + 1
+        cfg.cache.num_pages += args.batch * (cdiv(args.spec_k, page) + 1)
 
     eng = Engine(cfg, seed=0)
     samp = SamplingParams(temperature=0.0, eos_token_id=-1)
@@ -195,6 +205,25 @@ def main() -> None:
             times.append(time.perf_counter() - t0)
         dt = min(times)
         ttft_p50 = float(np.percentile(ttfts, 50))
+    elif args.mode == "spec":
+        # pattern-heavy prompts (a tiled random n-gram motif): the
+        # realistic regime for prompt-lookup drafting (extraction,
+        # code, quoting). Greedy outputs are token-identical to the
+        # fused path; the win is fewer weight streams per token.
+        motif = rng.integers(0, cfg.model.vocab_size,
+                             (args.batch, 16)).tolist()
+        prompts = [(m * cdiv(args.prompt_len, 16))[:args.prompt_len]
+                   for m in motif]
+        eng.generate_batch_spec(prompts, args.steps, samp,
+                                spec_k=args.spec_k)
+        times = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            out = eng.generate_batch_spec(prompts, args.steps, samp,
+                                          spec_k=args.spec_k)
+            times.append(time.perf_counter() - t0)
+        assert all(len(o) == args.steps for o in out)
+        dt = min(times)
     else:
         # warmup MUST use the same step count: num_steps is a static arg
         # of the fused program, so a different warmup length would leave
@@ -229,7 +258,8 @@ def main() -> None:
                   f"{'beam' if args.mode == 'beam' else 'batch'} "
                   f"{args.batch}"
                   f"{', continuous batching' if args.mode == 'scheduler' else ''}"
-                  f"{' + reranker' if args.mode == 'beam' else ''})",
+                  f"{' + reranker' if args.mode == 'beam' else ''}"
+                  f"{f', speculative k={args.spec_k}' if args.mode == 'spec' else ''})",
         "value": round(toks_per_s, 1),
         "unit": "tokens/s",
         "vs_baseline": round(frac, 4),

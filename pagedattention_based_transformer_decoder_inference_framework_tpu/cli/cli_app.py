@@ -141,8 +141,13 @@ def cmd_batch(args) -> int:
     eng = build_engine(cfg)
     prompts = [l.rstrip("\n") for l in open(args.input) if l.strip()]
     ids = [tok.encode(p) for p in prompts]
-    outs = eng.generate_batch(ids, cfg.runtime.max_new_tokens,
-                              sampling(cfg, tok), seed=args.seed)
+    sp = sampling(cfg, tok)
+    if cfg.runtime.spec_k > 0 and sp.mode().greedy and eng.mesh is None:
+        # prompt-lookup speculative decoding (greedy-exact, engine/spec.py)
+        outs = eng.generate_batch_spec(ids, cfg.runtime.max_new_tokens, sp)
+    else:
+        outs = eng.generate_batch(ids, cfg.runtime.max_new_tokens, sp,
+                                  seed=args.seed)
     with open(args.output, "w") as f:
         for p, o in zip(prompts, outs):
             f.write(json.dumps({"prompt": p, "completion": tok.decode(o)},

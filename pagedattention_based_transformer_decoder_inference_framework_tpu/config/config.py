@@ -149,6 +149,15 @@ class RuntimeConfig:
     # kernel launches, larger streaming blocks); unrolled layers only
     fuse_projections: bool = True
 
+    # speculative decoding (prompt-lookup / n-gram drafting): each
+    # decode step drafts ``spec_k`` continuation tokens by matching the
+    # last ``spec_ngram``-gram against the sequence's own history and
+    # verifies them in ONE forward pass — decode is weight-stream bound,
+    # so a (k+1)-token verify costs about the same as a 1-token step and
+    # every accepted draft is a free token. Greedy-exact. 0 = off.
+    spec_k: int = 0
+    spec_ngram: int = 3
+
 
 @dataclass
 class ParallelConfig:

@@ -133,6 +133,7 @@ class Engine:
         self._generate_fused_fn = self._build_generate_fused()
         self._decode_logits_fn = None     # built lazily (test/debug path)
         self._score_fn = None             # built lazily (eval path)
+        self._generate_spec_fn = None     # built lazily (speculative path)
         self._sample_fn = jax.jit(sample, static_argnames=("mode",))
 
     # spec helpers for shard_map-wrapped steps ------------------------------
@@ -419,6 +420,116 @@ class Engine:
                       samp)
 
         return sharded
+
+    def _build_generate_spec(self):
+        """Whole-request *speculative* generation in ONE device program:
+        chunked prefill, then a while-loop of draft->verify steps
+        (prompt-lookup drafting, ``engine/spec.py``). Each iteration
+        drafts ``spec_k`` tokens from the sequence's own history,
+        verifies them in a single ``(spec_k+1)``-token forward (weight
+        traffic ~= one decode step), and emits the accepted prefix plus
+        the bonus token — greedy-exact: outputs equal the plain fused
+        path token-for-token. The loop exits as soon as every lane hits
+        EOS or its budget, so high acceptance finishes in fewer
+        iterations (the fused path always runs ``max_new`` steps).
+
+        Single-process engines only: the early-exit condition is a
+        global ``any`` over lanes (meshed engines would need a psum in
+        the loop condition; they keep the plain fused path).
+        """
+        model, backend = self.model, self.backend
+        V = self.cfg.vocab_size
+        from .spec import (accept_counts, draft_ngram, gather_rows,
+                           write_rows)
+
+        def gen(params, tokens_full, prompt_lens, block_tables, samp, *,
+                max_new: int, spec_k: int, ngram: int, chunk: int,
+                prompt_pad: int, mode):
+            B, M = tokens_full.shape
+            K = spec_k
+            kv = backend.pool.init()
+            eos = samp["eos_token_id"]
+
+            # chunked prefill (identical to the fused path)
+            final_logits = jnp.zeros((B, V), jnp.float32)
+            for c0 in range(0, prompt_pad, chunk):
+                c1 = min(c0 + chunk, prompt_pad)
+                tok_chunk = tokens_full[:, c0:c1]
+                pos = c0 + jnp.broadcast_to(jnp.arange(c1 - c0),
+                                            (B, c1 - c0))
+                pos = jnp.where(pos < prompt_lens[:, None], pos, -1)
+                sl = jnp.clip(prompt_lens, 0, c1)
+                qo = jnp.full((B,), c0, jnp.int32)
+                attn = backend.make_attn_fn(block_tables, sl, qo)
+                logits, kv = model.forward(params, tok_chunk, pos, kv, attn)
+                logits = logits[..., :V]
+                idx = prompt_lens - 1 - c0
+                T = c1 - c0
+                inside = (idx >= 0) & (idx < T)
+                safe = jnp.clip(idx, 0, T - 1)
+                last = jnp.take_along_axis(
+                    logits, safe[:, None, None], axis=1)[:, 0]
+                final_logits = final_logits + jnp.where(
+                    inside[:, None], last, 0.0)
+
+            first = sample(final_logits, None, mode=mode, **samp)
+            buf = write_rows(tokens_full, prompt_lens, first[:, None])
+            cur = prompt_lens + 1             # tokens in buf (incl. first)
+            emitted = jnp.ones((B,), jnp.int32)
+            budgets = jnp.full((B,), max_new, jnp.int32)
+            finished = (((eos >= 0) & (first == eos))
+                        | (emitted >= budgets))
+            idxs = jnp.arange(K + 1, dtype=jnp.int32)
+
+            def cond(c):
+                _, _, _, _, finished, it = c
+                return (~finished).any() & (it < max_new)
+
+            def body(c):
+                buf, kv, cur, emitted, finished, it = c
+                drafts = draft_ngram(buf, cur, k=K, n=ngram)
+                lastt = gather_rows(buf, cur - 1, 1)            # [B, 1]
+                inp = jnp.concatenate([lastt, drafts], axis=1)  # [B, K+1]
+                # KV writes for the verify chunk land at cur-1 .. cur-1+K
+                # (slot cur-1 holds the last *sampled* token's KV, written
+                # here exactly like a normal decode step would); frozen
+                # lanes redirect to the dump page via pos = -1
+                pos = (cur - 1)[:, None] + idxs[None, :]
+                pos = jnp.where(finished[:, None], -1, pos)
+                attn = backend.make_attn_fn(block_tables, cur + K, cur - 1)
+                logits, kv = model.forward(params, inp, pos, kv, attn)
+                flat = logits[..., :V].reshape(B * (K + 1), V)
+                samp_w = {kk: jnp.repeat(vv, K + 1)
+                          for kk, vv in samp.items()}
+                y = sample(flat, None, mode=mode, **samp_w
+                           ).reshape(B, K + 1)
+                a = accept_counts(drafts, y[:, :K])             # [B]
+                # emit positions: accepted prefix + bonus, capped by the
+                # budget, cut at the first EOS, frozen lanes emit none
+                ok = idxs[None, :] <= a[:, None]
+                ok &= (emitted[:, None] + idxs[None, :]) < budgets[:, None]
+                iseos = (eos[:, None] >= 0) & (y == eos[:, None])
+                eos_before = (jnp.cumsum(iseos.astype(jnp.int32), axis=1)
+                              - iseos.astype(jnp.int32)) > 0
+                ok &= ~eos_before & ~finished[:, None]
+                cnt = ok.sum(axis=1).astype(jnp.int32)
+                # write all K+1 candidates; slots past cnt are stale and
+                # get overwritten by the next iteration before any read
+                buf = write_rows(buf, cur, y)
+                emitted = emitted + cnt
+                finished = (finished | (emitted >= budgets)
+                            | (iseos & ok).any(axis=1))
+                return (buf, kv, cur + cnt, emitted, finished, it + 1)
+
+            buf, kv, cur, emitted, finished, _ = jax.lax.while_loop(
+                cond, body,
+                (buf, kv, cur, emitted, finished,
+                 jnp.zeros((), jnp.int32)))
+            return buf, emitted
+
+        return functools.partial(
+            jax.jit, static_argnames=("max_new", "spec_k", "ngram",
+                                      "chunk", "prompt_pad", "mode"))(gen)
 
     # -- host orchestration ---------------------------------------------------
 
@@ -803,6 +914,66 @@ class Engine:
                 alloc = self.allocators[self._shard_of(b, B)]
                 for p in ps:
                     alloc.free(p)
+
+    def generate_batch_spec(self, prompts: Sequence[Sequence[int]],
+                            max_new_tokens: Optional[int] = None,
+                            sampling: Optional[SamplingParams] = None,
+                            spec_k: Optional[int] = None,
+                            ngram: Optional[int] = None
+                            ) -> List[List[int]]:
+        """Speculative (prompt-lookup) batch generation, one dispatch.
+
+        Greedy-exact: returns token-for-token the same output as
+        :meth:`generate_batch_fused` with greedy sampling, in fewer
+        device steps whenever the text re-uses its own n-grams
+        (extraction, code, summaries, chat with quoting). See
+        ``engine/spec.py`` and ``RuntimeConfig.spec_k``.
+        """
+        sampling = sampling or self._default_sampling()
+        assert sampling.mode().greedy, \
+            "speculative decoding is greedy-exact only (temperature=0)"
+        assert self.mesh is None, \
+            "speculative decoding runs on single-process engines"
+        K = spec_k if spec_k is not None else (self.runtime.spec_k or 4)
+        n = ngram if ngram is not None else self.runtime.spec_ngram
+        assert K >= 1 and n >= 1
+        max_new = max_new_tokens or self.runtime.max_new_tokens
+        B = len(prompts)
+        lens = np.array([len(p) for p in prompts], np.int32)
+        assert lens.min() >= 1
+        page = self.cache.page_size
+        chunk = cdiv(max(self.runtime.prefill_chunk, 1), page) * page
+        prompt_pad = cdiv(int(lens.max()), page) * page
+        # history buffer: every lane writes K+1 candidates at cur<=
+        # prompt+max_new, so the buffer must not clamp that slice
+        M = prompt_pad + max_new + K + 1
+
+        horizon = [cdiv(int(L) + max_new + K, page) for L in lens]
+        assert max(horizon) <= self.cache.max_pages_per_seq, (
+            f"prompt+max_new+spec_k needs {max(horizon)} pages > "
+            f"max_pages_per_seq={self.cache.max_pages_per_seq}")
+        pages: List[List[int]] = [
+            self.allocator.alloc_many(h) for h in horizon]
+        tokens = np.zeros((B, M), np.int32)
+        for b, p in enumerate(prompts):
+            tokens[b, :len(p)] = np.asarray(p, np.int32)
+        if self._generate_spec_fn is None:
+            self._generate_spec_fn = self._build_generate_spec()
+        try:
+            buf, emitted = self._generate_spec_fn(
+                self.params, jnp.asarray(tokens), jnp.asarray(lens),
+                jnp.asarray(self._block_tables(pages)),
+                sampling.as_arrays(B), max_new=max_new, spec_k=K,
+                ngram=n, chunk=min(chunk, prompt_pad),
+                prompt_pad=prompt_pad, mode=sampling.mode())
+            buf = to_host(buf)
+            emitted = to_host(emitted)
+            return [buf[b, lens[b]:lens[b] + int(emitted[b])].tolist()
+                    for b in range(B)]
+        finally:
+            for ps in pages:
+                for p in ps:
+                    self.allocator.free(p)
 
     def generate_batch(self, prompts: Sequence[Sequence[int]],
                        max_new_tokens: Optional[int] = None,

@@ -178,9 +178,15 @@ class ServerCore:
             outs = [list(r.stream()) for r in rs]
             errors = [r.error for r in rs]
         else:
-            outs = self.engine.generate_batch(
-                idss, req.max_new_tokens, self._sampling(req),
-                seed=req.seed)
+            sp = self._sampling(req)
+            if (self.config.runtime.spec_k > 0 and sp.mode().greedy
+                    and self.engine.mesh is None):
+                # prompt-lookup speculative decoding (greedy-exact)
+                outs = self.engine.generate_batch_spec(
+                    idss, req.max_new_tokens, sp)
+            else:
+                outs = self.engine.generate_batch(
+                    idss, req.max_new_tokens, sp, seed=req.seed)
         self.metrics.record(tokens_in=sum(map(len, idss)),
                             tokens_out=sum(map(len, outs)), ttft_s=None,
                             total_s=time.time() - t0,

@@ -1,0 +1,139 @@
+"""Speculative decoding (prompt-lookup drafting): greedy-exactness vs
+the plain fused path, drafting unit tests, EOS/budget handling."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pagedattention_based_transformer_decoder_inference_framework_tpu.config import (
+    CacheConfig,
+    FrameworkConfig,
+    RuntimeConfig,
+    preset,
+)
+from pagedattention_based_transformer_decoder_inference_framework_tpu.engine import (
+    Engine,
+    SamplingParams,
+)
+from pagedattention_based_transformer_decoder_inference_framework_tpu.engine.spec import (
+    accept_counts,
+    draft_ngram,
+)
+
+GREEDY = SamplingParams(temperature=0.0, eos_token_id=-1)
+
+
+def make_engine(**runtime_kw):
+    cfg = FrameworkConfig(
+        model=preset("llama-tiny"),
+        cache=CacheConfig(page_size=8, num_pages=256, max_pages_per_seq=16,
+                          kv_dtype="float32"),
+        runtime=RuntimeConfig(max_new_tokens=16, **runtime_kw),
+    )
+    cfg.model.dtype = "float32"
+    return Engine(cfg, interpret=True)
+
+
+# -- drafting unit tests ------------------------------------------------------
+
+def test_draft_ngram_finds_most_recent_match():
+    #      0  1  2  3  4  5  6  7  8
+    buf = [[7, 8, 9, 1, 7, 8, 4, 7, 8]]
+    # trailing bigram (7, 8) matches at j=0 and j=4; most recent earlier
+    # occurrence is j=4 -> draft starts at 6: [4, 7, 8]
+    d = draft_ngram(jnp.asarray(buf, jnp.int32), jnp.asarray([9]), k=3, n=2)
+    assert d.tolist() == [[4, 7, 8]]
+
+
+def test_draft_ngram_no_match_repeats_last():
+    buf = [[1, 2, 3, 4, 5, 0, 0, 0]]
+    d = draft_ngram(jnp.asarray(buf, jnp.int32), jnp.asarray([5]), k=2, n=2)
+    assert d.tolist() == [[5, 5]]
+
+
+def test_draft_ngram_excludes_trailing_self_match():
+    # the trailing bigram must not match itself (j + n <= cur - 1)
+    buf = [[3, 1, 2, 1, 2, 0]]
+    # trailing (1,2) at j=3; earlier at j=1 -> draft from index 3: [1, 2]
+    d = draft_ngram(jnp.asarray(buf, jnp.int32), jnp.asarray([5]), k=2, n=2)
+    assert d.tolist() == [[1, 2]]
+
+
+def test_accept_counts():
+    d = jnp.asarray([[1, 2, 3], [1, 9, 3], [9, 9, 9]])
+    t = jnp.asarray([[1, 2, 3], [1, 2, 3], [1, 2, 3]])
+    assert accept_counts(d, t).tolist() == [3, 1, 0]
+
+
+# -- end-to-end greedy exactness ---------------------------------------------
+
+def test_spec_equals_fused_greedy():
+    eng = make_engine()
+    prompts = [
+        [5, 9, 3, 14, 5, 9, 3, 14, 5, 9],    # self-repeating: drafts hit
+        [1, 2, 3, 4, 5, 6, 7],               # no repeats: drafts miss
+        list(range(20, 44)),                  # longer than one page
+        [11],                                 # single token
+    ]
+    ref = eng.generate_batch_fused(prompts, 12, GREEDY)
+    for k, n in ((4, 2), (3, 3), (1, 2)):
+        out = eng.generate_batch_spec(prompts, 12, GREEDY, spec_k=k,
+                                      ngram=n)
+        assert out == ref, (k, n)
+
+
+def test_spec_eos_truncation_matches_fused():
+    eng = make_engine()
+    prompts = [[5, 9, 3, 14], [2, 4, 6, 8]]
+    ref = eng.generate_batch_fused(prompts, 12, GREEDY)
+    # pick a token the greedy continuation actually emits mid-stream so
+    # EOS truncation kicks in for at least one lane
+    eos = ref[0][3]
+    samp = SamplingParams(temperature=0.0, eos_token_id=eos)
+    ref = eng.generate_batch_fused(prompts, 12, samp)
+    out = eng.generate_batch_spec(prompts, 12, samp, spec_k=4)
+    assert out == ref
+    assert any(r[-1] == eos for r in ref)     # the EOS really fired
+
+
+def test_spec_budget_exact():
+    eng = make_engine()
+    prompts = [[5, 9, 3, 14, 5, 9, 3, 14]]
+    for max_new in (1, 2, 5):
+        out = eng.generate_batch_spec(prompts, max_new, GREEDY, spec_k=4)
+        assert len(out[0]) == max_new
+
+
+def test_spec_runtime_config_default():
+    eng = make_engine(spec_k=4, spec_ngram=2, temperature=0.0,
+                      eos_token_id=-1)
+    prompts = [[5, 9, 3, 14, 5, 9, 3, 14]]
+    ref = eng.generate_batch_fused(prompts, 8, GREEDY)
+    assert eng.generate_batch_spec(prompts, 8) == ref
+
+
+def test_spec_pages_freed():
+    eng = make_engine()
+    free0 = eng.allocator.num_free
+    eng.generate_batch_spec([[5, 9, 3, 14]], 8, GREEDY, spec_k=4)
+    assert eng.allocator.num_free == free0
+
+
+def test_server_core_routes_to_spec():
+    """ServerCore (scheduler off) uses the spec path when spec_k > 0 and
+    the request is greedy — output must equal the plain engine path."""
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.server.core import (
+        ServerCore,
+    )
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.server.schema import (
+        BatchGenerateRequest,
+    )
+
+    eng = make_engine(spec_k=4, temperature=0.0, eos_token_id=-1,
+                      enable_logging=False)
+    core = ServerCore(eng.config, engine=eng, use_scheduler=False)
+    req = BatchGenerateRequest(prompts=["abc abc abc", "xyz"],
+                               max_new_tokens=8, temperature=0.0)
+    out = core.generate_batch(req)
+    ids = [core.tokenizer.encode(p) for p in req.prompts]
+    ref = eng.generate_batch_fused(ids, 8, GREEDY)
+    assert [r["tokens"] for r in out["results"]] == ref

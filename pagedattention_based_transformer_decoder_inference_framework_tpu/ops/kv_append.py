@@ -101,44 +101,53 @@ def _tile_rows(dtype) -> int:
 
 
 def _rmw_kernel(pid_ref, slot_ref, layer_ref, *refs, num_pools: int,
-                slabs: Tuple[int, ...], page: int):
+                slabs: Tuple[int, ...], page: int, T: int):
     # refs: num_pools new blocks (VMEM), num_pools pools (ANY, unused
     # alias donors), num_pools out pools (ANY), then per-pool scratch:
     # num_pools slab buffers + num_pools DMA semaphores.
+    # pid_ref/slot_ref: [B, T] — T consecutive-position tokens per
+    # sequence (decode: T=1; speculative verify: T=spec_k+1). Tokens are
+    # patched one slab RMW at a time; consecutive slots usually share a
+    # slab, so the common cost is one slab in+out per crossed slab.
     new_refs = refs[:num_pools]
     out_refs = refs[2 * num_pools:3 * num_pools]
     slab_refs = refs[3 * num_pools:4 * num_pools]
     sem_refs = refs[4 * num_pools:5 * num_pools]
     b = pl.program_id(0)
     l = layer_ref[0]
-    pid = pid_ref[b]
-    slot = slot_ref[b]
 
     for i in range(num_pools):
         rows = slabs[i]
-        s0 = (slot // rows) * rows
-        src = out_refs[i].at[l, :, :, pid, pl.ds(s0, rows), :]
-        dma_in = pltpu.make_async_copy(src, slab_refs[i], sem_refs[i])
-        dma_in.start()
-        dma_in.wait()
-        row = new_refs[i][0, :, :, 0, :]              # [2, KH, d]
-        io = jax.lax.broadcasted_iota(
-            jnp.int32, slab_refs[i].shape, 2)          # [2, KH, rows, d]
-        slab_refs[i][:] = jnp.where(
-            io == slot - s0, row[:, :, None, :].astype(slab_refs[i].dtype),
-            slab_refs[i][:])
-        dma_out = pltpu.make_async_copy(slab_refs[i], src, sem_refs[i])
-        dma_out.start()
-        dma_out.wait()
+        for t in range(T):
+            pid = pid_ref[b, t]
+            slot = slot_ref[b, t]
+            s0 = (slot // rows) * rows
+            src = out_refs[i].at[l, :, :, pid, pl.ds(s0, rows), :]
+            dma_in = pltpu.make_async_copy(src, slab_refs[i], sem_refs[i])
+            dma_in.start()
+            dma_in.wait()
+            row = new_refs[i][0, :, :, t, :]          # [2, KH, d]
+            io = jax.lax.broadcasted_iota(
+                jnp.int32, slab_refs[i].shape, 2)      # [2, KH, rows, d]
+            slab_refs[i][:] = jnp.where(
+                io == slot - s0,
+                row[:, :, None, :].astype(slab_refs[i].dtype),
+                slab_refs[i][:])
+            dma_out = pltpu.make_async_copy(slab_refs[i], src, sem_refs[i])
+            dma_out.start()
+            dma_out.wait()
 
 
 def _append_tokens_rmw(kv, news, layer_arr, pid, slot, *, page_size: int,
                        interpret: bool):
-    """Decode append as ONE kernel: per sequence, DMA the tile-sized
-    sublane slab holding its slot out of HBM, patch the row in VMEM,
-    DMA it back. Replaces 2*B dynamic_update_slice ops per layer with a
-    single pallas_call; extra traffic is one slab in+out per sequence
-    (~64 KB bf16), invisible next to the weight stream.
+    """Token append as ONE kernel: per sequence, DMA the tile-sized
+    sublane slab holding each token's slot out of HBM, patch the row in
+    VMEM, DMA it back. Replaces 2*B*T dynamic_update_slice ops per layer
+    with a single pallas_call; extra traffic is one slab in+out per
+    token (~64 KB bf16), invisible next to the weight stream.
+
+    pid/slot: ``[B, T]`` — T=1 decode; T>1 for the speculative verify
+    chunk (consecutive positions, non-page-aligned).
 
     The pool rides through untouched HBM references (memory_space=HBM
     input aliased to HBM output) — unlike a pipelined-read alias, XLA
@@ -147,7 +156,7 @@ def _append_tokens_rmw(kv, news, layer_arr, pid, slot, *, page_size: int,
     cannot be sliced.)
     """
     num_pools = len(kv)
-    B = pid.shape[0]
+    B, T = pid.shape
     KH, page = kv[0].shape[2], kv[0].shape[4]
     slabs = tuple(
         _tile_rows(p.dtype)
@@ -157,7 +166,7 @@ def _append_tokens_rmw(kv, news, layer_arr, pid, slot, *, page_size: int,
 
     any_spec = pl.BlockSpec(memory_space=pltpu.HBM)
     in_specs = [
-        pl.BlockSpec((1, 2, KH, 1, p.shape[-1]),
+        pl.BlockSpec((1, 2, KH, T, p.shape[-1]),
                      lambda b, *_: (b, 0, 0, 0, 0))
         for p in kv
     ] + [any_spec] * num_pools
@@ -174,7 +183,7 @@ def _append_tokens_rmw(kv, news, layer_arr, pid, slot, *, page_size: int,
     aliases = {3 + num_pools + i: i for i in range(num_pools)}
     out = pl.pallas_call(
         functools.partial(_rmw_kernel, num_pools=num_pools, slabs=slabs,
-                          page=page),
+                          page=page, T=T),
         grid_spec=grid_spec,
         out_shape=tuple(jax.ShapeDtypeStruct(p.shape, p.dtype) for p in kv),
         input_output_aliases=aliases,
@@ -245,16 +254,16 @@ def kv_append(kv: Tuple[jax.Array, ...], k_new: jax.Array,
     # raw DMA requires the lane (head_dim) extent to be 128-aligned —
     # Mosaic cannot slice a lane dim below its 128 tiling even full-dim
     # (PBT_KV_RMW=0 forces the DUS path for A/B benchmarking)
-    if (T == 1 and k_new.shape[-1] % 128 == 0
+    if (k_new.shape[-1] % 128 == 0
             and os.environ.get("PBT_KV_RMW", "1") == "1"):
-        # values via the single RMW kernel; the INT8 scales leaf keeps
-        # per-token DUS (its lane-1 layout cannot be raw-DMA-sliced)
+        # values via the single RMW kernel (T=1 decode, T>1 speculative
+        # verify); the INT8 scales leaf keeps per-token DUS (its lane-1
+        # layout cannot be raw-DMA-sliced)
         layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
         vals = _append_tokens_rmw(
             (kv[0],), (news[0],), layer_arr,
-            pid.astype(jnp.int32).reshape(-1),
-            slot.astype(jnp.int32).reshape(-1), page_size=page_size,
-            interpret=interpret)
+            pid.astype(jnp.int32), slot.astype(jnp.int32),
+            page_size=page_size, interpret=interpret)
         if len(kv) == 2:
             scales = _append_tokens_dus(
                 (kv[1],), (news[1],), layer, pid.astype(jnp.int32),

@@ -137,3 +137,36 @@ def test_server_core_routes_to_spec():
     ids = [core.tokenizer.encode(p) for p in req.prompts]
     ref = eng.generate_batch_fused(ids, 8, GREEDY)
     assert [r["tokens"] for r in out["results"]] == ref
+
+
+def test_rmw_multitoken_append_matches_scatter():
+    """The T>1 RMW append kernel (speculative verify path on TPU) must
+    equal the functional scatter, including slab- and page-crossing
+    token spans (interpret mode)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.kvcache.pool import (
+        stack_new_kv,
+    )
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.ops.kv_append import (
+        _append_tokens_dus,
+        _append_tokens_rmw,
+    )
+
+    L, KH, P, page, dh = 2, 2, 6, 8, 128
+    B, T = 3, 3
+    rng = np.random.default_rng(0)
+    pool = jnp.asarray(rng.normal(size=(L, 2, KH, P, page, dh)
+                                  ).astype(np.float32))
+    k_new = jnp.asarray(rng.normal(size=(B, T, KH, dh)).astype(np.float32))
+    v_new = jnp.asarray(rng.normal(size=(B, T, KH, dh)).astype(np.float32))
+    news = stack_new_kv((pool,), k_new, v_new)
+    pid = jnp.asarray([[1, 1, 1], [2, 2, 3], [4, 4, 4]], jnp.int32)
+    slot = jnp.asarray([[5, 6, 7], [6, 7, 0], [0, 1, 2]], jnp.int32)
+    layer_arr = jnp.asarray([1], jnp.int32)
+    out_rmw = _append_tokens_rmw((pool,), (news[0],), layer_arr, pid, slot,
+                                 page_size=page, interpret=True)[0]
+    out_dus = _append_tokens_dus((pool,), (news[0],), jnp.asarray(1), pid,
+                                 slot)[0]
+    assert jnp.array_equal(out_rmw, out_dus)

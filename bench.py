@@ -72,6 +72,8 @@ def main() -> None:
                     choices=("fused", "scheduler", "beam", "spec"))
     ap.add_argument("--decode-burst", type=int, default=16)
     ap.add_argument("--spec-k", type=int, default=8)
+    # scheduler mode with speculative bursts (pattern-heavy prompts)
+    ap.add_argument("--scheduler-spec", action="store_true")
     args = ap.parse_args()
 
     if not args.no_fallback and args.model == "llama3-8b":
@@ -100,7 +102,8 @@ def main() -> None:
              "--reps", str(args.reps), "--page-size",
              str(args.page_size), "--mode", args.mode,
              "--decode-burst", str(args.decode_burst),
-             "--spec-k", str(args.spec_k)], 2700)
+             "--spec-k", str(args.spec_k)]
+            + (["--scheduler-spec"] if args.scheduler_spec else []), 2700)
         if line:
             print(line)
             return
@@ -187,6 +190,12 @@ def main() -> None:
         from pagedattention_based_transformer_decoder_inference_framework_tpu.scheduler import (
             RequestState, Scheduler)
 
+        if args.scheduler_spec:
+            cfg.runtime.spec_k = args.spec_k
+            motif = rng.integers(0, cfg.model.vocab_size,
+                                 (args.batch, 16)).tolist()
+            prompts = [(m * cdiv(args.prompt_len, 16))[:args.prompt_len]
+                       for m in motif]
         sched = Scheduler(eng)
 
         def serve_round():

@@ -134,6 +134,7 @@ class Engine:
         self._decode_logits_fn = None     # built lazily (test/debug path)
         self._score_fn = None             # built lazily (eval path)
         self._generate_spec_fn = None     # built lazily (speculative path)
+        self._decode_spec_loop_fn = None  # built lazily (scheduler spec)
         self._sample_fn = jax.jit(sample, static_argnames=("mode",))
 
     # spec helpers for shard_map-wrapped steps ------------------------------
@@ -420,6 +421,83 @@ class Engine:
                       samp)
 
         return sharded
+
+    def _build_decode_spec_loop(self):
+        """Speculative decode burst for the continuous-batching
+        scheduler: ``num_iters`` draft->verify steps as ONE device
+        program over the fixed lanes. Mixed batches are fine — greedy
+        lanes accept drafts (emitting up to ``spec_k+1`` tokens per
+        iteration, greedy-exact); sampled lanes draw exactly one token
+        per iteration with ``request_key(seed, emitted)``, so their
+        output is bit-identical to the plain burst path. Lanes freeze
+        on device at EOS or their budget (idle lanes enter frozen with
+        ``budgets == 0``).
+
+        Carries the per-lane token *history* ``hist [B, M]`` (drafting
+        needs it); the host rebuilds it per burst and reads back the
+        emitted slice ``hist[b, cur0:cur']``. ``kv_limits [B]`` bounds
+        KV writes to each request's validated page budget — draft
+        slots past it are redirected to the dump page.
+        """
+        model, backend = self.model, self.backend
+        V = self.cfg.vocab_size
+        from .spec import (accept_counts, draft_ngram, gather_rows,
+                           write_rows)
+
+        def loop(params, hist, kv, block_tables, cur, emitted, budgets,
+                 seeds, kv_limits, samp, *, num_iters: int, spec_k: int,
+                 ngram: int, mode):
+            K = spec_k
+            eos = samp["eos_token_id"]
+            idxs = jnp.arange(K + 1, dtype=jnp.int32)
+            B = hist.shape[0]
+            samp_rep = {kk: jnp.repeat(vv, K + 1)
+                        for kk, vv in samp.items()}
+            greedy_lane = samp["temperature"] <= 0.0
+
+            def body(carry, _):
+                hist, kv, cur, emitted, finished = carry
+                drafts = draft_ngram(hist, cur, k=K, n=ngram)
+                lastt = gather_rows(hist, cur - 1, 1)
+                inp = jnp.concatenate([lastt, drafts], axis=1)
+                pos = (cur - 1)[:, None] + idxs[None, :]
+                pos = jnp.where(finished[:, None], -1, pos)
+                pos = jnp.where(pos < kv_limits[:, None], pos, -1)
+                attn = backend.make_attn_fn(block_tables, cur + K,
+                                            cur - 1)
+                logits, kv = model.forward(params, inp, pos, kv, attn)
+                flat = logits[..., :V].reshape(B * (K + 1), V)
+                keys = jax.vmap(jax.vmap(request_key))(
+                    jnp.broadcast_to(seeds[:, None], (B, K + 1)),
+                    emitted[:, None] + idxs[None, :])
+                y = sample(flat, None, row_keys=keys.reshape(-1),
+                           mode=mode, **samp_rep).reshape(B, K + 1)
+                a = jnp.where(greedy_lane,
+                              accept_counts(drafts, y[:, :K]), 0)
+                ok = idxs[None, :] <= a[:, None]
+                ok &= (emitted[:, None] + idxs[None, :]
+                       ) < budgets[:, None]
+                iseos = (eos[:, None] >= 0) & (y == eos[:, None])
+                eos_before = (jnp.cumsum(iseos.astype(jnp.int32), axis=1)
+                              - iseos.astype(jnp.int32)) > 0
+                ok &= ~eos_before & ~finished[:, None]
+                cnt = ok.sum(axis=1).astype(jnp.int32)
+                hist = write_rows(hist, cur, y)
+                emitted = emitted + cnt
+                finished = (finished | (emitted >= budgets)
+                            | (iseos & ok).any(axis=1))
+                return (hist, kv, cur + cnt, emitted, finished), None
+
+            finished = emitted >= budgets
+            (hist, kv, cur, emitted, finished), _ = jax.lax.scan(
+                body, (hist, kv, cur, emitted, finished), None,
+                length=num_iters)
+            return hist, cur, emitted, kv
+
+        return functools.partial(
+            jax.jit,
+            static_argnames=("num_iters", "spec_k", "ngram", "mode"),
+            donate_argnums=(2,))(loop)
 
     def _build_generate_spec(self):
         """Whole-request *speculative* generation in ONE device program:

@@ -640,10 +640,15 @@ class Scheduler:
                     self._alloc_of(lane).free(lane.pages[j])
                     lane.pages[j] = 0          # dump-page placeholder
 
-    def _grow_pages(self, horizon: int) -> None:
+    def _grow_pages(self, horizon: int, writeahead: int = 0) -> None:
         """Ensure every decoding lane has pages for the next ``horizon``
         tokens; preempt the youngest lane on pool exhaustion (never
-        drop live pages — unlike the reference's silent LRU eviction)."""
+        drop live pages — unlike the reference's silent LRU eviction).
+
+        ``writeahead``: extra KV slots the burst may write past the
+        emitted tokens (speculative verify writes ``spec_k`` draft rows
+        ahead), clamped to the request's validated page budget — the
+        device redirects writes past that limit to the dump page."""
         self._reclaim_window_pages()
         while True:
             active = [l for l in self.lanes if l.decoding]
@@ -651,7 +656,10 @@ class Scheduler:
                 for lane in active:
                     steps = min(horizon, lane.request.max_new_tokens
                                 - len(lane.request.tokens))
-                    need = cdiv(lane.seq_len + max(steps, 1), self.page)
+                    total = lane.seq_len + max(steps, 1) + writeahead
+                    total = min(total, len(lane.request.prompt)
+                                + lane.request.max_new_tokens)
+                    need = cdiv(max(total, lane.seq_len + 1), self.page)
                     while len(lane.pages) < need:
                         lane.pages.extend(
                             self._alloc_of(lane).alloc_many(1))
@@ -728,6 +736,9 @@ class Scheduler:
     def _decode_tick(self) -> int:
         if not any(l.decoding for l in self.lanes):
             return sum(not l.free for l in self.lanes)
+        if (self.config.runtime.spec_k > 0 and self.dp == 1
+                and self.engine.mesh is None):
+            return self._decode_tick_spec()
         n_steps = self._burst_steps([l for l in self.lanes if l.decoding])
         self._grow_pages(n_steps)
         active = [l for l in self.lanes if l.decoding]
@@ -773,6 +784,85 @@ class Scheduler:
                 lane.seq_len += 1
                 lane.last_token = int(out_np[i, j])
                 self._deliver(lane, lane.last_token)
+        return sum(not l.free for l in self.lanes)
+
+    def _decode_tick_spec(self) -> int:
+        """Speculative decode burst (``runtime.spec_k > 0``): each
+        device iteration drafts ``spec_k`` tokens per greedy lane from
+        its own history and verifies them in one forward — greedy lanes
+        emit up to ``spec_k+1`` tokens per weight stream (greedy-exact),
+        sampled lanes advance one seeded token per iteration exactly
+        like the plain burst. See ``Engine._build_decode_spec_loop``."""
+        eng = self.engine
+        K = self.config.runtime.spec_k
+        ngram = max(1, self.config.runtime.spec_ngram)
+        n_iters = self._burst_steps(
+            [l for l in self.lanes if l.decoding])
+        self._grow_pages(n_iters * (K + 1), writeahead=K)
+        active = [l for l in self.lanes if l.decoding]
+        if not active:
+            return sum(not l.free for l in self.lanes)
+
+        # history buffer: hist[i, :seq_len+1] = prompt + delivered
+        # tokens (the +1 is the pending last token, KV not yet written);
+        # width is bucketed so only a few program shapes compile
+        max_need = max(
+            lane.seq_len + 1
+            + min(n_iters * (K + 1),
+                  lane.request.max_new_tokens - len(lane.request.tokens))
+            + K + 1
+            for lane in active)
+        M = cdiv(max_need, 256) * 256
+        hist = np.zeros((self.B, M), np.int32)
+        bt = np.zeros((self.B, eng.cache.max_pages_per_seq), np.int32)
+        cur = np.ones((self.B,), np.int32)        # frozen lanes: dummy
+        emitted = np.zeros((self.B,), np.int32)
+        budgets = np.zeros((self.B,), np.int32)   # 0 => frozen idle lane
+        seeds = np.zeros((self.B,), np.int32)
+        kv_limits = np.zeros((self.B,), np.int32)
+        for i, lane in enumerate(self.lanes):
+            if not lane.decoding:
+                continue
+            req = lane.request
+            seq = req.prompt + req.tokens
+            assert len(seq) == lane.seq_len + 1
+            hist[i, :len(seq)] = seq
+            bt[i, :len(lane.pages)] = lane.pages
+            cur[i] = len(seq)
+            emitted[i] = len(req.tokens)
+            budgets[i] = req.max_new_tokens
+            seeds[i] = req.seed
+            kv_limits[i] = len(req.prompt) + req.max_new_tokens
+
+        samp_arrays, mode = self._samp_plan(active)
+        cur0 = cur.copy()
+        if eng._decode_spec_loop_fn is None:
+            eng._decode_spec_loop_fn = eng._build_decode_spec_loop()
+        try:
+            hist_out, cur_out, emitted_out, self.kv = \
+                eng._decode_spec_loop_fn(
+                    eng.params, jnp.asarray(hist), self.kv,
+                    jnp.asarray(bt), jnp.asarray(cur),
+                    jnp.asarray(emitted), jnp.asarray(budgets),
+                    jnp.asarray(seeds), jnp.asarray(kv_limits),
+                    samp_arrays, num_iters=n_iters, spec_k=K,
+                    ngram=ngram, mode=mode)
+            hist_np = np.asarray(hist_out)
+            cur_np = np.asarray(cur_out)
+        except Exception as e:
+            self._reset_device_state(e)
+            return sum(not l.free for l in self.lanes)
+
+        for i, lane in enumerate(self.lanes):
+            if budgets[i] == 0:
+                continue
+            new = int(cur_np[i]) - int(cur0[i])
+            lane.seq_len = int(cur_np[i]) - 1
+            lane.last_token = int(hist_np[i, int(cur_np[i]) - 1])
+            for t in range(new):
+                if not lane.decoding:
+                    break              # released (EOS / budget) mid-burst
+                self._deliver(lane, int(hist_np[i, int(cur0[i]) + t]))
         return sum(not l.free for l in self.lanes)
 
     def _reset_device_state(self, error: Exception) -> None:

@@ -202,8 +202,8 @@ def test_rmw_append_matches_scatter(quantized):
     ref = append_to_pages_at_layer(kv, k_new, v_new, jnp.asarray(1),
                                    positions, bt)
     news = stack_new_kv(kv, k_new, v_new)
-    pid = jnp.take_along_axis(bt, positions // page, axis=1).reshape(-1)
-    slot = (positions % page).reshape(-1)
+    pid = jnp.take_along_axis(bt, positions // page, axis=1)
+    slot = positions % page
     out = ka._append_tokens_rmw(
         kv, news, jnp.asarray([1], jnp.int32), pid.astype(jnp.int32),
         slot.astype(jnp.int32), page_size=page, interpret=True)

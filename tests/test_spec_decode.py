@@ -170,3 +170,68 @@ def test_rmw_multitoken_append_matches_scatter():
     out_dus = _append_tokens_dus((pool,), (news[0],), jnp.asarray(1), pid,
                                  slot)[0]
     assert jnp.array_equal(out_rmw, out_dus)
+
+
+# -- scheduler spec bursts -----------------------------------------------------
+
+def _sched_cfg(spec_k=0):
+    cfg = FrameworkConfig(
+        model=preset("llama-tiny"),
+        cache=CacheConfig(page_size=8, num_pages=256, max_pages_per_seq=16,
+                          kv_dtype="float32"),
+        runtime=RuntimeConfig(max_new_tokens=16, max_batch_size=4,
+                              decode_burst=4, spec_k=spec_k, spec_ngram=2,
+                              temperature=0.0, eos_token_id=-1),
+    )
+    cfg.model.dtype = "float32"
+    return cfg
+
+
+def _run_sched(spec_k, reqs):
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.scheduler import (
+        RequestState,
+        Scheduler,
+    )
+
+    eng = Engine(_sched_cfg(spec_k), interpret=True)
+    sched = Scheduler(eng)
+    handles = [sched.submit(p, n, s, seed=seed)
+               for (p, n, s, seed) in reqs]
+    sched.run_until_idle()
+    assert all(h.state == RequestState.FINISHED for h in handles), (
+        [h.error for h in handles])
+    return [h.tokens for h in handles]
+
+
+def test_scheduler_spec_burst_equals_plain():
+    """The speculative scheduler path must be token-identical to the
+    plain burst path — greedy lanes (draft acceptance) AND a seeded
+    sampled lane (one request_key-seeded token per iteration) mixed in
+    one batch."""
+    sampled = SamplingParams(temperature=0.9, top_k=8, eos_token_id=-1)
+    reqs = [
+        ([5, 9, 3, 14, 5, 9, 3, 14, 5, 9], 12, GREEDY, 1),
+        ([1, 2, 3, 4, 5, 6, 7], 9, GREEDY, 2),
+        ([4, 4, 2, 4, 4, 2, 4, 4], 11, sampled, 7),
+    ]
+    plain = _run_sched(0, reqs)
+    spec = _run_sched(3, reqs)
+    assert spec == plain
+    assert [len(t) for t in spec] == [12, 9, 11]
+
+
+def test_scheduler_spec_eos_stops():
+    probe = _run_sched(0, [([5, 9, 3, 14], 12, GREEDY, 1)])[0]
+    eos = probe[4]
+    samp = SamplingParams(temperature=0.0, eos_token_id=eos)
+    plain = _run_sched(0, [([5, 9, 3, 14], 12, samp, 1)])
+    spec = _run_sched(3, [([5, 9, 3, 14], 12, samp, 1)])
+    assert spec == plain
+    assert spec[0][-1] == eos and len(spec[0]) < 12
+
+
+def test_scheduler_spec_more_requests_than_lanes():
+    reqs = [([7 + i, 8, 7 + i, 8, 7 + i], 6, GREEDY, i) for i in range(6)]
+    plain = _run_sched(0, reqs)
+    spec = _run_sched(2, reqs)
+    assert spec == plain

@@ -51,6 +51,12 @@ class ModelConfig:
     use_mlp_bias: bool = True
     sliding_window: int = 0         # >0: Mistral-style windowed attention
     tie_embeddings: bool = True     # LM head = embedding^T
+    # Mixture-of-Experts (Mixtral-style): >0 replaces the dense MLP with
+    # ``num_experts`` SwiGLU experts, top-``experts_per_tok`` routing
+    # (softmax over the selected logits). Experts shard over the 'model'
+    # mesh axis (expert parallelism) — see models/model.py.
+    num_experts: int = 0
+    experts_per_tok: int = 2
 
     dtype: str = "bfloat16"         # activation / weight compute dtype
     # "none" | "int8" (w8a8: s8 x s8 MXU matmuls + dynamic activation
@@ -71,6 +77,9 @@ class ModelConfig:
         assert self.activation in ("gelu", "relu", "swiglu", "silu")
         assert self.position in ("learned", "rope")
         assert self.quant in ("none", "int8", "int8-weight")
+        if self.num_experts > 0:
+            assert self.activation == "swiglu", "MoE experts are SwiGLU"
+            assert 1 <= self.experts_per_tok <= self.num_experts
         return self
 
 
@@ -320,6 +329,21 @@ PRESETS: Dict[str, ModelConfig] = {
         intermediate_size=28672, max_seq_len=8192, norm="rmsnorm",
         activation="swiglu", position="rope", use_qkv_bias=False,
         use_mlp_bias=False, tie_embeddings=False, rope_theta=500000.0,
+    ),
+    "mixtral-8x7b": ModelConfig(
+        name="mixtral-8x7b", vocab_size=32000, hidden_size=4096,
+        num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128,
+        intermediate_size=14336, max_seq_len=32768, norm="rmsnorm",
+        activation="swiglu", position="rope", use_qkv_bias=False,
+        use_mlp_bias=False, tie_embeddings=False, rope_theta=1000000.0,
+        num_experts=8, experts_per_tok=2,
+    ),
+    "mixtral-tiny": ModelConfig(
+        name="mixtral-tiny", vocab_size=512, hidden_size=64, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=16, intermediate_size=128,
+        max_seq_len=256, norm="rmsnorm", activation="swiglu",
+        position="rope", use_qkv_bias=False, use_mlp_bias=False,
+        tie_embeddings=False, num_experts=4, experts_per_tok=2,
     ),
     "llama-tiny": ModelConfig(
         name="llama-tiny", vocab_size=512, hidden_size=64, num_layers=2,

@@ -104,6 +104,10 @@ class Engine:
             assert self.cfg.num_kv_heads % tp == 0, (
                 f"num_kv_heads={self.cfg.num_kv_heads} not divisible by "
                 f"tp={tp}")
+            if self.cfg.num_experts > 0:
+                assert self.cfg.num_experts % tp == 0, (
+                    f"num_experts={self.cfg.num_experts} not divisible "
+                    f"by tp={tp} (experts shard over the model axis)")
             self.params = dict(self.params)
             self.padded_vocab = pad_vocab(self.params, self.cfg, tp)
             self.params = shard_params(self.params, mesh, pcfg)

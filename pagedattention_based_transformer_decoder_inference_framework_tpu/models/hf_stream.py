@@ -30,7 +30,8 @@ except ImportError:                    # pragma: no cover
     _BF16 = np.dtype(np.float32)
 
 #: weight keys that get INT8-quantized (matches model._QUANT_KEYS)
-QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",
+              "we_gate", "we_up", "we_down")
 
 
 class ShardReader:
@@ -175,6 +176,25 @@ def import_hf_streaming(hf_dir: str, cfg: ModelConfig,
                 flat[key] = np.empty((L,) + w.shape, tgt)
             flat[key][i] = w.astype(tgt)
 
+    def put_expert_tensor(ours: str, i: int, e: int, w: np.ndarray):
+        """Write expert ``e`` of layer ``i`` into its ``[L, E, ...]``
+        stacked destination (MoE: Mixtral ``block_sparse_moe``)."""
+        E = cfg.num_experts
+        if do_quant and ours in QUANT_KEYS:
+            q, sc = _quant_np(w)
+            kv_ = f"layers/{ours}.qvalues"
+            ks_ = f"layers/{ours}.qscales"
+            if kv_ not in flat:
+                flat[kv_] = np.empty((L, E) + q.shape, np.int8)
+                flat[ks_] = np.empty((L, E) + sc.shape, np.float32)
+            flat[kv_][i, e] = q
+            flat[ks_][i, e] = sc
+        else:
+            key = f"layers/{ours}"
+            if key not in flat:
+                flat[key] = np.empty((L, E) + w.shape, _BF16)
+            flat[key][i, e] = w.astype(_BF16)
+
     if gpt2:
         for i in range(L):
             # fused c_attn [D, 3D] -> wq|wk|wv (+ biases); HF GPT-2 uses
@@ -196,10 +216,25 @@ def import_hf_streaming(hf_dir: str, cfg: ModelConfig,
     else:
         for i in range(L):
             for ours, (hf, transpose) in _llama_layer_map(i).items():
+                if ours.startswith("w_") and cfg.num_experts > 0:
+                    continue           # MoE: no dense MLP
                 if not has(hf):
                     continue           # optional biases absent
                 w = get(hf)
                 put_layer_tensor(ours, i, w.T if transpose else w)
+            if cfg.num_experts > 0:
+                # Mixtral block_sparse_moe: gate router + per-expert
+                # w1 (gate) / w3 (up) / w2 (down), torch [out, in]
+                pre = f"model.layers.{i}.block_sparse_moe."
+                put_layer_tensor("router", i, get(pre + "gate.weight").T)
+                for e in range(cfg.num_experts):
+                    pe = pre + f"experts.{e}."
+                    put_expert_tensor("we_gate", i, e,
+                                      get(pe + "w1.weight").T)
+                    put_expert_tensor("we_down", i, e,
+                                      get(pe + "w2.weight").T)
+                    put_expert_tensor("we_up", i, e,
+                                      get(pe + "w3.weight").T)
         flat["embedding"] = get("model.embed_tokens.weight").astype(_BF16)
         flat["final_norm_scale"] = get("model.norm.weight").astype(_BF16)
         if not cfg.tie_embeddings:

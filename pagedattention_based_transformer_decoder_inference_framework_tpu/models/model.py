@@ -75,7 +75,13 @@ def init_params(cfg: ModelConfig, key: jax.Array) -> Params:
         layers["bk"] = jnp.zeros((L, KH * dh), dt)
         layers["bv"] = jnp.zeros((L, KH * dh), dt)
         layers["bo"] = jnp.zeros((L, D), dt)
-    if cfg.activation == "swiglu":
+    if cfg.num_experts > 0:
+        E = cfg.num_experts
+        layers["router"] = w(keys[10], L, D, E)
+        layers["we_gate"] = w(keys[4], L, E, D, I_)
+        layers["we_up"] = w(keys[5], L, E, D, I_)
+        layers["we_down"] = w(keys[6], L, E, I_, D)
+    elif cfg.activation == "swiglu":
         layers["w_gate"] = w(keys[4], L, D, I_)
         layers["w_up"] = w(keys[5], L, D, I_)
         layers["w_down"] = w(keys[6], L, I_, D)
@@ -100,7 +106,8 @@ def init_params(cfg: ModelConfig, key: jax.Array) -> Params:
     return params
 
 
-_QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+_QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",
+               "we_gate", "we_up", "we_down")
 
 
 def init_params_quantized(cfg: ModelConfig, key: jax.Array) -> Params:
@@ -147,7 +154,29 @@ def init_params_quantized(cfg: ModelConfig, key: jax.Array) -> Params:
         layers["bk"] = jnp.zeros((L, KH * dh), dt)
         layers["bv"] = jnp.zeros((L, KH * dh), dt)
         layers["bo"] = jnp.zeros((L, D), dt)
-    if cfg.activation == "swiglu":
+    def q_experts(k, K, N):
+        E = cfg.num_experts
+        vals, scales = [], []
+        for l in range(cfg.num_layers):
+            ev, es = [], []
+            for e in range(E):
+                w = 0.02 * jax.random.normal(
+                    jax.random.fold_in(jax.random.fold_in(k, l), e),
+                    (K, N), jnp.float32)
+                qt = quantize_per_channel(w)
+                ev.append(qt.values)
+                es.append(qt.scales)
+            vals.append(jnp.stack(ev))
+            scales.append(jnp.stack(es))
+        return QTensor(jnp.stack(vals), jnp.stack(scales))
+
+    if cfg.num_experts > 0:
+        layers["router"] = (0.02 * jax.random.normal(
+            keys[10], (L, D, cfg.num_experts), jnp.float32)).astype(dt)
+        layers["we_gate"] = q_experts(keys[4], D, I_)
+        layers["we_up"] = q_experts(keys[5], D, I_)
+        layers["we_down"] = q_experts(keys[6], I_, D)
+    elif cfg.activation == "swiglu":
         layers["w_gate"] = q_stacked(keys[4], D, I_)
         layers["w_up"] = q_stacked(keys[5], D, I_)
         layers["w_down"] = q_stacked(keys[6], I_, D)
@@ -250,6 +279,11 @@ def fuse_projections(params: Params, tp: int = 1) -> Params:
                                       lp.pop("bv")], tp)
         if "w_gate" in lp:
             lp["w_gu"] = _fuse_cols([lp.pop("w_gate"), lp.pop("w_up")], tp)
+        if "we_gate" in lp:
+            # experts shard over the mesh axis as whole units (EP), so
+            # per-expert columns need no tp interleaving
+            lp["we_gu"] = _fuse_cols([lp.pop("we_gate"),
+                                      lp.pop("we_up")], 1)
         out_layers.append(lp)
     out = dict(params)
     out["layers"] = tuple(out_layers)
@@ -265,7 +299,7 @@ def quantize_params(params: Params, lm_head: bool = True) -> Params:
     stacked layout and the engine's unstacked/fused tuple layout
     (re-wrapping one engine's params in another).
     """
-    quant_keys = set(_QUANT_KEYS) | {"w_qkv", "w_gu"}
+    quant_keys = set(_QUANT_KEYS) | {"w_qkv", "w_gu", "we_gu"}
 
     def quant_dict(layers: Params) -> Params:
         layers = dict(layers)
@@ -369,6 +403,9 @@ class DecoderModel:
         x = x + attn_proj
 
         h2 = self._norm(x, lp["ln2_scale"], lp.get("ln2_bias"))
+        if cfg.num_experts > 0:
+            x = x + self._moe(lp, h2, w8a8)
+            return x, kv
         if cfg.activation == "swiglu":
             if "w_gu" in lp:
                 gu = linear(h2, lp["w_gu"], w8a8=w8a8)
@@ -386,6 +423,54 @@ class DecoderModel:
             if "b_down" in lp:
                 mlp = mlp + lp["b_down"].astype(mlp.dtype)
         return x + mlp, kv
+
+    def _moe(self, lp: Params, h2: jax.Array, w8a8: bool) -> jax.Array:
+        """Mixture-of-Experts MLP (Mixtral-style): top-k routing with
+        softmax over the selected logits, SwiGLU experts.
+
+        Expert parallelism rides the same ``'model'`` mesh axis as TP:
+        each shard holds ``num_experts / tp`` whole experts
+        (``parallel/specs.py``) and computes its local experts for ALL
+        tokens with gate-masked outputs, psum-combined — no all-to-all.
+        For decode (weight-stream bound) this is near speed-of-light at
+        moderate expert counts: each step streams only the shard's local
+        expert weights, and with batch*top_k draws approaching E the
+        masked-token FLOP waste buys freedom from gather/sort dispatch.
+        (A ragged sort-based dispatch for compute-bound prefill at large
+        E is the known follow-up.)
+        """
+        cfg = self.cfg
+        k = cfg.experts_per_tok
+        r = linear(h2, lp["router"]).astype(jnp.float32)     # [B,T,E]
+        topv, topi = jax.lax.top_k(r, k)
+        gates = jax.nn.softmax(topv, axis=-1)                # [B,T,k]
+
+        def expert(leaf, e):
+            if isinstance(leaf, QTensor):
+                return QTensor(leaf.values[e], leaf.scales[e])
+            return leaf[e]
+
+        wd = lp["we_down"]
+        E_local = (wd.values if isinstance(wd, QTensor) else wd).shape[0]
+        off = (jax.lax.axis_index(self.tp_axis) * E_local
+               if self.tp_axis else 0)
+        mlp = jnp.zeros(h2.shape[:-1] + (
+            (wd.values if isinstance(wd, QTensor) else wd).shape[-1],),
+            h2.dtype)
+        for e in range(E_local):
+            ge = jnp.where(topi == off + e, gates, 0.0).sum(-1)  # [B,T]
+            if "we_gu" in lp:
+                gu = linear(h2, expert(lp["we_gu"], e), w8a8=w8a8)
+                gate_a, up = jnp.split(gu, 2, axis=-1)
+                gate_a = activation_fn("silu")(
+                    gate_a.astype(jnp.float32)).astype(up.dtype)
+            else:
+                gate_a = linear(h2, expert(lp["we_gate"], e), act="silu",
+                                w8a8=w8a8)
+                up = linear(h2, expert(lp["we_up"], e), w8a8=w8a8)
+            ye = linear(gate_a * up, expert(lp["we_down"], e), w8a8=w8a8)
+            mlp = mlp + ge[..., None].astype(ye.dtype) * ye
+        return self._psum(mlp)
 
     def forward(self, params: Params, tokens: jax.Array, positions: jax.Array,
                 kv_caches: Any, attn_fn: AttentionFn,

@@ -36,6 +36,16 @@ def _layer_spec(name: str, leaf: Any, m: str, stacked: bool = True):
     def spec(*dims):
         return P(*(((None,) if stacked else ()) + dims))
 
+    if name.startswith("we_"):
+        # MoE expert weights [(L,) E, in, out]: whole experts shard over
+        # the 'model' axis (expert parallelism); per-expert scales
+        # [(L,) E, 1, out] shard the same expert axis
+        w = spec(m, None, None)
+        if isinstance(leaf, QTensor):
+            return QTensor(w, spec(m, None, None))
+        return w
+    if name == "router":
+        return P()                                 # replicated [(L,) D, E]
     if name in _COL:
         w = spec(None, m)
         if isinstance(leaf, QTensor):

@@ -167,6 +167,15 @@ class RuntimeConfig:
     spec_k: int = 0
     spec_ngram: int = 3
 
+    # decode megakernel: stream each layer's whole post-attention matmul
+    # chain (o-proj -> norm -> gate|up -> down -> next qkv) through ONE
+    # Pallas call so weight-block DMA never drains between ops
+    # (ops/chain_linear.py). The packed blocks DUPLICATE the per-op
+    # weights (prefill still uses those), so this is opt-in where 2x
+    # weights fit HBM. Single-device, non-MoE, non-w8a8 only — the
+    # engine silently falls back when unsupported.
+    megakernel: bool = False
+
 
 @dataclass
 class ParallelConfig:

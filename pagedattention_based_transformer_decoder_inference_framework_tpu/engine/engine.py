@@ -130,6 +130,14 @@ class Engine:
                 self.params = unstack_layers(self.params)
                 if self.runtime.fuse_projections:
                     self.params = fuse_projections(self.params)
+            if self.runtime.megakernel:
+                from ..models.chained import (build_decode_chains,
+                                              chains_supported)
+
+                if chains_supported(self.cfg, self.params):
+                    self.params = dict(self.params)
+                    self.params["chains"] = build_decode_chains(
+                        self.params, self.cfg)
 
         self._prefill_fn = self._build_prefill()
         self._decode_fn = self._build_decode()

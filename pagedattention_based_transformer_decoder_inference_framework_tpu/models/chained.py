@@ -1,0 +1,100 @@
+"""Builds per-layer :class:`~..ops.chain_linear.PackedChain` weights for
+the decode megakernel.
+
+Layer ``l``'s chain covers its post-attention matmuls *plus layer
+``l+1``'s qkv projection* (the next weight stream in program order), so
+a decode step becomes::
+
+    qkv_0 (one XLA dot)
+    for l in layers:  attention_l  ->  chain_l   (ONE pallas call)
+    final_norm -> lm head
+
+Each chain streams ~all of the layer's weight bytes back-to-back; see
+``ops/chain_linear.py`` for why that matters. The packed arrays
+*duplicate* the per-op weights (prefill still reads those), so the
+megakernel is opt-in (``RuntimeConfig.megakernel``) and only sensible
+where 2x weights fit HBM; the packed-layout prefill that drops the
+duplicate is tracked in BENCHMARKS.md.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+from ..config.config import ModelConfig
+from ..utils.common import jnp_dtype
+from ..ops.chain_linear import (
+    OP_D,
+    OP_G,
+    OP_O,
+    OP_T,
+    OP_U,
+    PackedChain,
+    pack_chain,
+)
+from ..quant.tensor import QTensor
+from ..utils.common import round_up
+
+Params = Dict[str, Any]
+
+
+def _split_cols(w, n: int):
+    """Split ``[K, 2n] -> ([K, :n], [K, n:])`` (gate|up fused columns)."""
+    if isinstance(w, QTensor):
+        return (QTensor(w.values[:, :n], w.scales[:, :n]),
+                QTensor(w.values[:, n:], w.scales[:, n:]))
+    return w[:, :n], w[:, n:]
+
+
+def chains_supported(cfg: ModelConfig, params: Params,
+                     tp_axis: Optional[str] = None) -> bool:
+    """The megakernel path covers the single-device, unrolled-layer,
+    fused-projection, dense-or-weight-only-INT8 decoder. Everything
+    else (w8a8 activation quant, MoE, TP psum mid-chain, scanned
+    stacked layers) falls back to the per-op path."""
+    layers = params.get("layers")
+    return (tp_axis is None
+            and cfg.num_experts == 0
+            and cfg.quant != "int8"
+            and cfg.activation in ("swiglu", "gelu", "relu")
+            and isinstance(layers, (tuple, list))
+            and len(layers) > 0
+            and all("w_qkv" in lp and "wo" in lp for lp in layers))
+
+
+def build_decode_chains(params: Params, cfg: ModelConfig, *,
+                        bk: int = 1024, bn: int = 2048
+                        ) -> Tuple[PackedChain, ...]:
+    """Pack every layer's decode chain (host-side, once at engine
+    build). Block sizes clamp to the model's dims; the defaults are the
+    measured-fastest v5e stream blocks (BENCHMARKS.md)."""
+    layers = params["layers"]
+    D, I = cfg.hidden_size, cfg.intermediate_size
+    bn = min(bn, round_up(D, 128), round_up(I, 128))
+    bk = min(bk, round_up(D, 128), round_up(I, 128))
+    w_dtype = None if cfg.quant == "int8-weight" else jnp_dtype(cfg.dtype)
+
+    chains = []
+    for l, lp in enumerate(layers):
+        ops = [(OP_O, lp["wo"], lp.get("bo"))]
+        if cfg.activation == "swiglu":
+            if "w_gu" in lp:
+                gate, up = _split_cols(lp["w_gu"], I)
+            else:
+                gate, up = lp["w_gate"], lp["w_up"]
+            ops += [(OP_G, gate, None), (OP_U, up, None)]
+        else:
+            ops += [(OP_U, lp["w_up"], lp.get("b_up"))]
+        ops += [(OP_D, lp["w_down"], lp.get("b_down"))]
+        nxt = layers[l + 1] if l + 1 < len(layers) else None
+        ln_after_down = None
+        if nxt is not None:
+            ops += [(OP_T, nxt["w_qkv"], nxt.get("b_qkv"))]
+            ln_after_down = (nxt["ln1_scale"], nxt.get("ln1_bias"))
+        chains.append(pack_chain(
+            ops, D=D, I=I,
+            ln_after_o=(lp["ln2_scale"], lp.get("ln2_bias")),
+            ln_after_down=ln_after_down,
+            act_kind=cfg.activation, norm_kind=cfg.norm,
+            eps=cfg.norm_eps, bk=bk, bn=bn, w_dtype=w_dtype))
+    return tuple(chains)

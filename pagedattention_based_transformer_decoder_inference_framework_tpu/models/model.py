@@ -483,6 +483,11 @@ class DecoderModel:
         whole together with the traced layer index.
         Returns ``(logits[B, T, V] f32, new_kv_caches)``.
         """
+        if ("chains" in params and tokens.shape[1] == 1
+                and self.tp_axis is None):
+            return self._forward_chained(params, tokens, positions,
+                                         kv_caches, attn_fn,
+                                         return_hidden)
         x = self.embed(params, tokens, positions)
         rope_cs = self.rope()
 
@@ -510,6 +515,60 @@ class DecoderModel:
             return x, new_kv
         logits = self.logits(params, x)
         return logits, new_kv
+
+    def _forward_chained(self, params: Params, tokens: jax.Array,
+                         positions: jax.Array, kv_caches: Any,
+                         attn_fn: AttentionFn,
+                         return_hidden: bool = False):
+        """Decode (T=1) through the chained weight-stream megakernel:
+        one :func:`~..ops.chain_linear.chain_decode` call per layer
+        covers o-proj, norm, the MLP pair, and the *next* layer's qkv
+        (``models/chained.py``); only layer 0's qkv and the LM head run
+        as standalone ops. Falls outside this path: prefill (T>1), TP,
+        MoE, w8a8 — ``forward`` dispatches those to the per-op blocks.
+        """
+        from ..ops.chain_linear import chain_decode
+        from ..utils.platform import default_interpret
+
+        cfg = self.cfg
+        interp = default_interpret()
+        x = self.embed(params, tokens, positions)          # [B, 1, D]
+        rope_cs = self.rope()
+        layers, chains = params["layers"], params["chains"]
+        B = x.shape[0]
+        dh = cfg.head_dim
+        w8a8 = False                                       # gated out
+
+        lp0 = layers[0]
+        h = self._norm(x, lp0["ln1_scale"], lp0.get("ln1_bias"))
+        qkv = linear(h, lp0["w_qkv"], lp0.get("b_qkv"), w8a8=w8a8)
+
+        new_kv = kv_caches
+        for l, lp in enumerate(layers):
+            qw = qkv.shape[-1] * cfg.num_heads // (
+                cfg.num_heads + 2 * cfg.num_kv_heads)
+            kw = (qkv.shape[-1] - qw) // 2
+            q, k, v = (qkv[..., :qw], qkv[..., qw:qw + kw],
+                       qkv[..., qw + kw:])
+            q = q.reshape(B, 1, qw // dh, dh)
+            k = k.reshape(B, 1, kw // dh, dh)
+            v = v.reshape(B, 1, kw // dh, dh)
+            if rope_cs is not None:
+                cos, sin = rope_cs
+                q = apply_rope(q, positions, cos, sin)
+                k = apply_rope(k, positions, cos, sin)
+            attn_out, new_kv = attn_fn(q, k, v, new_kv, l, positions)
+            x2, tail = chain_decode(chains[l],
+                                    attn_out.reshape(B, -1),
+                                    x.reshape(B, -1), interpret=interp)
+            x = x2[:, None, :]
+            if tail is not None:
+                qkv = tail[:, None, :]
+        x = self._norm(x, params["final_norm_scale"],
+                       params.get("final_norm_bias"))
+        if return_hidden:
+            return x, new_kv
+        return self.logits(params, x), new_kv
 
     def logits(self, params: Params, hidden: jax.Array) -> jax.Array:
         """LM head (the component the reference omits — Appendix A).

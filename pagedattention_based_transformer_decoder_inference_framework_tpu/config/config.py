@@ -175,6 +175,11 @@ class RuntimeConfig:
     # weights fit HBM. Single-device, non-MoE, non-w8a8 only — the
     # engine silently falls back when unsupported.
     megakernel: bool = False
+    # drop the per-op weight copies once packed and serve prefill /
+    # multi-token steps from the packed blocks too (packed_linear) —
+    # one weight layout in HBM, required where 2x weights don't fit
+    # (e.g. Llama-3-8B INT8 on one v5e chip)
+    megakernel_drop_weights: bool = False
 
 
 @dataclass

@@ -62,6 +62,27 @@ def chains_supported(cfg: ModelConfig, params: Params,
             and all("w_qkv" in lp and "wo" in lp for lp in layers))
 
 
+def drop_packed_weights(params: Params) -> Params:
+    """Free the per-op copies of every weight that lives in the packed
+    chain blocks (``megakernel_drop_weights``): all layers' o/MLP
+    weights+biases, and qkv for layers >= 1 (layer ``l``'s qkv is chain
+    ``l-1``'s tail op; layer 0's qkv is not packed and stays). Norm
+    params stay — the per-op path still reads them. After this, T>1
+    forwards are served by ``packed_linear`` out of the same blocks."""
+    packed_all = ("wo", "bo", "w_gu", "w_gate", "w_up", "w_down",
+                  "b_up", "b_down")
+    out_layers = []
+    for l, lp in enumerate(params["layers"]):
+        lp = {k: v for k, v in lp.items() if k not in packed_all}
+        if l > 0:
+            lp.pop("w_qkv", None)
+            lp.pop("b_qkv", None)
+        out_layers.append(lp)
+    out = dict(params)
+    out["layers"] = tuple(out_layers)
+    return out
+
+
 def build_decode_chains(params: Params, cfg: ModelConfig, *,
                         bk: int = 1024, bn: int = 2048
                         ) -> Tuple[PackedChain, ...]:

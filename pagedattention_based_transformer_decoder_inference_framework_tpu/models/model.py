@@ -366,16 +366,31 @@ class DecoderModel:
 
     def _block(self, lp: Params, x: jax.Array, kv: Any, layer: jax.Array,
                positions: jax.Array, attn_fn: AttentionFn,
-               rope_cs: Optional[Tuple[jax.Array, jax.Array]]):
+               rope_cs: Optional[Tuple[jax.Array, jax.Array]],
+               chain: Any = None, qkv_chain: Any = None):
+        """``chain``/``qkv_chain`` (PackedChain) serve this layer's
+        matmuls out of the megakernel's packed blocks when the per-op
+        weight copies were dropped (``megakernel_drop_weights``);
+        ``qkv_chain`` is the PREVIOUS layer's chain, which carries this
+        layer's qkv projection as its tail op."""
         cfg = self.cfg
         B, T, D = x.shape
         dh = cfg.head_dim
+        if chain is not None:
+            from ..ops.chain_linear import OP_T, packed_linear
+            from ..utils.platform import default_interpret
+
+            interp = default_interpret()
 
         w8a8 = cfg.quant == "int8"
         h = self._norm(x, lp["ln1_scale"], lp.get("ln1_bias"))
         # under TP these weights are column-sharded: local head slices
-        if "w_qkv" in lp:
-            qkv = linear(h, lp["w_qkv"], lp.get("b_qkv"), w8a8=w8a8)
+        if "w_qkv" in lp or qkv_chain is not None:
+            if qkv_chain is not None:
+                qkv = packed_linear(qkv_chain, (OP_T,), h,
+                                    interpret=interp)
+            else:
+                qkv = linear(h, lp["w_qkv"], lp.get("b_qkv"), w8a8=w8a8)
             # local widths by the tp-invariant H : KH : KH ratio
             qw = qkv.shape[-1] * cfg.num_heads // (
                 cfg.num_heads + 2 * cfg.num_kv_heads)
@@ -395,9 +410,27 @@ class DecoderModel:
             k = apply_rope(k, positions, cos, sin)
 
         attn_out, kv = attn_fn(q, k, v, kv, layer, positions)
+        ao = attn_out.reshape(B, T, -1)
+        if chain is not None:
+            from ..ops.chain_linear import OP_D, OP_G, OP_O, OP_U
+
+            # packed ops carry their biases in the sb table
+            x = x + packed_linear(chain, (OP_O,), ao, interpret=interp)
+            h2 = self._norm(x, lp["ln2_scale"], lp.get("ln2_bias"))
+            if cfg.activation == "swiglu":
+                gu = packed_linear(chain, (OP_G, OP_U), h2,
+                                   interpret=interp)
+                gate, up = jnp.split(gu, 2, axis=-1)
+                gate = activation_fn("silu")(gate.astype(jnp.float32)
+                                             ).astype(up.dtype)
+                mid = gate * up
+            else:
+                mid = packed_linear(chain, (OP_U,), h2,
+                                    act=cfg.activation, interpret=interp)
+            return x + packed_linear(chain, (OP_D,), mid,
+                                     interpret=interp), kv
         # row-parallel O projection: psum partial sums, bias added once
-        attn_proj = self._psum(
-            linear(attn_out.reshape(B, T, -1), lp["wo"], w8a8=w8a8))
+        attn_proj = self._psum(linear(ao, lp["wo"], w8a8=w8a8))
         if "bo" in lp:
             attn_proj = attn_proj + lp["bo"].astype(attn_proj.dtype)
         x = x + attn_proj
@@ -492,12 +525,21 @@ class DecoderModel:
         rope_cs = self.rope()
 
         layers = params["layers"]
+        # megakernel with dropped per-op weights: serve every matmul
+        # from the packed blocks (chain l-1's tail = layer l's qkv)
+        chains = params.get("chains")
+        dropped = (chains is not None and len(layers) > 0
+                   and isinstance(layers, (tuple, list))
+                   and "wo" not in layers[0])
         if isinstance(layers, (tuple, list)):
             # unrolled: per-layer weight arrays, no per-layer slice copy
             new_kv = kv_caches
             for l, lp in enumerate(layers):
-                x, new_kv = self._block(lp, x, new_kv, l, positions,
-                                        attn_fn, rope_cs)
+                x, new_kv = self._block(
+                    lp, x, new_kv, l, positions, attn_fn, rope_cs,
+                    chain=chains[l] if dropped else None,
+                    qkv_chain=(chains[l - 1] if dropped and l > 0
+                               else None))
         else:
             def body(carry, xs):
                 x, kv = carry

@@ -94,12 +94,15 @@ class PackedChain:
     norm_kind: str       # "rmsnorm" | "layernorm"
     has_tail: bool
     eps: float
+    # per-op packing geometry, for serving ops individually out of the
+    # packed blocks (packed_linear): (op_id, g0, KB, NB, K, N, sb_base)
+    ops_geom: tuple = ()
 
     def tree_flatten(self):
         return ((self.w, self.sb, self.meta, self.ln),
                 (self.D, self.I, self.K0, self.N3, self.bk, self.bn,
                  self.quantized, self.act_kind, self.norm_kind,
-                 self.has_tail, self.eps))
+                 self.has_tail, self.eps, self.ops_geom))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -146,7 +149,9 @@ def pack_chain(ops: Sequence[Tuple[int, Any, Optional[Any]]],
     s_cols: List[np.ndarray] = []
     b_cols: List[np.ndarray] = []
     meta: List[List[int]] = []
+    geom: List[Tuple[int, ...]] = []
     sb_base = 0
+    g_base = 0
     K0 = N3 = 0
     has_tail = False
     for op_id, w, bias in ops:
@@ -173,7 +178,9 @@ def pack_chain(ops: Sequence[Tuple[int, Any, Optional[Any]]],
                 done = (n == NB - 1) and (k == KB - 1)
                 meta.append([op_id, k, n, sb_base + n,
                              int(k == KB - 1), int(done)])
+        geom.append((op_id, g_base, KB, NB, K, N, sb_base))
         sb_base += NB
+        g_base += NB * KB
     w_packed = np.concatenate(w_blocks, axis=0)
     if w_dtype is None:
         w_dtype = jnp.int8 if quantized else jnp.bfloat16
@@ -199,7 +206,7 @@ def pack_chain(ops: Sequence[Tuple[int, Any, Optional[Any]]],
         ln=jnp.asarray(ln, jnp.float32),
         D=D, I=I, K0=K0, N3=N3, bk=bk, bn=bn,
         quantized=quantized, act_kind=act_kind, norm_kind=norm_kind,
-        has_tail=has_tail, eps=eps)
+        has_tail=has_tail, eps=eps, ops_geom=tuple(geom))
 
 
 def _norm_row(x32: jax.Array, scale: jax.Array, bias: jax.Array, *,
@@ -383,3 +390,87 @@ def chain_decode(pc: PackedChain, attn_in: jax.Array, x: jax.Array,
     )(pc.meta, ain, x_in, pc.w, pc.sb, pc.ln)
     x_out = x_new[:B, :pc.D]
     return x_out, (tail[:B, :pc.N3] if pc.has_tail else None)
+
+
+def _packed_mm_kernel(x_ref, w_ref, sb_ref, o_ref, acc, *,
+                      quantized: bool, act: Optional[str]):
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    acc[...] += jax.lax.dot_general(
+        x_ref[...], w_ref[0].astype(x_ref.dtype),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _():
+        sb = sb_ref[...]
+        y = acc[...]
+        if quantized:
+            y = y * sb[0:1, :]
+        y = y + sb[1:2, :]
+        if act == "gelu":
+            y = jax.nn.gelu(y, approximate=True)
+        elif act == "relu":
+            y = jnp.maximum(y, 0.0)
+        o_ref[...] = y.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("op_ids", "act", "bm", "interpret"))
+def packed_linear(pc: PackedChain, op_ids: Tuple[int, ...],
+                  x: jax.Array, *, act: Optional[str] = None,
+                  bm: int = 256, interpret: bool = False) -> jax.Array:
+    """``act(x @ W_op + bias_op)`` served directly out of the packed
+    chain blocks — the multi-token (prefill / speculative-verify) twin
+    of :func:`chain_decode`, so the engine can DROP the per-op weight
+    copies and hold one layout in HBM
+    (``RuntimeConfig.megakernel_drop_weights``). ``op_ids`` may name a
+    contiguous run of equal-``K`` ops (the SwiGLU ``(OP_G, OP_U)`` pair),
+    which computes their column concat — identical semantics to the
+    fused ``w_gu`` matmul. ``x``: ``[..., K]``; returns ``[..., sum N]``.
+    """
+    geoms = [g for g in pc.ops_geom if g[0] in op_ids]
+    assert len(geoms) == len(op_ids), (op_ids, pc.ops_geom)
+    op0 = geoms[0]
+    g0, KB, K, sb0 = op0[1], op0[2], op0[4], op0[6]
+    NB = sum(g[3] for g in geoms)
+    N = sum(g[5] for g in geoms)
+    for a, b in zip(geoms, geoms[1:]):     # contiguity + equal K
+        assert a[1] + a[3] * a[2] == b[1] and a[4] == b[4] \
+            and a[5] % pc.bn == 0, (a, b)
+    bk, bn = pc.bk, pc.bn
+
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, K)
+    M = x2.shape[0]
+    bm = min(round_up(M, 8), bm)
+    Mp, Kp = round_up(M, bm), KB * bk
+    if (Mp, Kp) != (M, K):
+        x2 = jnp.pad(x2, ((0, Mp - M), (0, Kp - K)))
+
+    out = pl.pallas_call(
+        functools.partial(_packed_mm_kernel, quantized=pc.quantized,
+                          act=act),
+        grid=(Mp // bm, NB, KB),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
+            pl.BlockSpec((1, bk, bn),
+                         lambda i, j, k: (g0 + j * KB + k, 0, 0)),
+            pl.BlockSpec((2, bn), lambda i, j, k: (0, sb0 + j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((Mp, NB * bn), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * NB * bn * Kp,
+            bytes_accessed=NB * KB * bk * bn * pc.w.dtype.itemsize
+            + Mp * Kp * 2, transcendentals=0),
+        interpret=interpret,
+    )(x2, pc.w, pc.sb)
+    return out[:M, :N].reshape(*lead, N)

@@ -267,6 +267,112 @@ def test_engine_megakernel_greedy_equivalence(name, quant):
     assert c == b
 
 
+def test_packed_linear_matches_dense_ops():
+    """Individual ops served out of the packed blocks == plain matmuls
+    (including the (OP_G, OP_U) pair == the fused gate|up concat)."""
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.ops.chain_linear import (
+        packed_linear,
+    )
+
+    D, I, Nq, B = 256, 384, 192, 5
+    ws = _make_weights(D, I, Nq, "swiglu")
+    pc = _pack(ws, D, I, "swiglu", "rmsnorm")
+    x = _rand(30, B, D)
+    mid = _rand(31, B, I)
+    np.testing.assert_allclose(
+        np.asarray(packed_linear(pc, (OP_O,), x, interpret=True)),
+        np.asarray(x @ ws["wo"] + ws["bo"]), atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(packed_linear(pc, (OP_G, OP_U), x, interpret=True)),
+        np.asarray(jnp.concatenate([x @ ws["w_gate"], x @ ws["w_up"]],
+                                   axis=-1)), atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(packed_linear(pc, (OP_D,), mid, interpret=True)),
+        np.asarray(mid @ ws["w_down"] + ws["b_down"]),
+        atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(packed_linear(pc, (OP_T,), x, interpret=True)),
+        np.asarray(x @ ws["w_qkv"] + ws["b_qkv"]), atol=2e-4, rtol=2e-4)
+    # gelu epilogue + leading batch dims
+    ws2 = _make_weights(D, I, Nq, "gelu")
+    pc2 = _pack(ws2, D, I, "gelu", "layernorm")
+    x3 = _rand(32, 2, B, D)
+    np.testing.assert_allclose(
+        np.asarray(packed_linear(pc2, (OP_U,), x3, act="gelu",
+                                 interpret=True)),
+        np.asarray(activation_fn("gelu")(x3 @ ws2["w_up"]
+                                         + ws2["b_up"])),
+        atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize("name,quant", [
+    ("gpt2-tiny", "none"),
+    ("llama-tiny", "int8-weight"),
+])
+def test_engine_megakernel_drop_weights(name, quant):
+    """One weight layout in HBM: per-op copies dropped, prefill and
+    multi-token steps served by packed_linear, decode by the chain
+    kernel — greedy tokens must match the regular engine, and the heavy
+    per-op weights must actually be gone."""
+    def fw(mega, drop):
+        cfg = FrameworkConfig(
+            model=preset(name),
+            cache=CacheConfig(page_size=8, num_pages=128,
+                              max_pages_per_seq=12,
+                              kv_dtype="float32"),
+            runtime=RuntimeConfig(max_new_tokens=8, prefill_chunk=8,
+                                  megakernel=mega,
+                                  megakernel_drop_weights=drop))
+        cfg.model.dtype = "float32"
+        cfg.model.quant = quant
+        return cfg
+
+    eng_off = Engine(fw(False, False), interpret=True, seed=11)
+    eng_on = Engine(fw(True, True),
+                    params=dict(eng_off.params), interpret=True)
+    lp1 = eng_on.params["layers"][1]
+    assert "wo" not in lp1 and "w_qkv" not in lp1
+    assert "w_qkv" in eng_on.params["layers"][0]
+    prompts = [[5, 9, 3, 14, 2, 8, 1, 4, 4, 13], [1, 2, 3], [7] * 6]
+    a = eng_off.generate_batch(prompts, 8, GREEDY)
+    b = eng_on.generate_batch(prompts, 8, GREEDY)
+    assert a == b
+    assert eng_on.generate_batch_fused(prompts, 8, GREEDY) == b
+    # speculative decoding verifies multi-token spans through the
+    # packed path (T = spec_k+1 > 1)
+    c = eng_on.generate_batch_spec(prompts, 8, GREEDY, spec_k=3)
+    assert c == b
+
+
+def test_scheduler_serves_through_megakernel():
+    """The continuous-batching scheduler's decode bursts call the same
+    T=1 forward, so chains engage transparently; tokens must match a
+    megakernel-off scheduler run."""
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.scheduler import (
+        RequestState,
+        Scheduler,
+    )
+
+    def run(mega):
+        cfg = FrameworkConfig(
+            model=preset("llama-tiny"),
+            cache=CacheConfig(page_size=8, num_pages=128,
+                              max_pages_per_seq=12,
+                              kv_dtype="float32"),
+            runtime=RuntimeConfig(max_new_tokens=6, max_batch_size=4,
+                                  decode_burst=4, megakernel=mega))
+        cfg.model.dtype = "float32"
+        eng = Engine(cfg, interpret=True, seed=5)
+        sched = Scheduler(eng)
+        reqs = [sched.submit(p, 6, GREEDY)
+                for p in ([3, 1, 4, 1, 5], [9, 2, 6], [5] * 10)]
+        sched.run_until_idle()
+        assert all(r.state == RequestState.FINISHED for r in reqs)
+        return [r.tokens for r in reqs]
+
+    assert run(True) == run(False)
+
+
 def test_chains_supported_gates():
     cfg = preset("llama-tiny")
     params = fuse_projections(unstack_layers(

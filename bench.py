@@ -74,6 +74,9 @@ def main() -> None:
     ap.add_argument("--spec-k", type=int, default=8)
     # scheduler mode with speculative bursts (pattern-heavy prompts)
     ap.add_argument("--scheduler-spec", action="store_true")
+    # decode megakernel (ops/chain_linear.py) with the per-op weight
+    # copies dropped (one layout in HBM; prefill via packed_linear)
+    ap.add_argument("--megakernel", action="store_true")
     args = ap.parse_args()
 
     if not args.no_fallback and args.model == "llama3-8b":
@@ -103,7 +106,8 @@ def main() -> None:
              str(args.page_size), "--mode", args.mode,
              "--decode-burst", str(args.decode_burst),
              "--spec-k", str(args.spec_k)]
-            + (["--scheduler-spec"] if args.scheduler_spec else []), 2700)
+            + (["--scheduler-spec"] if args.scheduler_spec else [])
+            + (["--megakernel"] if args.megakernel else []), 2700)
         if line:
             print(line)
             return
@@ -146,6 +150,9 @@ def main() -> None:
     cfg.model.quant = args.quant
     cfg.runtime.max_batch_size = args.batch
     cfg.runtime.decode_burst = args.decode_burst
+    if args.megakernel:
+        cfg.runtime.megakernel = True
+        cfg.runtime.megakernel_drop_weights = True
 
     if args.mode == "spec":
         # spec verify appends up to spec_k extra positions per lane

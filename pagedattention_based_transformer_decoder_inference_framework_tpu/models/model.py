@@ -620,8 +620,14 @@ class DecoderModel:
         """
         if self.cfg.tie_embeddings:
             emb = params["embedding"]  # kept unquantized by quantize_params
-            local = jnp.einsum("btd,vd->btv", hidden.astype(jnp.float32),
-                               emb.astype(jnp.float32))
+            # contract in the stored dtype with f32 MXU accumulation:
+            # an f32 einsum would tempt XLA into materializing an f32
+            # copy of the embedding (2x the LM-head weight stream —
+            # ~31% of a GPT-2 decode step's bytes); the operands are
+            # already bf16-rounded, so products are exact either way
+            local = jax.lax.dot_general(
+                hidden, emb, (((2,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
         else:
             local = linear(hidden, params["lm_head"]).astype(jnp.float32)
         if self.tp_axis:

@@ -373,6 +373,53 @@ def test_scheduler_serves_through_megakernel():
     assert run(True) == run(False)
 
 
+def test_beam_search_through_megakernel():
+    """Beam search scores beams with T=1 teacher-forced decodes, so the
+    chained path engages; hypotheses must match the regular engine."""
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.engine.beam import (
+        BeamSearcher,
+    )
+
+    def run(mega, drop):
+        cfg = FrameworkConfig(
+            model=preset("llama-tiny"),
+            cache=CacheConfig(page_size=8, num_pages=256,
+                              max_pages_per_seq=12,
+                              kv_dtype="float32"),
+            runtime=RuntimeConfig(max_new_tokens=6, megakernel=mega,
+                                  megakernel_drop_weights=drop))
+        cfg.model.dtype = "float32"
+        eng = Engine(cfg, interpret=True, seed=7)
+        hyps = BeamSearcher(eng, beam_width=3).search([3, 1, 4, 1, 5], 6)
+        return [(h.tokens, round(h.score, 4)) for h in hyps]
+
+    ref = run(False, False)
+    assert run(True, False) == ref
+    assert run(True, True) == ref
+
+
+def test_sliding_window_preset_through_megakernel():
+    """Mistral-style windowed attention only changes the attention op;
+    chains must compose with it (greedy parity vs megakernel-off)."""
+    import dataclasses
+
+    def run(mega):
+        m = dataclasses.replace(preset("llama-tiny"), sliding_window=16)
+        cfg = FrameworkConfig(
+            model=m,
+            cache=CacheConfig(page_size=8, num_pages=128,
+                              max_pages_per_seq=12,
+                              kv_dtype="float32"),
+            runtime=RuntimeConfig(max_new_tokens=8, megakernel=mega,
+                                  megakernel_drop_weights=mega))
+        cfg.model.dtype = "float32"
+        eng = Engine(cfg, interpret=True, seed=9)
+        return eng.generate_batch_fused([[5, 9, 3, 14] * 6, [1, 2, 3]],
+                                        8, GREEDY)
+
+    assert run(True) == run(False)
+
+
 def test_chains_supported_gates():
     cfg = preset("llama-tiny")
     params = fuse_projections(unstack_layers(

@@ -170,10 +170,8 @@ class RuntimeConfig:
     # decode megakernel: stream each layer's whole post-attention matmul
     # chain (o-proj -> norm -> gate|up -> down -> next qkv) through ONE
     # Pallas call so weight-block DMA never drains between ops
-    # (ops/chain_linear.py). The packed blocks DUPLICATE the per-op
-    # weights (prefill still uses those), so this is opt-in where 2x
-    # weights fit HBM. Single-device, non-MoE, non-w8a8 only — the
-    # engine silently falls back when unsupported.
+    # (ops/chain_linear.py). Single-device, non-MoE only — the engine
+    # silently falls back when unsupported.
     megakernel: bool = False
     # drop the per-op weight copies once packed and serve prefill /
     # multi-token steps from the packed blocks too (packed_linear) —

@@ -49,13 +49,12 @@ def _split_cols(w, n: int):
 def chains_supported(cfg: ModelConfig, params: Params,
                      tp_axis: Optional[str] = None) -> bool:
     """The megakernel path covers the single-device, unrolled-layer,
-    fused-projection, dense-or-weight-only-INT8 decoder. Everything
-    else (w8a8 activation quant, MoE, TP psum mid-chain, scanned
-    stacked layers) falls back to the per-op path."""
+    fused-projection decoder in every quant mode (w8a8 re-quantizes
+    activations in-kernel). MoE, TP (psum mid-chain), and scanned
+    stacked layers fall back to the per-op path."""
     layers = params.get("layers")
     return (tp_axis is None
             and cfg.num_experts == 0
-            and cfg.quant != "int8"
             and cfg.activation in ("swiglu", "gelu", "relu")
             and isinstance(layers, (tuple, list))
             and len(layers) > 0
@@ -93,7 +92,8 @@ def build_decode_chains(params: Params, cfg: ModelConfig, *,
     D, I = cfg.hidden_size, cfg.intermediate_size
     bn = min(bn, round_up(D, 128), round_up(I, 128))
     bk = min(bk, round_up(D, 128), round_up(I, 128))
-    w_dtype = None if cfg.quant == "int8-weight" else jnp_dtype(cfg.dtype)
+    w_dtype = (None if cfg.quant in ("int8", "int8-weight")
+               else jnp_dtype(cfg.dtype))
 
     chains = []
     for l, lp in enumerate(layers):
@@ -117,5 +117,6 @@ def build_decode_chains(params: Params, cfg: ModelConfig, *,
             ln_after_o=(lp["ln2_scale"], lp.get("ln2_bias")),
             ln_after_down=ln_after_down,
             act_kind=cfg.activation, norm_kind=cfg.norm,
-            eps=cfg.norm_eps, bk=bk, bn=bn, w_dtype=w_dtype))
+            eps=cfg.norm_eps, bk=bk, bn=bn, w_dtype=w_dtype,
+            w8a8=cfg.quant == "int8"))
     return tuple(chains)

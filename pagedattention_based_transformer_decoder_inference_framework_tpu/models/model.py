@@ -579,7 +579,8 @@ class DecoderModel:
         layers, chains = params["layers"], params["chains"]
         B = x.shape[0]
         dh = cfg.head_dim
-        w8a8 = False                                       # gated out
+        w8a8 = cfg.quant == "int8"      # layer-0 qkv only; the chains
+        # re-quantize activations in-kernel themselves
 
         lp0 = layers[0]
         h = self._norm(x, lp0["ln1_scale"], lp0.get("ln1_bias"))

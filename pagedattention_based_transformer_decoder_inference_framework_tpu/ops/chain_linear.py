@@ -32,11 +32,12 @@ the capability its "fused" kernels gesture at
 (``attention/README.md:113``): maximal fusion of the bandwidth-bound
 path.
 
-Supported: bf16/f32 weights and weight-only INT8 (``QTensor`` with
+Supported: bf16/f32 weights, weight-only INT8 (``QTensor`` with
 per-output-channel scales, widened in-register — HBM traffic stays 1
-byte/weight). Not (yet) here: w8a8 activations-quantized chains and
-tensor-parallel chains (the o-proj psum would have to split the
-kernel); the engine falls back to the per-op path for those.
+byte/weight), and full w8a8 (``_chain_kernel_w8a8``: activations
+re-quantized per row at op boundaries, s8 x s8 -> s32 MXU blocks).
+Not here: tensor-parallel chains (the o-proj psum would have to split
+the kernel) and MoE; the engine falls back to the per-op path.
 """
 
 from __future__ import annotations
@@ -97,12 +98,14 @@ class PackedChain:
     # per-op packing geometry, for serving ops individually out of the
     # packed blocks (packed_linear): (op_id, g0, KB, NB, K, N, sb_base)
     ops_geom: tuple = ()
+    # dynamic per-row activation quantization in-kernel (quant="int8")
+    w8a8: bool = False
 
     def tree_flatten(self):
         return ((self.w, self.sb, self.meta, self.ln),
                 (self.D, self.I, self.K0, self.N3, self.bk, self.bn,
                  self.quantized, self.act_kind, self.norm_kind,
-                 self.has_tail, self.eps, self.ops_geom))
+                 self.has_tail, self.eps, self.ops_geom, self.w8a8))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -130,7 +133,7 @@ def pack_chain(ops: Sequence[Tuple[int, Any, Optional[Any]]],
                ln_after_down: Optional[Tuple[Any, Optional[Any]]],
                act_kind: str, norm_kind: str, eps: float,
                bk: int = 1024, bn: int = 2048,
-               w_dtype=None) -> PackedChain:
+               w_dtype=None, w8a8: bool = False) -> PackedChain:
     """Pack one chain. ``ops`` = sequence of ``(op_id, W, bias)`` in
     stream order; ``W`` is ``[K, N]`` dense or a :class:`QTensor` with
     ``[1, N]`` scales. Packing runs on host (numpy) once at engine
@@ -206,7 +209,8 @@ def pack_chain(ops: Sequence[Tuple[int, Any, Optional[Any]]],
         ln=jnp.asarray(ln, jnp.float32),
         D=D, I=I, K0=K0, N3=N3, bk=bk, bn=bn,
         quantized=quantized, act_kind=act_kind, norm_kind=norm_kind,
-        has_tail=has_tail, eps=eps, ops_geom=tuple(geom))
+        has_tail=has_tail, eps=eps, ops_geom=tuple(geom),
+        w8a8=w8a8 and quantized)
 
 
 def _norm_row(x32: jax.Array, scale: jax.Array, bias: jax.Array, *,
@@ -336,7 +340,8 @@ def chain_decode(pc: PackedChain, attn_in: jax.Array, x: jax.Array,
     B = x.shape[0]
     bk, bn = pc.bk, pc.bn
     lcm = math.lcm(bk, bn)
-    Bp = round_up(max(B, 8), 8)
+    # int8 scratches need 32-row tiles; bf16/f32 need 8
+    Bp = round_up(max(B, 8), 32 if pc.w8a8 else 8)
     Wd = round_up(pc.D, lcm)
     Wi = round_up(pc.I, lcm)
     K0p = round_up(pc.K0, bk)
@@ -347,6 +352,36 @@ def chain_decode(pc: PackedChain, attn_in: jax.Array, x: jax.Array,
     ain = jnp.zeros((Bp, K0p), dt).at[:B, :pc.K0].set(
         attn_in.astype(dt))
     x_in = jnp.zeros((Bp, Wd), dt).at[:B, :pc.D].set(x)
+
+    if pc.w8a8:
+        scratches = [
+            pltpu.VMEM((Bp, Wd), jnp.float32),      # residual stream
+            pltpu.VMEM((Bp, K0p), jnp.int8),        # quantized attn_in
+            pltpu.VMEM((Bp, 128), jnp.float32),     # ...its row scales
+            pltpu.VMEM((Bp, Wd), jnp.int8),         # quantized hidden
+            pltpu.VMEM((Bp, 128), jnp.float32),
+            pltpu.VMEM((Bp, Wi), jnp.float32),      # raw gate / f32 mid
+            pltpu.VMEM((Bp, Wi), jnp.int8),         # quantized mid
+            pltpu.VMEM((Bp, 128), jnp.float32),
+            pltpu.VMEM((Bp, bn), jnp.int32),        # s32 accumulator
+        ]
+        kern = functools.partial(
+            _chain_kernel_w8a8, norm_kind=pc.norm_kind,
+            act_kind=pc.act_kind, has_tail=pc.has_tail, D=pc.D,
+            I=pc.I, eps=pc.eps, bk=bk, bn=bn)
+    else:
+        scratches = [
+            pltpu.VMEM((Bp, Wd), jnp.float32),      # residual stream
+            pltpu.VMEM((Bp, Wd), dt),               # normed hidden
+            pltpu.VMEM((Bp, Wi), jnp.float32) if pc.act_kind == "swiglu"
+            else pltpu.VMEM((8, 128), jnp.float32),  # raw gate stash
+            pltpu.VMEM((Bp, Wi), dt),               # activated mlp mid
+            pltpu.VMEM((Bp, bn), jnp.float32),      # matmul accumulator
+        ]
+        kern = functools.partial(
+            _chain_kernel, norm_kind=pc.norm_kind, act_kind=pc.act_kind,
+            quantized=pc.quantized, has_tail=pc.has_tail, D=pc.D,
+            I=pc.I, eps=pc.eps, bk=bk, bn=bn)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -362,19 +397,8 @@ def chain_decode(pc: PackedChain, attn_in: jax.Array, x: jax.Array,
             pl.BlockSpec((Bp, Wd), lambda g, m: (0, 0)),
             pl.BlockSpec((Bp, N3p), lambda g, m: (0, 0)),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((Bp, Wd), jnp.float32),      # residual stream
-            pltpu.VMEM((Bp, Wd), dt),               # normed hidden
-            pltpu.VMEM((Bp, Wi), jnp.float32) if pc.act_kind == "swiglu"
-            else pltpu.VMEM((8, 128), jnp.float32),  # raw gate stash
-            pltpu.VMEM((Bp, Wi), dt),               # activated mlp mid
-            pltpu.VMEM((Bp, bn), jnp.float32),      # matmul accumulator
-        ],
+        scratch_shapes=scratches,
     )
-    kern = functools.partial(
-        _chain_kernel, norm_kind=pc.norm_kind, act_kind=pc.act_kind,
-        quantized=pc.quantized, has_tail=pc.has_tail, D=pc.D, I=pc.I,
-        eps=pc.eps, bk=bk, bn=bn)
     wbytes = pc.w.size * pc.w.dtype.itemsize
     x_new, tail = pl.pallas_call(
         kern,
@@ -390,6 +414,126 @@ def chain_decode(pc: PackedChain, attn_in: jax.Array, x: jax.Array,
     )(pc.meta, ain, x_in, pc.w, pc.sb, pc.ln)
     x_out = x_new[:B, :pc.D]
     return x_out, (tail[:B, :pc.N3] if pc.has_tail else None)
+
+
+def _quant_rows(x32: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-row symmetric int8 quantization (quant/tensor.py semantics)."""
+    absmax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x32 / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _chain_kernel_w8a8(meta_ref, ain_ref, x_ref, w_ref, sb_ref, ln_ref,
+                       x_out_ref, tail_ref,
+                       xres, ainq, ains, hq, hs, mid, actq, acts, acc, *,
+                       norm_kind: str, act_kind: str, has_tail: bool,
+                       D: int, I: int, eps: float, bk: int, bn: int):
+    """w8a8 variant: activations are re-quantized per row at each op
+    boundary (the dynamic-quant semantics of ``ops/linear.py``), blocks
+    accumulate s8 x s8 -> s32 on the MXU, and the epilogue rescales by
+    row-scale x per-column weight scale before bias/activation."""
+    g = pl.program_id(0)
+    op = meta_ref[g, 0]
+    ki = meta_ref[g, 1]
+    ni = meta_ref[g, 2]
+    last_k = meta_ref[g, 4]
+    op_done = meta_ref[g, 5]
+    swiglu = act_kind == "swiglu"
+
+    # row-scale scratches are [Bp, 128] (lane-padded); col 0 is used
+    @pl.when(g == 0)
+    def _init():
+        xres[...] = x_ref[...].astype(jnp.float32)
+        q, s = _quant_rows(ain_ref[...].astype(jnp.float32))
+        ainq[...] = q
+        ains[...] = jnp.broadcast_to(s, ains.shape)
+        actq[...] = jnp.zeros_like(actq)
+
+    @pl.when(ki == 0)
+    def _zero_acc():
+        acc[...] = jnp.zeros_like(acc)
+
+    wb = w_ref[0]
+
+    def mm(src):
+        return jax.lax.dot_general(
+            src[:, pl.ds(ki * bk, bk)], wb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+
+    @pl.when(op == OP_O)
+    def _():
+        acc[...] += mm(ainq)
+
+    @pl.when((op == OP_U) | (op == OP_G) | (op == OP_T) if swiglu
+             else (op == OP_U) | (op == OP_T))
+    def _():
+        acc[...] += mm(hq)
+
+    @pl.when(op == OP_D)
+    def _():
+        acc[...] += mm(actq)
+
+    @pl.when(last_k == 1)
+    def _epilogue():
+        sb = sb_ref[...]
+        xs = jnp.where(op == OP_O, ains[:, 0:1],
+                       jnp.where(op == OP_D, acts[:, 0:1], hs[:, 0:1]))
+        y = acc[...].astype(jnp.float32) * xs * sb[0:1, :] + sb[1:2, :]
+        off = ni * bn
+
+        @pl.when((op == OP_O) | (op == OP_D))
+        def _():
+            xres[:, pl.ds(off, bn)] += y
+
+        if swiglu:
+            @pl.when(op == OP_G)
+            def _():
+                mid[:, pl.ds(off, bn)] = y
+
+        @pl.when(op == OP_U)
+        def _():
+            if swiglu:
+                gb = mid[:, pl.ds(off, bn)]
+                v = (gb * jax.nn.sigmoid(gb)) * y
+            elif act_kind == "gelu":
+                v = jax.nn.gelu(y, approximate=True)
+            else:
+                v = jnp.maximum(y, 0.0)
+            # stash activated f32 in `mid`; quantized at op_done when
+            # the full row's absmax is known
+            mid[:, pl.ds(off, bn)] = v
+
+        if has_tail:
+            @pl.when(op == OP_T)
+            def _():
+                tail_ref[:, pl.ds(off, bn)] = y.astype(tail_ref.dtype)
+
+    @pl.when((op_done == 1) & (op == OP_O))
+    def _norm_after_o():
+        h32 = _norm_row(xres[...], ln_ref[0], ln_ref[1],
+                        kind=norm_kind, D=D, eps=eps)
+        q, s = _quant_rows(h32)
+        hq[...] = q
+        hs[...] = jnp.broadcast_to(s, hs.shape)
+
+    @pl.when((op_done == 1) & (op == OP_U))
+    def _quant_act():
+        col = jax.lax.broadcasted_iota(jnp.int32, mid.shape, 1)
+        m = jnp.where(col < I, mid[...], 0.0)
+        q, s = _quant_rows(m)
+        actq[...] = q
+        acts[...] = jnp.broadcast_to(s, acts.shape)
+
+    @pl.when((op_done == 1) & (op == OP_D))
+    def _finish_down():
+        x_out_ref[...] = xres[...].astype(x_out_ref.dtype)
+        if has_tail:
+            h32 = _norm_row(xres[...], ln_ref[2], ln_ref[3],
+                            kind=norm_kind, D=D, eps=eps)
+            q, s = _quant_rows(h32)
+            hq[...] = q
+            hs[...] = jnp.broadcast_to(s, hs.shape)
 
 
 def _packed_mm_kernel(x_ref, w_ref, sb_ref, o_ref, acc, *,

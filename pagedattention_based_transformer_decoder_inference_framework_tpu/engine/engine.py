@@ -141,10 +141,7 @@ class Engine:
                     self.params = dict(self.params)
                     self.params["chains"] = build_decode_chains(
                         self.params, self.cfg)
-                    # w8a8 prefill still needs the per-op weights
-                    # (packed_linear has no activation-quant variant)
-                    if (self.runtime.megakernel_drop_weights
-                            and self.cfg.quant != "int8"):
+                    if self.runtime.megakernel_drop_weights:
                         self.params = drop_packed_weights(self.params)
 
         self._prefill_fn = self._build_prefill()

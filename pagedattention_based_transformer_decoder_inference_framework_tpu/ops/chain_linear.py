@@ -563,6 +563,31 @@ def _packed_mm_kernel(x_ref, w_ref, sb_ref, o_ref, acc, *,
         o_ref[...] = y.astype(o_ref.dtype)
 
 
+def _packed_mm_w8a8_kernel(xq_ref, xs_ref, w_ref, sb_ref, o_ref, acc, *,
+                           act: Optional[str]):
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    acc[...] += jax.lax.dot_general(
+        xq_ref[...], w_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+    @pl.when(k == nk - 1)
+    def _():
+        sb = sb_ref[...]
+        y = (acc[...].astype(jnp.float32) * xs_ref[:, 0:1] * sb[0:1, :]
+             + sb[1:2, :])
+        if act == "gelu":
+            y = jax.nn.gelu(y, approximate=True)
+        elif act == "relu":
+            y = jnp.maximum(y, 0.0)
+        o_ref[...] = y.astype(o_ref.dtype)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("op_ids", "act", "bm", "interpret"))
 def packed_linear(pc: PackedChain, op_ids: Tuple[int, ...],
@@ -591,11 +616,43 @@ def packed_linear(pc: PackedChain, op_ids: Tuple[int, ...],
     lead = x.shape[:-1]
     x2 = x.reshape(-1, K)
     M = x2.shape[0]
-    bm = min(round_up(M, 8), bm)
+    bm = min(round_up(M, 32 if pc.w8a8 else 8), bm)
     Mp, Kp = round_up(M, bm), KB * bk
+    cost = pl.CostEstimate(
+        flops=2 * Mp * NB * bn * Kp,
+        bytes_accessed=NB * KB * bk * bn * pc.w.dtype.itemsize
+        + Mp * Kp * 2, transcendentals=0)
+    cparams = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"))
+
+    if pc.w8a8:
+        # dynamic per-row activation quant outside; s8 x s8 blocks in
+        xq, xs = _quant_rows(x2.astype(jnp.float32))
+        if (Mp, Kp) != (M, K):
+            xq = jnp.pad(xq, ((0, Mp - M), (0, Kp - K)))
+            xs = jnp.pad(xs, ((0, Mp - M), (0, 0)),
+                         constant_values=1.0)
+        xs = jnp.broadcast_to(xs, (Mp, 128))
+        out = pl.pallas_call(
+            functools.partial(_packed_mm_w8a8_kernel, act=act),
+            grid=(Mp // bm, NB, KB),
+            in_specs=[
+                pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
+                pl.BlockSpec((bm, 128), lambda i, j, k: (i, 0)),
+                pl.BlockSpec((1, bk, bn),
+                             lambda i, j, k: (g0 + j * KB + k, 0, 0)),
+                pl.BlockSpec((2, bn), lambda i, j, k: (0, sb0 + j)),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+            out_shape=jax.ShapeDtypeStruct((Mp, NB * bn), x.dtype),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+            compiler_params=cparams, cost_estimate=cost,
+            interpret=interpret,
+        )(xq, xs, pc.w, pc.sb)
+        return out[:M, :N].reshape(*lead, N)
+
     if (Mp, Kp) != (M, K):
         x2 = jnp.pad(x2, ((0, Mp - M), (0, Kp - K)))
-
     out = pl.pallas_call(
         functools.partial(_packed_mm_kernel, quantized=pc.quantized,
                           act=act),
@@ -609,12 +666,7 @@ def packed_linear(pc: PackedChain, op_ids: Tuple[int, ...],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((Mp, NB * bn), x.dtype),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * Mp * NB * bn * Kp,
-            bytes_accessed=NB * KB * bk * bn * pc.w.dtype.itemsize
-            + Mp * Kp * 2, transcendentals=0),
+        compiler_params=cparams, cost_estimate=cost,
         interpret=interpret,
     )(x2, pc.w, pc.sb)
     return out[:M, :N].reshape(*lead, N)

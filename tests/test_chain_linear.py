@@ -240,16 +240,18 @@ def test_chain_kernel_w8a8_matches_linear_path():
 
 
 def test_engine_megakernel_w8a8_runs():
-    """quant='int8' engine with megakernel: fused greedy output matches
-    the megakernel-off w8a8 engine (same weights, same dynamic-quant
-    semantics -> identical argmax decisions at these scales)."""
+    """quant='int8' engine with megakernel (and dropped per-op
+    weights): fused greedy output matches the megakernel-off w8a8
+    engine (same weights, same dynamic-quant semantics -> identical
+    argmax decisions at these scales)."""
     def fw(mega):
         cfg = FrameworkConfig(
             model=preset("llama-tiny"),
             cache=CacheConfig(page_size=8, num_pages=128,
                               max_pages_per_seq=12,
                               kv_dtype="float32"),
-            runtime=RuntimeConfig(max_new_tokens=8, megakernel=mega))
+            runtime=RuntimeConfig(max_new_tokens=8, megakernel=mega,
+                                  megakernel_drop_weights=mega))
         cfg.model.dtype = "float32"
         cfg.model.quant = "int8"
         return cfg
@@ -258,8 +260,8 @@ def test_engine_megakernel_w8a8_runs():
     eng_on = Engine(fw(True), params=dict(eng_off.params),
                     interpret=True)
     assert "chains" in eng_on.params
-    # w8a8 keeps the per-op weights for prefill even with drop requested
-    assert "wo" in eng_on.params["layers"][1]
+    # w8a8 prefill runs through the w8a8 packed_linear kernel
+    assert "wo" not in eng_on.params["layers"][1]
     prompts = [[5, 9, 3, 14], [1, 2, 3]]
     a = eng_off.generate_batch_fused(prompts, 8, GREEDY)
     b = eng_on.generate_batch_fused(prompts, 8, GREEDY)

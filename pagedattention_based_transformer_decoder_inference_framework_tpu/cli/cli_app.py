@@ -41,8 +41,20 @@ def add_common(p: argparse.ArgumentParser) -> None:
 
 
 def build_config(args) -> FrameworkConfig:
+    import os
+
     cfg = load_config(args.config)
-    if args.model:
+    if args.model and os.path.isdir(args.model):
+        # an HF checkpoint directory: geometry from its config.json,
+        # weights stream-imported by the engine factory
+        from ..models.hf_stream import config_from_hf
+
+        cfg.model = config_from_hf(args.model)
+        if not cfg.weights_path:
+            cfg.weights_path = args.model
+        if args.tokenizer is None and cfg.tokenizer == "byte":
+            cfg.tokenizer = args.model   # use the checkpoint's tokenizer
+    elif args.model:
         cfg.model = preset(args.model)
     if args.tokenizer:
         cfg.tokenizer = args.tokenizer

@@ -36,8 +36,22 @@ def build_engine(config: FrameworkConfig, params=None, mesh=None,
         raise RuntimeError("backend 'tpu' requested but no TPU attached")
     interpret = backend == "cpu"
     if params is None and config.weights_path:
-        from ..models.checkpoint import load_params
+        import os
 
-        params = load_params(config.weights_path)
+        if os.path.isdir(config.weights_path):
+            # an HF checkpoint directory: stream-import in place
+            # (config.model should match — see hf_stream.config_from_hf)
+            from ..models.hf_stream import (import_hf_streaming,
+                                            load_flat_params)
+
+            q = (config.model.quant
+                 if config.model.quant in ("int8", "int8-weight")
+                 else None)
+            params = load_flat_params(import_hf_streaming(
+                config.weights_path, config.model, quant=q))
+        else:
+            from ..models.checkpoint import load_params
+
+            params = load_params(config.weights_path)
     return Engine(config, params=params, interpret=interpret, seed=seed,
                   mesh=mesh)

@@ -81,6 +81,54 @@ class ShardReader:
         return np.asarray(t, np.float32)
 
 
+def config_from_hf(hf_dir: str, name: Optional[str] = None) -> ModelConfig:
+    """Derive a :class:`ModelConfig` from an HF checkpoint's
+    ``config.json`` — so any GPT-2 / Llama / Mistral / Qwen2 / Mixtral
+    -family size imports without a hand-written preset (the reference
+    hardcoded one geometry at every frontend, ``api/router.py:14``).
+    """
+    with open(os.path.join(hf_dir, "config.json")) as f:
+        d = json.load(f)
+    mt = d.get("model_type", "llama")
+    if mt == "gpt2":
+        D = d["n_embd"]
+        return ModelConfig(
+            name=name or "gpt2-hf",
+            vocab_size=d["vocab_size"], hidden_size=D,
+            num_layers=d["n_layer"], num_heads=d["n_head"],
+            num_kv_heads=d["n_head"], head_dim=D // d["n_head"],
+            intermediate_size=d.get("n_inner") or 4 * D,
+            max_seq_len=d.get("n_positions", 1024),
+            norm="layernorm", norm_eps=d.get("layer_norm_epsilon", 1e-5),
+            activation="gelu", position="learned",
+            tie_embeddings=True).validate()
+    if mt not in ("llama", "mistral", "mixtral", "qwen2"):
+        raise ValueError(f"unsupported HF model_type: {mt!r}")
+    D = d["hidden_size"]
+    H = d["num_attention_heads"]
+    sw = 0
+    if d.get("sliding_window") and d.get("use_sliding_window", True):
+        sw = int(d["sliding_window"])
+    return ModelConfig(
+        name=name or f"{mt}-hf",
+        vocab_size=d["vocab_size"], hidden_size=D,
+        num_layers=d["num_hidden_layers"], num_heads=H,
+        num_kv_heads=d.get("num_key_value_heads", H),
+        head_dim=d.get("head_dim") or D // H,
+        intermediate_size=d["intermediate_size"],
+        max_seq_len=d.get("max_position_embeddings", 4096),
+        norm="rmsnorm", norm_eps=d.get("rms_norm_eps", 1e-6),
+        activation="swiglu", position="rope",
+        rope_theta=float(d.get("rope_theta", 10000.0)),
+        use_qkv_bias=d.get("attention_bias", mt == "qwen2"),
+        use_mlp_bias=d.get("mlp_bias", False),
+        sliding_window=sw,
+        tie_embeddings=d.get("tie_word_embeddings", False),
+        num_experts=d.get("num_local_experts", 0),
+        experts_per_tok=d.get("num_experts_per_tok", 2),
+    ).validate()
+
+
 def _quant_np(w: np.ndarray):
     """Per-output-channel symmetric absmax INT8 (numpy twin of
     ``quant.tensor.quantize_per_channel`` for one ``[in, out]`` layer)."""
@@ -289,12 +337,15 @@ def main() -> None:
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--hf-dir", required=True)
-    ap.add_argument("--model", required=True, help="preset name")
+    ap.add_argument("--model", default=None,
+                    help="preset name (default: derive the geometry "
+                         "from the checkpoint's config.json)")
     ap.add_argument("--output", required=True, help=".npz checkpoint")
     ap.add_argument("--quant", default="int8-weight",
                     choices=("none", "int8", "int8-weight"))
     args = ap.parse_args()
-    cfg = preset(args.model)
+    cfg = (preset(args.model) if args.model
+           else config_from_hf(args.hf_dir))
     q = None if args.quant == "none" else args.quant
     flat = import_hf_streaming(args.hf_dir, cfg, quant=q,
                                out_path=args.output)

@@ -191,3 +191,92 @@ def test_bf16_checkpoint_roundtrip(tmp_path):
         np.asarray(tree["a"], np.float32))
     np.testing.assert_array_equal(np.asarray(back["nested"]["b"]),
                                   tree["nested"]["b"])
+
+
+def test_config_from_hf_derives_all_families(tmp_path):
+    """Geometry auto-derived from config.json for every model family —
+    no hand-written preset needed (the reference hardcoded one
+    geometry at each frontend, api/router.py:14)."""
+    from transformers import (GPT2Config, GPT2LMHeadModel, MistralConfig,
+                              MistralForCausalLM, MixtralConfig,
+                              MixtralForCausalLM, Qwen2Config,
+                              Qwen2ForCausalLM)
+
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.models.hf_stream import (
+        config_from_hf)
+
+    _, llama_cfg, llama_path = tiny_llama(tmp_path)
+    got = config_from_hf(llama_path)
+    for f in ("vocab_size", "hidden_size", "num_layers", "num_heads",
+              "num_kv_heads", "head_dim", "intermediate_size", "norm",
+              "activation", "position", "use_qkv_bias",
+              "tie_embeddings"):
+        assert getattr(got, f) == getattr(llama_cfg, f), f
+
+    _, gpt2_cfg, gpt2_path = tiny_gpt2(tmp_path)
+    got = config_from_hf(gpt2_path)
+    assert (got.norm, got.activation, got.position) == \
+        ("layernorm", "gelu", "learned")
+    assert got.intermediate_size == gpt2_cfg.intermediate_size
+    assert got.tie_embeddings
+
+    torch.manual_seed(0)
+    mis = MistralForCausalLM(MistralConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=256,
+        sliding_window=32, max_position_embeddings=96)).eval()
+    p = tmp_path / "mistral"
+    mis.save_pretrained(p, safe_serialization=True)
+    got = config_from_hf(str(p))
+    assert got.sliding_window == 32 and not got.use_qkv_bias
+
+    qw = Qwen2ForCausalLM(Qwen2Config(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=256,
+        use_sliding_window=False, max_position_embeddings=96)).eval()
+    p = tmp_path / "qwen2"
+    qw.save_pretrained(p, safe_serialization=True)
+    got = config_from_hf(str(p))
+    assert got.use_qkv_bias and got.sliding_window == 0
+
+    mx = MixtralForCausalLM(MixtralConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=256,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=96, sliding_window=None)).eval()
+    p = tmp_path / "mixtral"
+    mx.save_pretrained(p, safe_serialization=True)
+    got = config_from_hf(str(p))
+    assert got.num_experts == 4 and got.experts_per_tok == 2
+
+
+def test_hf_dir_as_weights_path_logits_parity(tmp_path):
+    """Point weights_path straight at an HF directory: the engine
+    factory derives nothing but streams the shards in place; derived
+    config + imported weights must reproduce HF logits."""
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.engine.router import (
+        build_engine)
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.models.hf_stream import (
+        config_from_hf)
+
+    hf, _, path = tiny_llama(tmp_path)
+    cfg = config_from_hf(path)
+    cfg.dtype = "float32"
+    fw = FrameworkConfig(
+        model=cfg,
+        cache=CacheConfig(page_size=8, num_pages=32, max_pages_per_seq=8,
+                          kv_dtype="float32"),
+        runtime=RuntimeConfig(max_batch_size=2, prefill_chunk=16),
+        weights_path=path)
+    fw.server.backend = "cpu"
+    eng = build_engine(fw)
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, cfg.vocab_size, size=(1, 9))
+    with torch.no_grad():
+        ref = hf(torch.tensor(tokens)).logits.numpy()
+    state = eng.prefill(tokens.tolist())
+    # prefill_logits are the last position's logits
+    np.testing.assert_allclose(
+        np.asarray(state.prefill_logits[0, :cfg.vocab_size]),
+        ref[0, -1], atol=5e-3, rtol=5e-2)
+    eng.free(state)

@@ -22,7 +22,7 @@ from __future__ import annotations
 from typing import Any, Dict, Optional, Tuple
 
 from ..config.config import ModelConfig
-from ..utils.common import jnp_dtype
+from ..utils.common import jnp_dtype, round_up
 from ..ops.chain_linear import (
     OP_D,
     OP_G,
@@ -33,7 +33,6 @@ from ..ops.chain_linear import (
     pack_chain,
 )
 from ..quant.tensor import QTensor
-from ..utils.common import round_up
 
 Params = Dict[str, Any]
 
@@ -92,6 +91,13 @@ def build_decode_chains(params: Params, cfg: ModelConfig, *,
     D, I = cfg.hidden_size, cfg.intermediate_size
     bn = min(bn, round_up(D, 128), round_up(I, 128))
     bk = min(bk, round_up(D, 128), round_up(I, 128))
+    if D % bk or D % bn:
+        # odd hidden sizes (gpt2-large D=1280, -xl D=1600): square
+        # blocks on D keep the o/down N-padding and the scratch width
+        # (lcm(bk, bn)) from exploding
+        b = round_up(D, 128)
+        if b <= 4096:
+            bk = bn = b
     w_dtype = (None if cfg.quant in ("int8", "int8-weight")
                else jnp_dtype(cfg.dtype))
 

@@ -104,6 +104,12 @@ def config_from_hf(hf_dir: str, name: Optional[str] = None) -> ModelConfig:
             tie_embeddings=True).validate()
     if mt not in ("llama", "mistral", "mixtral", "qwen2"):
         raise ValueError(f"unsupported HF model_type: {mt!r}")
+    rs = d.get("rope_scaling")
+    if rs and rs.get("rope_type", rs.get("type")) != "default":
+        # Llama-3.1+ style scaled RoPE rescales inv_freq at every
+        # position; importing without it would silently produce wrong
+        # logits — refuse instead (implement scaling before lifting)
+        raise ValueError(f"unsupported rope_scaling: {rs!r}")
     D = d["hidden_size"]
     H = d["num_attention_heads"]
     sw = 0

@@ -364,6 +364,27 @@ class DecoderModel:
             return rmsnorm(x, scale, self.cfg.norm_eps)
         return layernorm(x, scale, bias, self.cfg.norm_eps)
 
+    def _split_fused_qkv(self, qkv: jax.Array):
+        """Split a fused q|k|v projection by the tp-invariant
+        H : KH : KH width ratio."""
+        cfg = self.cfg
+        qw = qkv.shape[-1] * cfg.num_heads // (
+            cfg.num_heads + 2 * cfg.num_kv_heads)
+        kw = (qkv.shape[-1] - qw) // 2
+        return qkv[..., :qw], qkv[..., qw:qw + kw], qkv[..., qw + kw:]
+
+    def _heads(self, q, k, v, B, T, positions, rope_cs):
+        """Reshape flat projections to per-head layout + apply RoPE."""
+        dh = self.cfg.head_dim
+        q = q.reshape(B, T, q.shape[-1] // dh, dh)
+        k = k.reshape(B, T, k.shape[-1] // dh, dh)
+        v = v.reshape(B, T, v.shape[-1] // dh, dh)
+        if rope_cs is not None:
+            cos, sin = rope_cs
+            q = apply_rope(q, positions, cos, sin)
+            k = apply_rope(k, positions, cos, sin)
+        return q, k, v
+
     def _block(self, lp: Params, x: jax.Array, kv: Any, layer: jax.Array,
                positions: jax.Array, attn_fn: AttentionFn,
                rope_cs: Optional[Tuple[jax.Array, jax.Array]],
@@ -375,7 +396,6 @@ class DecoderModel:
         layer's qkv projection as its tail op."""
         cfg = self.cfg
         B, T, D = x.shape
-        dh = cfg.head_dim
         if chain is not None:
             from ..ops.chain_linear import OP_T, packed_linear
             from ..utils.platform import default_interpret
@@ -391,23 +411,12 @@ class DecoderModel:
                                     interpret=interp)
             else:
                 qkv = linear(h, lp["w_qkv"], lp.get("b_qkv"), w8a8=w8a8)
-            # local widths by the tp-invariant H : KH : KH ratio
-            qw = qkv.shape[-1] * cfg.num_heads // (
-                cfg.num_heads + 2 * cfg.num_kv_heads)
-            kw = (qkv.shape[-1] - qw) // 2
-            q, k, v = (qkv[..., :qw], qkv[..., qw:qw + kw],
-                       qkv[..., qw + kw:])
+            q, k, v = self._split_fused_qkv(qkv)
         else:
             q = linear(h, lp["wq"], lp.get("bq"), w8a8=w8a8)
             k = linear(h, lp["wk"], lp.get("bk"), w8a8=w8a8)
             v = linear(h, lp["wv"], lp.get("bv"), w8a8=w8a8)
-        q = q.reshape(B, T, q.shape[-1] // dh, dh)
-        k = k.reshape(B, T, k.shape[-1] // dh, dh)
-        v = v.reshape(B, T, v.shape[-1] // dh, dh)
-        if rope_cs is not None:
-            cos, sin = rope_cs
-            q = apply_rope(q, positions, cos, sin)
-            k = apply_rope(k, positions, cos, sin)
+        q, k, v = self._heads(q, k, v, B, T, positions, rope_cs)
 
         attn_out, kv = attn_fn(q, k, v, kv, layer, positions)
         ao = attn_out.reshape(B, T, -1)
@@ -418,9 +427,17 @@ class DecoderModel:
             x = x + packed_linear(chain, (OP_O,), ao, interpret=interp)
             h2 = self._norm(x, lp["ln2_scale"], lp.get("ln2_bias"))
             if cfg.activation == "swiglu":
-                gu = packed_linear(chain, (OP_G, OP_U), h2,
-                                   interpret=interp)
-                gate, up = jnp.split(gu, 2, axis=-1)
+                if chain.I % chain.bn == 0:
+                    # gate|up contiguous in the packing == fused w_gu
+                    gu = packed_linear(chain, (OP_G, OP_U), h2,
+                                       interpret=interp)
+                    gate, up = jnp.split(gu, 2, axis=-1)
+                else:
+                    # gate's packed N is bn-padded: serve separately
+                    gate = packed_linear(chain, (OP_G,), h2,
+                                         interpret=interp)
+                    up = packed_linear(chain, (OP_U,), h2,
+                                       interpret=interp)
                 gate = activation_fn("silu")(gate.astype(jnp.float32)
                                              ).astype(up.dtype)
                 mid = gate * up
@@ -578,7 +595,6 @@ class DecoderModel:
         rope_cs = self.rope()
         layers, chains = params["layers"], params["chains"]
         B = x.shape[0]
-        dh = cfg.head_dim
         w8a8 = cfg.quant == "int8"      # layer-0 qkv only; the chains
         # re-quantize activations in-kernel themselves
 
@@ -588,18 +604,8 @@ class DecoderModel:
 
         new_kv = kv_caches
         for l, lp in enumerate(layers):
-            qw = qkv.shape[-1] * cfg.num_heads // (
-                cfg.num_heads + 2 * cfg.num_kv_heads)
-            kw = (qkv.shape[-1] - qw) // 2
-            q, k, v = (qkv[..., :qw], qkv[..., qw:qw + kw],
-                       qkv[..., qw + kw:])
-            q = q.reshape(B, 1, qw // dh, dh)
-            k = k.reshape(B, 1, kw // dh, dh)
-            v = v.reshape(B, 1, kw // dh, dh)
-            if rope_cs is not None:
-                cos, sin = rope_cs
-                q = apply_rope(q, positions, cos, sin)
-                k = apply_rope(k, positions, cos, sin)
+            q, k, v = self._split_fused_qkv(qkv)
+            q, k, v = self._heads(q, k, v, B, 1, positions, rope_cs)
             attn_out, new_kv = attn_fn(q, k, v, new_kv, l, positions)
             x2, tail = chain_decode(chains[l],
                                     attn_out.reshape(B, -1),

@@ -189,7 +189,7 @@ def pack_chain(ops: Sequence[Tuple[int, Any, Optional[Any]]],
         w_dtype = jnp.int8 if quantized else jnp.bfloat16
     sb = np.stack([np.concatenate(s_cols), np.concatenate(b_cols)])
 
-    def ln_row(pair, idx):
+    def ln_rows(pair):
         if pair is None:
             return np.zeros((2, Wd), np.float32)
         scale, bias = pair
@@ -199,8 +199,7 @@ def pack_chain(ops: Sequence[Tuple[int, Any, Optional[Any]]],
             out[1, :D] = _np_f32(bias).reshape(-1)
         return out
 
-    ln = np.concatenate([ln_row(ln_after_o, 0),
-                         ln_row(ln_after_down, 1)])
+    ln = np.concatenate([ln_rows(ln_after_o), ln_rows(ln_after_down)])
 
     return PackedChain(
         w=jnp.asarray(w_packed, w_dtype),

@@ -421,6 +421,37 @@ def test_engine_megakernel_drop_weights(name, quant):
     assert c == b
 
 
+def test_engine_drop_weights_nondivisible_intermediate():
+    """TinyLlama-shaped geometry: intermediate_size NOT a multiple of
+    the packed bn, so the dropped-weights prefill serves gate and up
+    as separate packed ops (the fused pair would misalign on gate's
+    padded columns). Greedy parity vs the regular engine."""
+    import dataclasses
+
+    def fw(mega):
+        m = dataclasses.replace(preset("llama-tiny"),
+                                intermediate_size=320)   # 320 % 128 != 0
+        cfg = FrameworkConfig(
+            model=m,
+            cache=CacheConfig(page_size=8, num_pages=128,
+                              max_pages_per_seq=12,
+                              kv_dtype="float32"),
+            runtime=RuntimeConfig(max_new_tokens=8, prefill_chunk=8,
+                                  megakernel=mega,
+                                  megakernel_drop_weights=mega))
+        cfg.model.dtype = "float32"
+        return cfg
+
+    eng_off = Engine(fw(False), interpret=True, seed=17)
+    eng_on = Engine(fw(True), params=dict(eng_off.params),
+                    interpret=True)
+    pc = eng_on.params["chains"][0]
+    assert pc.I % pc.bn != 0
+    prompts = [[5, 9, 3, 14, 2, 8, 1, 4, 4], [1, 2, 3]]
+    assert (eng_on.generate_batch_fused(prompts, 8, GREEDY)
+            == eng_off.generate_batch_fused(prompts, 8, GREEDY))
+
+
 def test_scheduler_serves_through_megakernel():
     """The continuous-batching scheduler's decode bursts call the same
     T=1 forward, so chains engage transparently; tokens must match a

@@ -280,3 +280,20 @@ def test_hf_dir_as_weights_path_logits_parity(tmp_path):
         np.asarray(state.prefill_logits[0, :cfg.vocab_size]),
         ref[0, -1], atol=5e-3, rtol=5e-2)
     eng.free(state)
+
+
+def test_config_from_hf_rejects_scaled_rope(tmp_path):
+    """Llama-3.1-style rope_scaling is not implemented; importing must
+    refuse loudly rather than produce silently-wrong logits."""
+    import json as _json
+
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.models.hf_stream import (
+        config_from_hf)
+
+    _, _, path = tiny_llama(tmp_path)
+    cfgf = path + "/config.json"
+    d = _json.load(open(cfgf))
+    d["rope_scaling"] = {"rope_type": "llama3", "factor": 8.0}
+    _json.dump(d, open(cfgf, "w"))
+    with pytest.raises(ValueError, match="rope_scaling"):
+        config_from_hf(path)

@@ -57,6 +57,9 @@ class ModelConfig:
     # mesh axis (expert parallelism) — see models/model.py.
     num_experts: int = 0
     experts_per_tok: int = 2
+    # HF-style rope_scaling dict (rope_type "linear" | "llama3" —
+    # Llama-3.1+ checkpoints); None = plain RoPE at rope_theta
+    rope_scaling: Optional[dict] = None
 
     dtype: str = "bfloat16"         # activation / weight compute dtype
     # "none" | "int8" (w8a8: s8 x s8 MXU matmuls + dynamic activation

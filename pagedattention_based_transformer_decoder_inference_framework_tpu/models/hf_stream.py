@@ -105,10 +105,11 @@ def config_from_hf(hf_dir: str, name: Optional[str] = None) -> ModelConfig:
     if mt not in ("llama", "mistral", "mixtral", "qwen2"):
         raise ValueError(f"unsupported HF model_type: {mt!r}")
     rs = d.get("rope_scaling")
-    if rs and rs.get("rope_type", rs.get("type")) != "default":
-        # Llama-3.1+ style scaled RoPE rescales inv_freq at every
-        # position; importing without it would silently produce wrong
-        # logits — refuse instead (implement scaling before lifting)
+    if rs and rs.get("rope_type", rs.get("type")) not in (
+            "default", "linear", "llama3"):
+        # rescales inv_freq at every position; importing without it
+        # would silently produce wrong logits — refuse what ops/rope.py
+        # doesn't implement
         raise ValueError(f"unsupported rope_scaling: {rs!r}")
     D = d["hidden_size"]
     H = d["num_attention_heads"]
@@ -132,6 +133,7 @@ def config_from_hf(hf_dir: str, name: Optional[str] = None) -> ModelConfig:
         tie_embeddings=d.get("tie_word_embeddings", False),
         num_experts=d.get("num_local_experts", 0),
         experts_per_tok=d.get("num_experts_per_tok", 2),
+        rope_scaling=rs,
     ).validate()
 
 

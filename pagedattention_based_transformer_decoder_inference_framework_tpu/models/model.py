@@ -340,7 +340,8 @@ class DecoderModel:
         if self.cfg.position != "rope":
             return None
         return rope_table(self.cfg.max_seq_len, self.cfg.head_dim,
-                          self.cfg.rope_theta)
+                          self.cfg.rope_theta,
+                          scaling=self.cfg.rope_scaling)
 
     def embed(self, params: Params, tokens: jax.Array,
               positions: jax.Array) -> jax.Array:

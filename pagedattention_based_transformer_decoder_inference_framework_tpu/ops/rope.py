@@ -14,10 +14,39 @@ import jax
 import jax.numpy as jnp
 
 
-def rope_table(max_seq_len: int, head_dim: int, theta: float = 10000.0):
-    """Return (cos, sin), each ``[max_seq_len, head_dim//2]`` in f32."""
+def rope_table(max_seq_len: int, head_dim: int, theta: float = 10000.0,
+               scaling=None):
+    """Return (cos, sin), each ``[max_seq_len, head_dim//2]`` in f32.
+
+    ``scaling``: optional HF-style ``rope_scaling`` dict. Supported
+    ``rope_type``s: ``"linear"`` (divide all frequencies by
+    ``factor``) and ``"llama3"`` (Llama-3.1+ wavelength-banded
+    scaling, matching transformers' ``_compute_llama3_parameters``:
+    long wavelengths divided by ``factor``, short kept, smooth
+    interpolation between ``low_freq_factor``/``high_freq_factor``
+    bands of ``original_max_position_embeddings``).
+    """
     half = head_dim // 2
     inv_freq = 1.0 / (theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
+    if scaling:
+        kind = scaling.get("rope_type", scaling.get("type", "default"))
+        if kind == "linear":
+            inv_freq = inv_freq / float(scaling["factor"])
+        elif kind == "llama3":
+            factor = float(scaling["factor"])
+            low = float(scaling["low_freq_factor"])
+            high = float(scaling["high_freq_factor"])
+            old_len = float(scaling["original_max_position_embeddings"])
+            wavelen = 2.0 * jnp.pi / inv_freq
+            scaled = jnp.where(wavelen > old_len / low,
+                               inv_freq / factor, inv_freq)
+            smooth = (old_len / wavelen - low) / (high - low)
+            mid = (1.0 - smooth) / factor * inv_freq + smooth * inv_freq
+            in_band = ((wavelen >= old_len / high)
+                       & (wavelen <= old_len / low))
+            inv_freq = jnp.where(in_band, mid, scaled)
+        elif kind != "default":
+            raise ValueError(f"unsupported rope_scaling type: {kind!r}")
     t = jnp.arange(max_seq_len, dtype=jnp.float32)
     freqs = jnp.outer(t, inv_freq)  # [S, half]
     return jnp.cos(freqs), jnp.sin(freqs)

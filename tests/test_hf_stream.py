@@ -282,9 +282,9 @@ def test_hf_dir_as_weights_path_logits_parity(tmp_path):
     eng.free(state)
 
 
-def test_config_from_hf_rejects_scaled_rope(tmp_path):
-    """Llama-3.1-style rope_scaling is not implemented; importing must
-    refuse loudly rather than produce silently-wrong logits."""
+def test_config_from_hf_rejects_unknown_rope_scaling(tmp_path):
+    """rope_scaling types ops/rope.py doesn't implement (e.g. yarn)
+    must refuse loudly rather than import silently-wrong logits."""
     import json as _json
 
     from pagedattention_based_transformer_decoder_inference_framework_tpu.models.hf_stream import (
@@ -293,7 +293,54 @@ def test_config_from_hf_rejects_scaled_rope(tmp_path):
     _, _, path = tiny_llama(tmp_path)
     cfgf = path + "/config.json"
     d = _json.load(open(cfgf))
-    d["rope_scaling"] = {"rope_type": "llama3", "factor": 8.0}
+    d["rope_scaling"] = {"rope_type": "yarn", "factor": 8.0}
     _json.dump(d, open(cfgf, "w"))
     with pytest.raises(ValueError, match="rope_scaling"):
         config_from_hf(path)
+
+
+def test_llama3_rope_scaling_logits_parity(tmp_path):
+    """Llama-3.1-style rope_scaling (wavelength-banded inv_freq
+    rescale): derived config + streamed import reproduce HF logits."""
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.engine.backends import (
+        DenseKVBackend)
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.models.hf_stream import (
+        config_from_hf, load_flat_params)
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.models.model import (
+        DecoderModel)
+
+    torch.manual_seed(0)
+    rs = {"rope_type": "llama3", "factor": 8.0, "low_freq_factor": 1.0,
+          "high_freq_factor": 4.0,
+          "original_max_position_embeddings": 32}
+    hf = LlamaForCausalLM(LlamaConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=257,
+        max_position_embeddings=96, rope_theta=10000.0,
+        rope_scaling=dict(rs), tie_word_embeddings=False)).eval()
+    path = tmp_path / "llama31"
+    hf.save_pretrained(path, safe_serialization=True)
+
+    cfg = config_from_hf(str(path))
+    assert cfg.rope_scaling and \
+        cfg.rope_scaling.get("rope_type", cfg.rope_scaling.get("type")) \
+        == "llama3"
+    cfg.dtype = "float32"
+    params = load_flat_params(
+        import_hf_streaming(str(path), cfg, quant=None),
+        dtype=jnp.float32)
+    model = DecoderModel(cfg)
+    backend = DenseKVBackend(cfg, kv_dtype="float32")
+    kv = backend.init_cache(2, cfg.max_seq_len)
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, 257, size=(2, 40))   # beyond old_len=32
+    with torch.no_grad():
+        ref = hf(torch.tensor(tokens)).logits.numpy()
+    positions = jnp.broadcast_to(jnp.arange(tokens.shape[1]),
+                                 tokens.shape)
+    ours, _ = model.forward(params, jnp.asarray(tokens), positions, kv,
+                            backend.attn_fn)
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=5e-3,
+                               rtol=5e-2)

@@ -345,6 +345,16 @@ PRESETS: Dict[str, ModelConfig] = {
         activation="swiglu", position="rope", use_qkv_bias=False,
         use_mlp_bias=False, tie_embeddings=False, rope_theta=500000.0,
     ),
+    "llama3.1-8b": ModelConfig(
+        name="llama3.1-8b", vocab_size=128256, hidden_size=4096,
+        num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128,
+        intermediate_size=14336, max_seq_len=131072, norm="rmsnorm",
+        activation="swiglu", position="rope", use_qkv_bias=False,
+        use_mlp_bias=False, tie_embeddings=False, rope_theta=500000.0,
+        rope_scaling={"rope_type": "llama3", "factor": 8.0,
+                      "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                      "original_max_position_embeddings": 8192},
+    ),
     "mixtral-8x7b": ModelConfig(
         name="mixtral-8x7b", vocab_size=32000, hidden_size=4096,
         num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128,

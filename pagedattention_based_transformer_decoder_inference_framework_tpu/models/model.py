@@ -505,6 +505,13 @@ class DecoderModel:
         E_local = (wd.values if isinstance(wd, QTensor) else wd).shape[0]
         off = (jax.lax.axis_index(self.tp_axis) * E_local
                if self.tp_axis else 0)
+        S = h2.shape[0] * h2.shape[1] * k
+        if cfg.quant != "int8" and S >= E_local * 256:
+            # compute-bound prefill: exact sorted dispatch through the
+            # grouped-matmul kernel (each token row hits only its
+            # routed experts) instead of the E_local/k x masked waste
+            return self._psum(self._moe_dispatch(
+                lp, h2, topi, gates, E_local, off))
         mlp = jnp.zeros(h2.shape[:-1] + (
             (wd.values if isinstance(wd, QTensor) else wd).shape[-1],),
             h2.dtype)
@@ -522,6 +529,73 @@ class DecoderModel:
             ye = linear(gate_a * up, expert(lp["we_down"], e), w8a8=w8a8)
             mlp = mlp + ge[..., None].astype(ye.dtype) * ye
         return self._psum(mlp)
+
+    def _moe_dispatch(self, lp: Params, h2: jax.Array, topi: jax.Array,
+                      gates: jax.Array, E_local: int,
+                      off) -> jax.Array:
+        """Exact sorted MoE dispatch (``ops/gmm.py``): flatten the
+        ``B*T*k`` (token, expert) slots, stable-sort by local expert,
+        pad each expert's range to a row-block multiple, run the three
+        expert matmuls as grouped matmuls, and gate-combine back per
+        token. Static shapes throughout (the padded row count is the
+        worst-case ``S + E_local*bm``); under expert parallelism,
+        slots routed to non-local experts keep their rows (gate 0,
+        clamped to group 0) and vanish in the psum."""
+        from ..ops.gmm import grouped_matmul
+        from ..utils.platform import default_interpret
+
+        cfg = self.cfg
+        interp = default_interpret()
+        B, T, D = h2.shape
+        N, kk = B * T, cfg.experts_per_tok
+        S = N * kk
+        bm = 256
+
+        te = topi.reshape(S)
+        tg = gates.reshape(S)
+        local = (te >= off) & (te < off + E_local)
+        e_loc = jnp.where(local, te - off, 0)
+        sg_all = jnp.where(local, tg, 0.0)
+
+        order = jnp.argsort(e_loc)                   # stable
+        se = e_loc[order]
+        st = order // kk                             # token per slot
+        sg = sg_all[order]
+        ones = jnp.ones((S,), jnp.int32)
+        counts = jnp.zeros((E_local,), jnp.int32).at[se].add(ones)
+        padded = ((counts + bm - 1) // bm) * bm
+        starts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                  jnp.cumsum(padded)[:-1]])
+        cum = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                               jnp.cumsum(counts)[:-1]])
+        pos = jnp.arange(S, dtype=jnp.int32) - cum[se]
+        dest = starts[se] + pos
+
+        from ..utils.common import round_up
+        Npad = round_up(S, bm) + E_local * bm
+        xp = jnp.zeros((Npad, D), h2.dtype).at[dest].set(
+            h2.reshape(N, D)[st])
+        blk0 = jnp.arange(Npad // bm, dtype=jnp.int32) * bm
+        gb = (jnp.searchsorted(starts, blk0, side="right") - 1
+              ).astype(jnp.int32)
+
+        if "we_gu" in lp:
+            gu = grouped_matmul(xp, lp["we_gu"], gb, bm=bm,
+                                interpret=interp)
+            gate_a, up = jnp.split(gu, 2, axis=-1)
+        else:
+            gate_a = grouped_matmul(xp, lp["we_gate"], gb, bm=bm,
+                                    interpret=interp)
+            up = grouped_matmul(xp, lp["we_up"], gb, bm=bm,
+                                interpret=interp)
+        gate_a = activation_fn("silu")(
+            gate_a.astype(jnp.float32)).astype(up.dtype)
+        y = grouped_matmul(gate_a * up, lp["we_down"], gb, bm=bm,
+                           interpret=interp)
+        rows = y[dest] * sg[:, None].astype(y.dtype)
+        out = jnp.zeros((N, y.shape[-1]), h2.dtype).at[st].add(
+            rows.astype(h2.dtype))
+        return out.reshape(B, T, -1)
 
     def forward(self, params: Params, tokens: jax.Array, positions: jax.Array,
                 kv_caches: Any, attn_fn: AttentionFn,

@@ -230,3 +230,101 @@ def test_mixtral_hf_streaming_import_parity(tmp_path):
                             backend.attn_fn)
     np.testing.assert_allclose(np.asarray(ours), ref, atol=5e-3,
                                rtol=5e-2)
+
+
+def test_moe_dispatch_matches_masked_loop():
+    """The sorted grouped-matmul dispatch (ops/gmm.py, engaged above
+    the row threshold) must equal the masked dense loop on the same
+    weights — exact routing, no dropped tokens."""
+    cfg = moe_cfg()
+    model = DecoderModel(cfg)
+    params = init_params(cfg, jax.random.key(0))
+    lp = {k: v[0] for k, v in params["layers"].items()}
+    # S = B*T*k = 2*256*2 = 1024 >= E_local*256 -> dispatch path
+    h2 = jax.random.normal(jax.random.key(2), (2, 256, cfg.hidden_size),
+                           jnp.float32)
+    got = np.asarray(model._moe(lp, h2, w8a8=False))
+    # force the masked path on identical inputs by shrinking T
+    outs = []
+    for t0 in range(0, 256, 32):      # masked loop in 32-token slices
+        outs.append(np.asarray(model._moe(
+            lp, h2[:, t0:t0 + 32], w8a8=False)))
+    want = np.concatenate(outs, axis=1)
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+
+def test_moe_dispatch_int8_and_fused_gu():
+    """Dispatch with fused INT8 we_gu (engine layout) stays close to
+    the float masked loop."""
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.models.model import (
+        fuse_projections,
+        quantize_params,
+        unstack_layers,
+    )
+
+    cfg = moe_cfg()
+    params = init_params(cfg, jax.random.key(0))
+    ep = fuse_projections(unstack_layers(quantize_params(params)))
+    lp_q = ep["layers"][0]
+    lp_f = {k: v[0] for k, v in params["layers"].items()}
+    cfg_q = moe_cfg(quant="int8-weight")
+    model_q = DecoderModel(cfg_q)
+    model_f = DecoderModel(cfg)
+    h2 = jax.random.normal(jax.random.key(3), (1, 512, cfg.hidden_size),
+                           jnp.float32)
+    got = np.asarray(model_q._moe(lp_q, h2, w8a8=False))
+    want = np.asarray(model_f._moe(lp_f, h2[:, :32], w8a8=False))
+    cos = float(np.sum(got[:, :32] * want)
+                / (np.linalg.norm(got[:, :32]) * np.linalg.norm(want)))
+    assert cos > 0.999, cos
+
+
+def test_moe_engine_prefill_uses_dispatch_path():
+    """Long prompts cross the dispatch threshold during chunked
+    prefill; generation must agree with the decode-only masked path
+    (greedy, same weights)."""
+    cfg = _framework(moe_cfg())
+    cfg.runtime.prefill_chunk = 256
+    cfg.cache = CacheConfig(page_size=8, num_pages=256,
+                            max_pages_per_seq=48, kv_dtype="float32")
+    eng = Engine(cfg, interpret=True)
+    long_prompt = list(np.random.default_rng(0).integers(
+        0, 512, size=300))
+    short = [5, 9, 3]
+    out = eng.generate_batch([long_prompt, short], 6, GREEDY)
+    # same engine, tiny chunks (masked path only: S < E*256)
+    cfg2 = _framework(moe_cfg())
+    cfg2.runtime.prefill_chunk = 32
+    cfg2.cache = CacheConfig(page_size=8, num_pages=256,
+                             max_pages_per_seq=48, kv_dtype="float32")
+    eng2 = Engine(cfg2, params=eng.params, interpret=True)
+    assert eng2.generate_batch([long_prompt, short], 6, GREEDY) == out
+
+
+def test_moe_dispatch_expert_parallel_parity():
+    """Dispatch path under expert parallelism: long-prompt prefill on
+    a tp=2 mesh (non-local slots gate to 0 and psum-vanish) matches
+    the single-device engine."""
+    assert len(jax.devices()) >= 2
+    cfg_m = moe_cfg()
+    fw = _framework(cfg_m)
+    fw.runtime.prefill_chunk = 256
+    fw.cache = CacheConfig(page_size=8, num_pages=256,
+                           max_pages_per_seq=48, kv_dtype="float32")
+    params = init_params(cfg_m, jax.random.key(5))
+    prompt = list(np.random.default_rng(1).integers(0, 512, size=300))
+
+    ref_eng = Engine(fw, params=params, interpret=True)
+    ref = ref_eng.generate_batch([prompt], 4, GREEDY)
+
+    fw2 = _framework(cfg_m)
+    fw2.runtime.prefill_chunk = 256
+    fw2.cache = CacheConfig(page_size=8, num_pages=256,
+                            max_pages_per_seq=48, kv_dtype="float32")
+    fw2.parallel = ParallelConfig(dp=1, tp=2)
+    for attempt in range(2):   # documented CPU-client flake
+        eng = Engine(fw2, params=params, mesh=build_mesh(fw2.parallel))
+        got = eng.generate_batch([prompt], 4, GREEDY)
+        if got == ref:
+            break
+    assert got == ref

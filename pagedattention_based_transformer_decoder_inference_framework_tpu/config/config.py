@@ -83,6 +83,18 @@ class ModelConfig:
         if self.num_experts > 0:
             assert self.activation == "swiglu", "MoE experts are SwiGLU"
             assert 1 <= self.experts_per_tok <= self.num_experts
+        if self.rope_scaling:
+            kind = self.rope_scaling.get(
+                "rope_type", self.rope_scaling.get("type", "default"))
+            required = {"linear": ("factor",),
+                        "llama3": ("factor", "low_freq_factor",
+                                   "high_freq_factor",
+                                   "original_max_position_embeddings"),
+                        "default": ()}
+            assert kind in required, f"rope_scaling type {kind!r}"
+            missing = [k for k in required[kind]
+                       if k not in self.rope_scaling]
+            assert not missing, f"rope_scaling missing {missing}"
         return self
 
 
@@ -398,4 +410,8 @@ PRESETS: Dict[str, ModelConfig] = {
 
 
 def preset(name: str) -> ModelConfig:
-    return dataclasses.replace(PRESETS[name])
+    # deep copy: dataclasses.replace alone would alias mutable fields
+    # (rope_scaling) to the global PRESETS entry
+    import copy
+
+    return copy.deepcopy(PRESETS[name])

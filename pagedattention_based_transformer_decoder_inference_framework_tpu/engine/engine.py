@@ -70,7 +70,14 @@ class Engine:
         self.mesh = mesh
         pcfg = config.parallel
         tp_axis = pcfg.model_axis if mesh is not None else None
-        self.model = DecoderModel(self.cfg, tp_axis=tp_axis)
+        # RoPE table sized to what the cache can actually hold — except
+        # under sliding windows, where positions keep growing past the
+        # page budget (rolling reclamation) and need the full table
+        rope_len = (None if self.cfg.sliding_window > 0 else
+                    config.cache.max_pages_per_seq
+                    * config.cache.page_size)
+        self.model = DecoderModel(self.cfg, tp_axis=tp_axis,
+                                  rope_len=rope_len)
         self.backend = PagedKVBackend(self.cfg, self.cache, interpret=interpret)
         # pages are sharded over the data axis: one allocator per data
         # shard handing out *local* page ids into that shard's sub-pool

@@ -109,6 +109,10 @@ def init_params(cfg: ModelConfig, key: jax.Array) -> Params:
 _QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",
                "we_gate", "we_up", "we_down")
 
+#: grouped-matmul row-block size (ops/gmm.py) — the MoE dispatch path
+#: engages when total routed rows average >= one row block per expert
+_GMM_BM = 256
+
 
 def init_params_quantized(cfg: ModelConfig, key: jax.Array) -> Params:
     """Random-init directly into INT8 QTensors, layer by layer.
@@ -332,6 +336,10 @@ class DecoderModel:
 
     cfg: ModelConfig
     tp_axis: Optional[str] = None
+    # cap for the in-graph RoPE table: the engine passes its actual
+    # serveable length (pages x page_size), so a 128k-context preset
+    # doesn't embed a ~67 MB cos/sin constant in every compiled step
+    rope_len: Optional[int] = None
 
     def _psum(self, x: jax.Array) -> jax.Array:
         return jax.lax.psum(x, self.tp_axis) if self.tp_axis else x
@@ -339,7 +347,9 @@ class DecoderModel:
     def rope(self) -> Optional[Tuple[jax.Array, jax.Array]]:
         if self.cfg.position != "rope":
             return None
-        return rope_table(self.cfg.max_seq_len, self.cfg.head_dim,
+        length = min(self.rope_len or self.cfg.max_seq_len,
+                     self.cfg.max_seq_len)
+        return rope_table(length, self.cfg.head_dim,
                           self.cfg.rope_theta,
                           scaling=self.cfg.rope_scaling)
 
@@ -506,7 +516,7 @@ class DecoderModel:
         off = (jax.lax.axis_index(self.tp_axis) * E_local
                if self.tp_axis else 0)
         S = h2.shape[0] * h2.shape[1] * k
-        if cfg.quant != "int8" and S >= E_local * 256:
+        if cfg.quant != "int8" and S >= E_local * _GMM_BM:
             # compute-bound prefill: exact sorted dispatch through the
             # grouped-matmul kernel (each token row hits only its
             # routed experts) instead of the E_local/k x masked waste
@@ -549,7 +559,7 @@ class DecoderModel:
         B, T, D = h2.shape
         N, kk = B * T, cfg.experts_per_tok
         S = N * kk
-        bm = 256
+        bm = _GMM_BM
 
         te = topi.reshape(S)
         tg = gates.reshape(S)

@@ -108,8 +108,8 @@ def grouped_matmul(x: jax.Array, w: Union[jax.Array, QTensor],
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=2 * Npad * Np * Kp,
-            bytes_accessed=Npad * Kp * 2 + E * Kp * Np * wv.dtype.itemsize
-            + Npad * Np * 2,
+            bytes_accessed=(Npad * (Kp + Np) * x.dtype.itemsize
+                            + E * Kp * Np * wv.dtype.itemsize),
             transcendentals=0),
         interpret=interpret,
     )(group_of_block, x, wv, ws)

@@ -528,6 +528,40 @@ def test_sliding_window_preset_through_megakernel():
     assert run(True) == run(False)
 
 
+def test_engine_megakernel_benchmark_config_smoke():
+    """The exact north-star bench combination at tiny dims: bf16
+    activations, int8-weight quant, INT8 KV pages, megakernel with
+    dropped per-op weights — runs and matches the megakernel-off
+    engine (bf16 rounding can flip near-ties on random weights, so
+    compare teacher-forced logits, not greedy tokens)."""
+    def fw(mega):
+        cfg = FrameworkConfig(
+            model=preset("llama-tiny"),
+            cache=CacheConfig(page_size=8, num_pages=128,
+                              max_pages_per_seq=12, kv_dtype="int8"),
+            runtime=RuntimeConfig(max_new_tokens=6, prefill_chunk=8,
+                                  megakernel=mega,
+                                  megakernel_drop_weights=mega))
+        cfg.model.quant = "int8-weight"   # dtype stays bf16
+        return cfg
+
+    eng_off = Engine(fw(False), interpret=True, seed=19)
+    eng_on = Engine(fw(True), params=dict(eng_off.params),
+                    interpret=True)
+    prompts = [[5, 9, 3, 14, 2], [1, 2, 3]]
+    sf = eng_off.prefill(prompts)
+    si = eng_on.prefill(prompts)
+    np.testing.assert_allclose(np.asarray(si.prefill_logits),
+                               np.asarray(sf.prefill_logits),
+                               atol=0.15, rtol=0.15)
+    forced = np.asarray([7, 9], np.int32)
+    lo = eng_off.decode_forced(sf, forced)
+    lm = eng_on.decode_forced(si, forced)
+    np.testing.assert_allclose(np.asarray(lm), np.asarray(lo),
+                               atol=0.15, rtol=0.15)
+    eng_off.free(sf), eng_on.free(si)
+
+
 def test_chains_supported_gates():
     cfg = preset("llama-tiny")
     params = fuse_projections(unstack_layers(

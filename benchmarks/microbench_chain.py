@@ -81,8 +81,8 @@ def main():
     else:
         params = init_params(cfg, jax.random.key(0))
     params = fuse_projections(unstack_layers(params))
-    chains = build_decode_chains(params, cfg, bk=args.bk, bn=args.bn)
-    pc = chains[0]
+    params = build_decode_chains(params, cfg, bk=args.bk, bn=args.bn)
+    pc = params["chains"][0]
     lp, nxt = params["layers"][0], params["layers"][1]
     B, D = args.batch, cfg.hidden_size
     wbytes = pc.w.size * pc.w.dtype.itemsize

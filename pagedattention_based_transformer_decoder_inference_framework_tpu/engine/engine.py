@@ -139,17 +139,14 @@ class Engine:
                     self.params = fuse_projections(self.params)
             if self.runtime.megakernel:
                 from ..models.chained import (build_decode_chains,
-                                              chains_supported,
-                                              drop_packed_weights)
+                                              chains_supported)
 
                 if "chains" in self.params:
                     pass                    # re-wrapped, already packed
                 elif chains_supported(self.cfg, self.params):
-                    self.params = dict(self.params)
-                    self.params["chains"] = build_decode_chains(
-                        self.params, self.cfg)
-                    if self.runtime.megakernel_drop_weights:
-                        self.params = drop_packed_weights(self.params)
+                    self.params = build_decode_chains(
+                        self.params, self.cfg,
+                        drop=self.runtime.megakernel_drop_weights)
 
         self._prefill_fn = self._build_prefill()
         self._decode_fn = self._build_decode()

@@ -60,34 +60,29 @@ def chains_supported(cfg: ModelConfig, params: Params,
             and all("w_qkv" in lp and "wo" in lp for lp in layers))
 
 
-def drop_packed_weights(params: Params) -> Params:
-    """Free the per-op copies of every weight that lives in the packed
-    chain blocks (``megakernel_drop_weights``): all layers' o/MLP
-    weights+biases, and qkv for layers >= 1 (layer ``l``'s qkv is chain
-    ``l-1``'s tail op; layer 0's qkv is not packed and stays). Norm
-    params stay — the per-op path still reads them. After this, T>1
-    forwards are served by ``packed_linear`` out of the same blocks."""
-    packed_all = ("wo", "bo", "w_gu", "w_gate", "w_up", "w_down",
-                  "b_up", "b_down")
-    out_layers = []
-    for l, lp in enumerate(params["layers"]):
-        lp = {k: v for k, v in lp.items() if k not in packed_all}
-        if l > 0:
-            lp.pop("w_qkv", None)
-            lp.pop("b_qkv", None)
-        out_layers.append(lp)
-    out = dict(params)
-    out["layers"] = tuple(out_layers)
-    return out
+#: per-op weight keys that live inside the packed chain blocks
+_PACKED_KEYS = ("wo", "bo", "w_gu", "w_gate", "w_up", "w_down",
+                "b_up", "b_down")
 
 
 def build_decode_chains(params: Params, cfg: ModelConfig, *,
-                        bk: int = 1024, bn: int = 2048
-                        ) -> Tuple[PackedChain, ...]:
+                        bk: int = 1024, bn: int = 2048,
+                        drop: bool = False) -> Params:
     """Pack every layer's decode chain (host-side, once at engine
-    build). Block sizes clamp to the model's dims; the defaults are the
-    measured-fastest v5e stream blocks (BENCHMARKS.md)."""
-    layers = params["layers"]
+    build) and return params with ``"chains"`` added. Block sizes clamp
+    to the model's dims; the defaults are the measured-fastest v5e
+    stream blocks (BENCHMARKS.md).
+
+    ``drop=True`` (``megakernel_drop_weights``) frees each per-op
+    weight copy AS SOON as its chain is packed — layer ``l``'s o/MLP
+    weights after chain ``l``, layer ``l+1``'s qkv after chain ``l``
+    (it rides that chain's tail) — so peak device memory is the model
+    plus ONE chain, never 2x the weights (an all-then-drop order would
+    OOM Llama-3-8B INT8 on a 16 GB chip). Layer 0's qkv is not packed
+    and stays; norm params stay (the per-op path reads them)."""
+    # mutable per-layer dicts: popping a key here must release the LAST
+    # reference to the array, so the caller hands over ownership
+    layers = [dict(lp) for lp in params["layers"]]
     D, I = cfg.hidden_size, cfg.intermediate_size
     bn = min(bn, round_up(D, 128), round_up(I, 128))
     bk = min(bk, round_up(D, 128), round_up(I, 128))
@@ -125,4 +120,14 @@ def build_decode_chains(params: Params, cfg: ModelConfig, *,
             act_kind=cfg.activation, norm_kind=cfg.norm,
             eps=cfg.norm_eps, bk=bk, bn=bn, w_dtype=w_dtype,
             w8a8=cfg.quant == "int8"))
-    return tuple(chains)
+        if drop:
+            del ops                         # ops list held array refs
+            for key in _PACKED_KEYS:
+                lp.pop(key, None)
+            if nxt is not None:
+                nxt.pop("w_qkv", None)
+                nxt.pop("b_qkv", None)
+    out = dict(params)
+    out["layers"] = tuple(layers)
+    out["chains"] = tuple(chains)
+    return out

@@ -284,8 +284,7 @@ def test_model_forward_chained_matches_regular(name):
     params = fuse_projections(unstack_layers(
         init_params(cfg, jax.random.key(0))))
     assert chains_supported(cfg, params)
-    chained = dict(params)
-    chained["chains"] = build_decode_chains(params, cfg)
+    chained = build_decode_chains(params, cfg)
 
     backend = DenseKVBackend(cfg, kv_dtype="float32")
     B, T = 2, 6

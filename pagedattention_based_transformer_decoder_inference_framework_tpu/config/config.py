@@ -50,7 +50,21 @@ class ModelConfig:
     use_qkv_bias: bool = True
     use_mlp_bias: bool = True
     sliding_window: int = 0         # >0: Mistral-style windowed attention
+    # >1: only every ``pattern``-th layer is global, the rest use the
+    # sliding window (Gemma-2: 2 — even layers windowed, odd global).
+    # 1 = every layer windowed (Mistral). Page reclamation only applies
+    # at pattern 1 (global layers keep all pages live).
+    sliding_window_pattern: int = 1
     tie_embeddings: bool = True     # LM head = embedding^T
+    # Gemma-family extras ----------------------------------------------------
+    rms_offset: float = 0.0         # rmsnorm scale = (offset + weight)
+    post_norms: bool = False        # sandwich norms around attn/MLP out
+    scale_embeddings: bool = False  # embeddings *= sqrt(hidden_size)
+    attn_logit_softcap: float = 0.0   # >0: s = cap*tanh(s/cap) pre-mask
+    final_logit_softcap: float = 0.0  # >0: on LM-head logits
+    # >0: attention scale = query_pre_attn_scalar**-0.5 (Gemma-2;
+    # 0 = default head_dim**-0.5)
+    query_pre_attn_scalar: float = 0.0
     # Mixture-of-Experts (Mixtral-style): >0 replaces the dense MLP with
     # ``num_experts`` SwiGLU experts, top-``experts_per_tok`` routing
     # (softmax over the selected logits). Experts shard over the 'model'
@@ -73,13 +87,43 @@ class ModelConfig:
         assert self.num_heads % self.num_kv_heads == 0
         return self.num_heads // self.num_kv_heads
 
+    @property
+    def attn_scale(self) -> float:
+        """Attention logit scale (Gemma-2 overrides head_dim**-0.5)."""
+        return (self.query_pre_attn_scalar or self.head_dim) ** -0.5
+
+    @property
+    def is_glu(self) -> bool:
+        """Gated MLP (gate|up|down): SwiGLU (silu gate) or GeGLU
+        (tanh-gelu gate, Gemma)."""
+        return self.activation in ("swiglu", "geglu")
+
+    @property
+    def glu_gate_act(self) -> str:
+        return "silu" if self.activation == "swiglu" else "gelu"
+
+    def window_for_layer(self, layer: int) -> int:
+        """Effective sliding window of ``layer`` (0 = global). With
+        ``sliding_window_pattern`` p > 1, every p-th layer
+        (``layer % p == p - 1``) attends globally (Gemma-2/3)."""
+        if self.sliding_window <= 0:
+            return 0
+        p = self.sliding_window_pattern
+        if p > 1 and layer % p == p - 1:
+            return 0
+        return self.sliding_window
+
     def validate(self) -> "ModelConfig":
         assert self.hidden_size == self.num_heads * self.head_dim or True
         assert self.num_heads % self.num_kv_heads == 0
         assert self.norm in ("layernorm", "rmsnorm")
-        assert self.activation in ("gelu", "relu", "swiglu", "silu")
+        assert self.activation in ("gelu", "relu", "swiglu", "silu",
+                                   "geglu")
         assert self.position in ("learned", "rope")
         assert self.quant in ("none", "int8", "int8-weight")
+        assert self.sliding_window_pattern >= 1
+        if self.post_norms:
+            assert self.norm == "rmsnorm", "post_norms: rmsnorm only"
         if self.num_experts > 0:
             assert self.activation == "swiglu", "MoE experts are SwiGLU"
             assert 1 <= self.experts_per_tok <= self.num_experts
@@ -350,6 +394,28 @@ PRESETS: Dict[str, ModelConfig] = {
         activation="swiglu", position="rope", use_qkv_bias=True,
         use_mlp_bias=False, tie_embeddings=False, rope_theta=1000000.0,
     ),
+    "gemma2-2b": ModelConfig(
+        name="gemma2-2b", vocab_size=256000, hidden_size=2304,
+        num_layers=26, num_heads=8, num_kv_heads=4, head_dim=256,
+        intermediate_size=9216, max_seq_len=8192, norm="rmsnorm",
+        norm_eps=1e-6, activation="geglu", position="rope",
+        use_qkv_bias=False, use_mlp_bias=False, tie_embeddings=True,
+        sliding_window=4096, sliding_window_pattern=2,
+        rms_offset=1.0, post_norms=True, scale_embeddings=True,
+        attn_logit_softcap=50.0, final_logit_softcap=30.0,
+        query_pre_attn_scalar=256.0,
+    ),
+    "gemma2-9b": ModelConfig(
+        name="gemma2-9b", vocab_size=256000, hidden_size=3584,
+        num_layers=42, num_heads=16, num_kv_heads=8, head_dim=256,
+        intermediate_size=14336, max_seq_len=8192, norm="rmsnorm",
+        norm_eps=1e-6, activation="geglu", position="rope",
+        use_qkv_bias=False, use_mlp_bias=False, tie_embeddings=True,
+        sliding_window=4096, sliding_window_pattern=2,
+        rms_offset=1.0, post_norms=True, scale_embeddings=True,
+        attn_logit_softcap=50.0, final_logit_softcap=30.0,
+        query_pre_attn_scalar=256.0,
+    ),
     "llama3-70b": ModelConfig(
         name="llama3-70b", vocab_size=128256, hidden_size=8192,
         num_layers=80, num_heads=64, num_kv_heads=8, head_dim=128,
@@ -381,6 +447,18 @@ PRESETS: Dict[str, ModelConfig] = {
         max_seq_len=256, norm="rmsnorm", activation="swiglu",
         position="rope", use_qkv_bias=False, use_mlp_bias=False,
         tie_embeddings=False, num_experts=4, experts_per_tok=2,
+    ),
+    # gemma2-2b scaled down: every architectural quirk, test-sized
+    "gemma2-tiny": ModelConfig(
+        name="gemma2-tiny", vocab_size=512, hidden_size=64, num_layers=4,
+        num_heads=4, num_kv_heads=2, head_dim=32, intermediate_size=128,
+        max_seq_len=256, norm="rmsnorm", norm_eps=1e-6,
+        activation="geglu", position="rope", use_qkv_bias=False,
+        use_mlp_bias=False, tie_embeddings=True,
+        sliding_window=32, sliding_window_pattern=2,
+        rms_offset=1.0, post_norms=True, scale_embeddings=True,
+        attn_logit_softcap=50.0, final_logit_softcap=30.0,
+        query_pre_attn_scalar=64.0,
     ),
     "llama-tiny": ModelConfig(
         name="llama-tiny", vocab_size=512, hidden_size=64, num_layers=2,

@@ -40,9 +40,18 @@ class DenseKVBackend:
         v_cache = jax.lax.dynamic_index_in_dim(v_full, layer, 0, False)
         k_cache, v_cache = update_dense_cache(k_cache, v_cache, k, v, positions)
         kv_lens = positions[:, -1] + 1
-        scale = 1.0 / math.sqrt(self.cfg.head_dim)
+        # per-layer windows (Gemma-2 alternation) need a static layer
+        # index, i.e. the unrolled layer loop; under lax.scan the layer
+        # is traced, so only a uniform window is representable
+        if isinstance(layer, int):
+            window = self.cfg.window_for_layer(layer)
+        else:
+            assert self.cfg.sliding_window_pattern == 1, (
+                "per-layer sliding windows require unrolled layers")
+            window = self.cfg.sliding_window
         out = dense_attention(q, k_cache, v_cache, positions, kv_lens,
-                              scale, window=self.cfg.sliding_window)
+                              self.cfg.attn_scale, window=window,
+                              softcap=self.cfg.attn_logit_softcap)
         k_full = jax.lax.dynamic_update_index_in_dim(k_full, k_cache, layer, 0)
         v_full = jax.lax.dynamic_update_index_in_dim(v_full, v_cache, layer, 0)
         return out, (k_full, v_full)

@@ -52,6 +52,14 @@ class PagedKVBackend:
                            page_size=self.cache.page_size,
                            interpret=self.interpret)
             scales = kv[1] if len(kv) == 2 else None
+            # per-layer windows (Gemma-2 alternation) need the unrolled
+            # layer loop's static layer index
+            if isinstance(layer, int):
+                window = self.cfg.window_for_layer(layer)
+            else:
+                assert self.cfg.sliding_window_pattern == 1, (
+                    "per-layer sliding windows require unrolled layers")
+                window = self.cfg.sliding_window
             # num_q_heads from q itself: under TP (shard_map) the local
             # head count is num_heads / tp, not cfg.num_heads.
             out = paged_attention(
@@ -59,7 +67,9 @@ class PagedKVBackend:
                 q_offsets, scales, layer=layer,
                 page_size=self.cache.page_size,
                 num_q_heads=q.shape[2],
-                window=self.cfg.sliding_window,
+                window=window,
+                softcap=self.cfg.attn_logit_softcap,
+                scale=self.cfg.attn_scale,
                 return_scores=score_sink is not None,
                 interpret=self.interpret)
             if score_sink is not None:

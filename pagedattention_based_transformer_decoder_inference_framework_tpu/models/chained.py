@@ -55,6 +55,8 @@ def chains_supported(cfg: ModelConfig, params: Params,
     return (tp_axis is None
             and cfg.num_experts == 0
             and cfg.activation in ("swiglu", "gelu", "relu")
+            # Gemma-family variants the in-kernel norm doesn't model
+            and cfg.rms_offset == 0.0 and not cfg.post_norms
             and isinstance(layers, (tuple, list))
             and len(layers) > 0
             and all("w_qkv" in lp and "wo" in lp for lp in layers))

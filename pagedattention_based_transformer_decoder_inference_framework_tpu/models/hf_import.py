@@ -95,6 +95,12 @@ def params_from_hf_llama(state_dict: Mapping[str, Any], cfg: ModelConfig,
         "w_up": _stack(sd, "model.layers.{i}.mlp.up_proj.weight", L, transpose=True),
         "w_down": _stack(sd, "model.layers.{i}.mlp.down_proj.weight", L, transpose=True),
     }
+    if cfg.use_qkv_bias:            # Qwen2-style attention biases
+        for ours, hf in (("bq", "q_proj"), ("bk", "k_proj"),
+                         ("bv", "v_proj")):
+            layers[ours] = _stack(
+                sd, "model.layers.{i}.self_attn.%s.bias" % hf, L)
+        layers["bo"] = np.zeros_like(layers["ln1_scale"])
     params: Params = {
         "embedding": _np(sd["model.embed_tokens.weight"]),
         "final_norm_scale": _np(sd["model.norm.weight"]),
@@ -104,6 +110,45 @@ def params_from_hf_llama(state_dict: Mapping[str, Any], cfg: ModelConfig,
         key = "lm_head.weight"
         head = _np(sd[key]) if key in sd else _np(sd["model.embed_tokens.weight"])
         params["lm_head"] = head.T
+    return _to_jnp(params, dt)
+
+
+def params_from_hf_gemma2(state_dict: Mapping[str, Any], cfg: ModelConfig,
+                          dtype=None) -> Params:
+    """Convert an HF ``Gemma2ForCausalLM`` state_dict.
+
+    Same projection layout as Llama; the four sandwich norms map as
+    ``input_layernorm -> ln1``, ``post_attention_layernorm ->
+    post_attn``, ``pre_feedforward_layernorm -> ln2``,
+    ``post_feedforward_layernorm -> post_mlp`` (HF's "post_attention"
+    norm is applied to the attention *output*, not pre-MLP). Gemma norm
+    weights are stored zero-centred (``cfg.rms_offset = 1``)."""
+    from ..utils.common import jnp_dtype
+
+    dt = dtype or jnp_dtype(cfg.dtype)
+    sd = dict(state_dict)
+    L = cfg.num_layers
+    layers = {
+        "ln1_scale": _stack(sd, "model.layers.{i}.input_layernorm.weight", L),
+        "post_attn_scale": _stack(
+            sd, "model.layers.{i}.post_attention_layernorm.weight", L),
+        "ln2_scale": _stack(
+            sd, "model.layers.{i}.pre_feedforward_layernorm.weight", L),
+        "post_mlp_scale": _stack(
+            sd, "model.layers.{i}.post_feedforward_layernorm.weight", L),
+        "wq": _stack(sd, "model.layers.{i}.self_attn.q_proj.weight", L, transpose=True),
+        "wk": _stack(sd, "model.layers.{i}.self_attn.k_proj.weight", L, transpose=True),
+        "wv": _stack(sd, "model.layers.{i}.self_attn.v_proj.weight", L, transpose=True),
+        "wo": _stack(sd, "model.layers.{i}.self_attn.o_proj.weight", L, transpose=True),
+        "w_gate": _stack(sd, "model.layers.{i}.mlp.gate_proj.weight", L, transpose=True),
+        "w_up": _stack(sd, "model.layers.{i}.mlp.up_proj.weight", L, transpose=True),
+        "w_down": _stack(sd, "model.layers.{i}.mlp.down_proj.weight", L, transpose=True),
+    }
+    params: Params = {
+        "embedding": _np(sd["model.embed_tokens.weight"]),
+        "final_norm_scale": _np(sd["model.norm.weight"]),
+        "layers": layers,
+    }
     return _to_jnp(params, dt)
 
 

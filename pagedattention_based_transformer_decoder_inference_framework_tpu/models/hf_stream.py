@@ -102,6 +102,33 @@ def config_from_hf(hf_dir: str, name: Optional[str] = None) -> ModelConfig:
             norm="layernorm", norm_eps=d.get("layer_norm_epsilon", 1e-5),
             activation="gelu", position="learned",
             tie_embeddings=True).validate()
+    if mt == "gemma2":
+        D = d["hidden_size"]
+        H = d["num_attention_heads"]
+        return ModelConfig(
+            name=name or "gemma2-hf",
+            vocab_size=d["vocab_size"], hidden_size=D,
+            num_layers=d["num_hidden_layers"], num_heads=H,
+            num_kv_heads=d.get("num_key_value_heads", H),
+            head_dim=d.get("head_dim") or D // H,
+            intermediate_size=d["intermediate_size"],
+            max_seq_len=d.get("max_position_embeddings", 8192),
+            norm="rmsnorm", norm_eps=d.get("rms_norm_eps", 1e-6),
+            activation="geglu", position="rope",
+            rope_theta=float(d.get("rope_theta", 10000.0)),
+            use_qkv_bias=d.get("attention_bias", False),
+            use_mlp_bias=False,
+            sliding_window=int(d.get("sliding_window") or 4096),
+            sliding_window_pattern=2,
+            tie_embeddings=d.get("tie_word_embeddings", True),
+            rms_offset=1.0, post_norms=True, scale_embeddings=True,
+            attn_logit_softcap=float(
+                d.get("attn_logit_softcapping") or 0.0),
+            final_logit_softcap=float(
+                d.get("final_logit_softcapping") or 0.0),
+            query_pre_attn_scalar=float(
+                d.get("query_pre_attn_scalar") or 0.0),
+        ).validate()
     if mt not in ("llama", "mistral", "mixtral", "qwen2"):
         raise ValueError(f"unsupported HF model_type: {mt!r}")
     rs = d.get("rope_scaling")
@@ -146,12 +173,16 @@ def _quant_np(w: np.ndarray):
     return q, scale.astype(np.float32)
 
 
-def _llama_layer_map(i: int) -> Dict[str, tuple]:
-    """our-key -> (hf key, transpose). torch Linear stores [out, in]."""
+def _llama_layer_map(i: int, post_norms: bool = False) -> Dict[str, tuple]:
+    """our-key -> (hf key, transpose). torch Linear stores [out, in].
+
+    ``post_norms`` (Gemma-2 sandwich layout): HF's
+    ``post_attention_layernorm`` is the *post*-attention sandwich norm
+    and ``pre_feedforward_layernorm`` takes the pre-MLP (our ``ln2``)
+    role."""
     p = f"model.layers.{i}."
     m = {
         "ln1_scale": (p + "input_layernorm.weight", False),
-        "ln2_scale": (p + "post_attention_layernorm.weight", False),
         "wq": (p + "self_attn.q_proj.weight", True),
         "wk": (p + "self_attn.k_proj.weight", True),
         "wv": (p + "self_attn.v_proj.weight", True),
@@ -160,6 +191,14 @@ def _llama_layer_map(i: int) -> Dict[str, tuple]:
         "w_up": (p + "mlp.up_proj.weight", True),
         "w_down": (p + "mlp.down_proj.weight", True),
     }
+    if post_norms:
+        m["ln2_scale"] = (p + "pre_feedforward_layernorm.weight", False)
+        m["post_attn_scale"] = (p + "post_attention_layernorm.weight",
+                                False)
+        m["post_mlp_scale"] = (p + "post_feedforward_layernorm.weight",
+                               False)
+    else:
+        m["ln2_scale"] = (p + "post_attention_layernorm.weight", False)
     # qwen2-style attention biases (cfg.use_qkv_bias)
     for ours, hf in (("bq", "self_attn.q_proj.bias"),
                      ("bk", "self_attn.k_proj.bias"),
@@ -271,7 +310,8 @@ def import_hf_streaming(hf_dir: str, cfg: ModelConfig,
         flat["final_norm_bias"] = get("ln_f.bias").astype(_BF16)
     else:
         for i in range(L):
-            for ours, (hf, transpose) in _llama_layer_map(i).items():
+            for ours, (hf, transpose) in _llama_layer_map(
+                    i, post_norms=cfg.post_norms).items():
                 if ours.startswith("w_") and cfg.num_experts > 0:
                     continue           # MoE: no dense MLP
                 if not has(hf):

@@ -75,13 +75,16 @@ def init_params(cfg: ModelConfig, key: jax.Array) -> Params:
         layers["bk"] = jnp.zeros((L, KH * dh), dt)
         layers["bv"] = jnp.zeros((L, KH * dh), dt)
         layers["bo"] = jnp.zeros((L, D), dt)
+    if cfg.post_norms:
+        layers["post_attn_scale"] = jnp.ones((L, D), dt)
+        layers["post_mlp_scale"] = jnp.ones((L, D), dt)
     if cfg.num_experts > 0:
         E = cfg.num_experts
         layers["router"] = w(keys[10], L, D, E)
         layers["we_gate"] = w(keys[4], L, E, D, I_)
         layers["we_up"] = w(keys[5], L, E, D, I_)
         layers["we_down"] = w(keys[6], L, E, I_, D)
-    elif cfg.activation == "swiglu":
+    elif cfg.is_glu:
         layers["w_gate"] = w(keys[4], L, D, I_)
         layers["w_up"] = w(keys[5], L, D, I_)
         layers["w_down"] = w(keys[6], L, I_, D)
@@ -158,6 +161,9 @@ def init_params_quantized(cfg: ModelConfig, key: jax.Array) -> Params:
         layers["bk"] = jnp.zeros((L, KH * dh), dt)
         layers["bv"] = jnp.zeros((L, KH * dh), dt)
         layers["bo"] = jnp.zeros((L, D), dt)
+    if cfg.post_norms:
+        layers["post_attn_scale"] = jnp.ones((L, D), dt)
+        layers["post_mlp_scale"] = jnp.ones((L, D), dt)
     def q_experts(k, K, N):
         E = cfg.num_experts
         vals, scales = [], []
@@ -180,7 +186,7 @@ def init_params_quantized(cfg: ModelConfig, key: jax.Array) -> Params:
         layers["we_gate"] = q_experts(keys[4], D, I_)
         layers["we_up"] = q_experts(keys[5], D, I_)
         layers["we_down"] = q_experts(keys[6], I_, D)
-    elif cfg.activation == "swiglu":
+    elif cfg.is_glu:
         layers["w_gate"] = q_stacked(keys[4], D, I_)
         layers["w_up"] = q_stacked(keys[5], D, I_)
         layers["w_down"] = q_stacked(keys[6], I_, D)
@@ -368,11 +374,16 @@ class DecoderModel:
             x = jnp.take(emb, tokens, axis=0)
         if self.cfg.position == "learned":
             x = x + jnp.take(params["pos_embedding"], positions, axis=0)
+        if self.cfg.scale_embeddings:
+            # Gemma scales by sqrt(D) rounded to the compute dtype
+            dt = jnp_dtype(self.cfg.dtype)
+            x = x * jnp.asarray(self.cfg.hidden_size ** 0.5, dt)
         return x.astype(jnp_dtype(self.cfg.dtype))
 
     def _norm(self, x, scale, bias):
         if self.cfg.norm == "rmsnorm":
-            return rmsnorm(x, scale, self.cfg.norm_eps)
+            return rmsnorm(x, scale, self.cfg.norm_eps,
+                           offset=self.cfg.rms_offset)
         return layernorm(x, scale, bias, self.cfg.norm_eps)
 
     def _split_fused_qkv(self, qkv: jax.Array):
@@ -461,20 +472,23 @@ class DecoderModel:
         attn_proj = self._psum(linear(ao, lp["wo"], w8a8=w8a8))
         if "bo" in lp:
             attn_proj = attn_proj + lp["bo"].astype(attn_proj.dtype)
+        if cfg.post_norms:          # Gemma-2 sandwich: norm pre-residual
+            attn_proj = self._norm(attn_proj, lp["post_attn_scale"], None)
         x = x + attn_proj
 
         h2 = self._norm(x, lp["ln2_scale"], lp.get("ln2_bias"))
         if cfg.num_experts > 0:
             x = x + self._moe(lp, h2, w8a8)
             return x, kv
-        if cfg.activation == "swiglu":
+        if cfg.is_glu:
+            gact = cfg.glu_gate_act
             if "w_gu" in lp:
                 gu = linear(h2, lp["w_gu"], w8a8=w8a8)
                 gate, up = jnp.split(gu, 2, axis=-1)
-                gate = activation_fn("silu")(gate.astype(jnp.float32)
-                                             ).astype(up.dtype)
+                gate = activation_fn(gact)(gate.astype(jnp.float32)
+                                           ).astype(up.dtype)
             else:
-                gate = linear(h2, lp["w_gate"], act="silu", w8a8=w8a8)
+                gate = linear(h2, lp["w_gate"], act=gact, w8a8=w8a8)
                 up = linear(h2, lp["w_up"], w8a8=w8a8)
             mlp = self._psum(linear(gate * up, lp["w_down"], w8a8=w8a8))
         else:
@@ -483,6 +497,8 @@ class DecoderModel:
             mlp = self._psum(linear(mid, lp["w_down"], w8a8=w8a8))
             if "b_down" in lp:
                 mlp = mlp + lp["b_down"].astype(mlp.dtype)
+        if cfg.post_norms:
+            mlp = self._norm(mlp, lp["post_mlp_scale"], None)
         return x + mlp, kv
 
     def _moe(self, lp: Params, h2: jax.Array, w8a8: bool) -> jax.Array:
@@ -725,4 +741,7 @@ class DecoderModel:
         if self.tp_axis:
             local = jax.lax.all_gather(local, self.tp_axis, axis=-1,
                                        tiled=True)
+        cap = self.cfg.final_logit_softcap
+        if cap > 0:                 # Gemma-2 tanh soft-capping
+            local = cap * jnp.tanh(local / cap)
         return local

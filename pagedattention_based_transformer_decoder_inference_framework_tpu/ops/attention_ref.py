@@ -38,7 +38,8 @@ def update_dense_cache(k_cache: jax.Array, v_cache: jax.Array,
 
 def dense_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
                     positions: jax.Array, kv_lens: jax.Array,
-                    scale: float, window: int = 0) -> jax.Array:
+                    scale: float, window: int = 0,
+                    softcap: float = 0.0) -> jax.Array:
     """Causal attention of ``q`` against a dense KV cache.
 
     q: ``[B, T, H, D]`` (new-token queries at ``positions [B, T]``),
@@ -46,7 +47,8 @@ def dense_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
     kv_lens: ``[B]`` number of valid cache rows per sequence.
     Mask: key j visible to query at position p iff ``j <= p`` and
     ``j < kv_len`` — and, with ``window > 0`` (sliding-window /
-    Mistral-style attention), ``j > p - window``. Returns
+    Mistral-style attention), ``j > p - window``. ``softcap > 0``
+    tanh-caps the scaled logits pre-mask (Gemma-2). Returns
     ``[B, T, H, D]``.
     """
     B, T, H, D = q.shape
@@ -58,6 +60,8 @@ def dense_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
     v32 = v_cache.astype(jnp.float32)
 
     scores = jnp.einsum("btkgd,bskd->bktgs", qg, k32) * scale  # [B,KH,T,G,S]
+    if softcap > 0:
+        scores = softcap * jnp.tanh(scores / softcap)
     key_idx = jnp.arange(S)[None, None, :]                      # [1,1,S]
     visible = (key_idx <= positions[:, :, None]) & (
         key_idx < kv_lens[:, None, None])                       # [B,T,S]

@@ -25,12 +25,14 @@ def layernorm(x: jax.Array, scale: jax.Array, bias: jax.Array,
     return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(dt)
 
 
-def rmsnorm(x: jax.Array, scale: jax.Array, eps: float = 1e-5) -> jax.Array:
-    """RMSNorm (Llama family)."""
+def rmsnorm(x: jax.Array, scale: jax.Array, eps: float = 1e-5,
+            offset: float = 0.0) -> jax.Array:
+    """RMSNorm (Llama family). ``offset=1.0`` gives the Gemma variant
+    whose learned scale is stored as ``weight - 1`` (zero-init)."""
     dt = x.dtype
     x32 = x.astype(jnp.float32)
     y = x32 * jax.lax.rsqrt(jnp.mean(jnp.square(x32), axis=-1, keepdims=True) + eps)
-    return (y * scale.astype(jnp.float32)).astype(dt)
+    return (y * (offset + scale.astype(jnp.float32))).astype(dt)
 
 
 def activation_fn(name: str):

@@ -42,7 +42,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..utils.common import round_up
 
 
-def _attend(q, k, v, m_scr, l_scr, acc_scr, mask, row_valid=None):
+def _attend(q, k, v, m_scr, l_scr, acc_scr, mask, row_valid=None,
+            softcap: float = 0.0):
     """One online-softmax step over a [KH, page, dh] KV slab.
 
     Returns the masked max logit of this slab (scalar) — the kernel's
@@ -50,6 +51,8 @@ def _attend(q, k, v, m_scr, l_scr, acc_scr, mask, row_valid=None):
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)            # [KH, rows, page]
+    if softcap > 0:                 # Gemma-2 tanh logit capping
+        s = softcap * jnp.tanh(s / softcap)
     s = jnp.where(mask, s, -1e30)
     if row_valid is None:
         page_score = None
@@ -78,8 +81,8 @@ def _kernel(bt_ref, sl_ref, qo_ref, l_ref,     # scalar prefetch (SMEM)
             q_ref, kv_ref,                     # VMEM blocks
             *rest,
             page_size: int, group: int, scale: float, quantized: bool,
-            pooled: bool, window: int, with_scores: bool,
-            n_rows_live: int):
+            pooled: bool, window: int, softcap: float,
+            with_scores: bool, n_rows_live: int):
     rest = list(rest)
     sc_ref = rest.pop(0) if quantized else None
     out_ref = rest.pop(0)
@@ -135,7 +138,7 @@ def _kernel(bt_ref, sl_ref, qo_ref, l_ref,     # scalar prefetch (SMEM)
             row_valid = jax.lax.broadcasted_iota(
                 jnp.int32, (rows,), 0) < n_rows_live - r * rows
         ps = _attend(q, k, v, m_scr, l_scr, acc_scr, mask[None],
-                     row_valid)
+                     row_valid, softcap=softcap)
         if with_scores:
             # masked dynamic-lane store (lane i of the resident row)
             lane = jax.lax.broadcasted_iota(
@@ -151,14 +154,15 @@ def _kernel(bt_ref, sl_ref, qo_ref, l_ref,     # scalar prefetch (SMEM)
 
 @functools.partial(
     jax.jit,
-    static_argnames=("page_size", "num_q_heads", "window",
-                     "return_scores", "interpret"))
+    static_argnames=("page_size", "num_q_heads", "window", "softcap",
+                     "scale", "return_scores", "interpret"))
 def paged_attention(q: jax.Array, kv_pages: jax.Array,
                     block_tables: jax.Array, seq_lens: jax.Array,
                     q_offsets: jax.Array,
                     kv_scales: Optional[jax.Array] = None,
                     layer: Optional[jax.Array] = None, *,
                     page_size: int, num_q_heads: int, window: int = 0,
+                    softcap: float = 0.0, scale: Optional[float] = None,
                     return_scores: bool = False,
                     interpret: bool = False):
     """Paged attention over the page pool.
@@ -215,7 +219,8 @@ def paged_attention(q: jax.Array, kv_pages: jax.Array,
         qr = jnp.pad(qr, ((0, 0), (0, 0), (0, rows_pad - T * G), (0, 0)))
 
     max_pages = block_tables.shape[1]
-    scale = 1.0 / math.sqrt(dh)
+    if scale is None:
+        scale = 1.0 / math.sqrt(dh)
 
     def page_of(b, i, sl_ref, bt_ref):
         last = jnp.maximum((sl_ref[b] - 1) // page_size, 0)
@@ -271,7 +276,7 @@ def paged_attention(q: jax.Array, kv_pages: jax.Array,
     kernel = functools.partial(
         _kernel, page_size=page_size, group=G, scale=scale,
         quantized=quantized, pooled=pooled, window=window,
-        with_scores=return_scores, n_rows_live=T * G)
+        softcap=softcap, with_scores=return_scores, n_rows_live=T * G)
 
     layer_arr = jnp.asarray(
         [0 if layer is None else layer], jnp.int32).reshape(1)

@@ -626,7 +626,8 @@ class Scheduler:
         rolling buffer, done at page granularity). Freed block-table
         slots point at the dump page."""
         w = self.config.model.sliding_window
-        if w <= 0:
+        if w <= 0 or self.config.model.sliding_window_pattern != 1:
+            # pattern > 1 (Gemma-2): global layers keep every page live
             return
         for lane in self.lanes:
             if not lane.decoding:

@@ -88,3 +88,35 @@ def test_llama_parity():
         ref = hf(torch.tensor(tokens)).logits.numpy()
     ours = run_ours(cfg, params, tokens)
     np.testing.assert_allclose(ours, ref, atol=5e-3, rtol=5e-2)
+
+
+def test_qwen2_parity():
+    """Qwen2 = Llama family + attention biases (cfg.use_qkv_bias):
+    exercises the bias import of params_from_hf_llama."""
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    torch.manual_seed(0)
+    hf_cfg = Qwen2Config(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=257,
+        max_position_embeddings=96, rms_norm_eps=1e-6,
+        rope_theta=10000.0, tie_word_embeddings=False,
+        use_sliding_window=False)
+    hf = Qwen2ForCausalLM(hf_cfg).eval()
+
+    cfg = ModelConfig(
+        name="test-qwen2", vocab_size=257, hidden_size=64, num_layers=3,
+        num_heads=4, num_kv_heads=2, head_dim=16, intermediate_size=128,
+        max_seq_len=96, norm="rmsnorm", norm_eps=1e-6,
+        activation="swiglu", position="rope", rope_theta=10000.0,
+        use_qkv_bias=True, use_mlp_bias=False, tie_embeddings=False,
+        dtype="float32",
+    )
+    params = params_from_hf_llama(hf.state_dict(), cfg, dtype=jnp.float32)
+
+    rng = np.random.default_rng(2)
+    tokens = rng.integers(0, 257, size=(2, 13))
+    with torch.no_grad():
+        ref = hf(torch.tensor(tokens)).logits.numpy()
+    ours = run_ours(cfg, params, tokens)
+    np.testing.assert_allclose(ours, ref, atol=5e-3, rtol=5e-2)

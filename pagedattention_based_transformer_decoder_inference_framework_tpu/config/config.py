@@ -416,6 +416,16 @@ PRESETS: Dict[str, ModelConfig] = {
         attn_logit_softcap=50.0, final_logit_softcap=30.0,
         query_pre_attn_scalar=256.0,
     ),
+    # Phi-3-mini 4k (3.8B): Llama-family geometry, MHA (no GQA),
+    # 2047-token sliding window; HF ships qkv/gate|up pre-fused
+    "phi3-mini-4k": ModelConfig(
+        name="phi3-mini-4k", vocab_size=32064, hidden_size=3072,
+        num_layers=32, num_heads=32, num_kv_heads=32, head_dim=96,
+        intermediate_size=8192, max_seq_len=4096, norm="rmsnorm",
+        norm_eps=1e-5, activation="swiglu", position="rope",
+        rope_theta=10000.0, use_qkv_bias=False, use_mlp_bias=False,
+        tie_embeddings=False, sliding_window=2047,
+    ),
     "llama3-70b": ModelConfig(
         name="llama3-70b", vocab_size=128256, hidden_size=8192,
         num_layers=80, num_heads=64, num_kv_heads=8, head_dim=128,

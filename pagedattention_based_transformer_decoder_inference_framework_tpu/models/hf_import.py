@@ -152,6 +152,51 @@ def params_from_hf_gemma2(state_dict: Mapping[str, Any], cfg: ModelConfig,
     return _to_jnp(params, dt)
 
 
+def params_from_hf_phi3(state_dict: Mapping[str, Any], cfg: ModelConfig,
+                        dtype=None) -> Params:
+    """Convert an HF ``Phi3ForCausalLM`` state_dict.
+
+    Phi-3 is Llama-family with *pre-fused* projections:
+    ``self_attn.qkv_proj.weight`` is ``[(H+2*KH)*dh, D]`` (q|k|v rows)
+    and ``mlp.gate_up_proj.weight`` is ``[2I, D]`` (gate|up rows); we
+    split them back into per-projection keys (``fuse_projections``
+    re-fuses into the engine's wide-matmul layout at load time)."""
+    from ..utils.common import jnp_dtype
+
+    dt = dtype or jnp_dtype(cfg.dtype)
+    sd = dict(state_dict)
+    L = cfg.num_layers
+    nq = cfg.num_heads * cfg.head_dim
+    nkv = cfg.num_kv_heads * cfg.head_dim
+    qkv = _stack(sd, "model.layers.{i}.self_attn.qkv_proj.weight", L,
+                 transpose=True)                       # [L, D, nq+2nkv]
+    gu = _stack(sd, "model.layers.{i}.mlp.gate_up_proj.weight", L,
+                transpose=True)                        # [L, D, 2I]
+    half = cfg.intermediate_size
+    layers = {
+        "ln1_scale": _stack(sd, "model.layers.{i}.input_layernorm.weight", L),
+        "ln2_scale": _stack(
+            sd, "model.layers.{i}.post_attention_layernorm.weight", L),
+        "wq": qkv[:, :, :nq],
+        "wk": qkv[:, :, nq:nq + nkv],
+        "wv": qkv[:, :, nq + nkv:],
+        "wo": _stack(sd, "model.layers.{i}.self_attn.o_proj.weight", L, transpose=True),
+        "w_gate": gu[:, :, :half],
+        "w_up": gu[:, :, half:],
+        "w_down": _stack(sd, "model.layers.{i}.mlp.down_proj.weight", L, transpose=True),
+    }
+    params: Params = {
+        "embedding": _np(sd["model.embed_tokens.weight"]),
+        "final_norm_scale": _np(sd["model.norm.weight"]),
+        "layers": layers,
+    }
+    if not cfg.tie_embeddings:
+        key = "lm_head.weight"
+        head = _np(sd[key]) if key in sd else _np(sd["model.embed_tokens.weight"])
+        params["lm_head"] = head.T
+    return _to_jnp(params, dt)
+
+
 def _to_jnp(tree: Dict[str, Any], dt) -> Dict[str, Any]:
     out = {}
     for k, v in tree.items():

@@ -129,11 +129,14 @@ def config_from_hf(hf_dir: str, name: Optional[str] = None) -> ModelConfig:
             query_pre_attn_scalar=float(
                 d.get("query_pre_attn_scalar") or 0.0),
         ).validate()
-    if mt not in ("llama", "mistral", "mixtral", "qwen2"):
+    if mt not in ("llama", "mistral", "mixtral", "qwen2", "phi3"):
         raise ValueError(f"unsupported HF model_type: {mt!r}")
     rs = d.get("rope_scaling")
     if rs and rs.get("rope_type", rs.get("type")) not in (
             "default", "linear", "llama3"):
+        # (includes Phi-3's "longrope": dual per-dim inv_freq factor
+        # tables switched at the original context length — the 4k
+        # Phi-3 checkpoints have rope_scaling null and import fine)
         # rescales inv_freq at every position; importing without it
         # would silently produce wrong logits — refuse what ops/rope.py
         # doesn't implement
@@ -310,12 +313,32 @@ def import_hf_streaming(hf_dir: str, cfg: ModelConfig,
         flat["final_norm_bias"] = get("ln_f.bias").astype(_BF16)
     else:
         for i in range(L):
+            # Phi-3 stores attention and MLP projections pre-fused
+            # (qkv_proj [(H+2KH)*dh, D], gate_up_proj [2I, D]): split
+            # into our per-projection keys (fuse_projections re-fuses
+            # into the engine's w_qkv / w_gu layout at load)
+            fq = f"model.layers.{i}.self_attn.qkv_proj.weight"
+            if has(fq):
+                w = get(fq)
+                nq = cfg.num_heads * cfg.head_dim
+                nkv = cfg.num_kv_heads * cfg.head_dim
+                put_layer_tensor("wq", i, w[:nq].T)
+                put_layer_tensor("wk", i, w[nq:nq + nkv].T)
+                put_layer_tensor("wv", i, w[nq + nkv:].T)
+                del w
+            fg = f"model.layers.{i}.mlp.gate_up_proj.weight"
+            if has(fg):
+                w = get(fg)
+                half = cfg.intermediate_size
+                put_layer_tensor("w_gate", i, w[:half].T)
+                put_layer_tensor("w_up", i, w[half:].T)
+                del w
             for ours, (hf, transpose) in _llama_layer_map(
                     i, post_norms=cfg.post_norms).items():
                 if ours.startswith("w_") and cfg.num_experts > 0:
                     continue           # MoE: no dense MLP
                 if not has(hf):
-                    continue           # optional biases absent
+                    continue           # optional biases / fused-split
                 w = get(hf)
                 put_layer_tensor(ours, i, w.T if transpose else w)
             if cfg.num_experts > 0:

@@ -65,6 +65,13 @@ class ModelConfig:
     # >0: attention scale = query_pre_attn_scalar**-0.5 (Gemma-2;
     # 0 = default head_dim**-0.5)
     query_pre_attn_scalar: float = 0.0
+    # Gemma-3: per-head RMSNorm on q and k (over head_dim, zero-centred
+    # like every Gemma norm) before RoPE
+    qk_norm: bool = False
+    # >0: sliding-window layers rotate at this theta, unscaled (Gemma-3
+    # dual RoPE — local 10k, global rope_theta 1M + rope_scaling).
+    # Needs the unrolled layer loop (static per-layer table choice).
+    rope_local_theta: float = 0.0
     # Mixture-of-Experts (Mixtral-style): >0 replaces the dense MLP with
     # ``num_experts`` SwiGLU experts, top-``experts_per_tok`` routing
     # (softmax over the selected logits). Experts shard over the 'model'
@@ -124,6 +131,11 @@ class ModelConfig:
         assert self.sliding_window_pattern >= 1
         if self.post_norms:
             assert self.norm == "rmsnorm", "post_norms: rmsnorm only"
+        if self.qk_norm:
+            assert self.norm == "rmsnorm", "qk_norm: rmsnorm only"
+        if self.rope_local_theta > 0:
+            assert self.position == "rope" and self.sliding_window > 0, (
+                "rope_local_theta needs rope + a sliding window")
         if self.num_experts > 0:
             assert self.activation == "swiglu", "MoE experts are SwiGLU"
             assert 1 <= self.experts_per_tok <= self.num_experts
@@ -416,6 +428,32 @@ PRESETS: Dict[str, ModelConfig] = {
         attn_logit_softcap=50.0, final_logit_softcap=30.0,
         query_pre_attn_scalar=256.0,
     ),
+    # Gemma-3 (text): Gemma-2 sandwich/GeGLU base, softcaps replaced by
+    # per-head qk RMSNorm, 5:1 sliding:global layers, dual RoPE theta
+    # (local layers 10k unscaled, global 1M (+linear x8 from 4B up))
+    "gemma3-1b": ModelConfig(
+        name="gemma3-1b", vocab_size=262144, hidden_size=1152,
+        num_layers=26, num_heads=4, num_kv_heads=1, head_dim=256,
+        intermediate_size=6912, max_seq_len=32768, norm="rmsnorm",
+        norm_eps=1e-6, activation="geglu", position="rope",
+        rope_theta=1000000.0, rope_local_theta=10000.0,
+        use_qkv_bias=False, use_mlp_bias=False, tie_embeddings=True,
+        sliding_window=512, sliding_window_pattern=6,
+        rms_offset=1.0, post_norms=True, scale_embeddings=True,
+        query_pre_attn_scalar=256.0, qk_norm=True,
+    ),
+    "gemma3-4b": ModelConfig(
+        name="gemma3-4b", vocab_size=262208, hidden_size=2560,
+        num_layers=34, num_heads=8, num_kv_heads=4, head_dim=256,
+        intermediate_size=10240, max_seq_len=131072, norm="rmsnorm",
+        norm_eps=1e-6, activation="geglu", position="rope",
+        rope_theta=1000000.0, rope_local_theta=10000.0,
+        rope_scaling={"rope_type": "linear", "factor": 8.0},
+        use_qkv_bias=False, use_mlp_bias=False, tie_embeddings=True,
+        sliding_window=1024, sliding_window_pattern=6,
+        rms_offset=1.0, post_norms=True, scale_embeddings=True,
+        query_pre_attn_scalar=256.0, qk_norm=True,
+    ),
     # Phi-3-mini 4k (3.8B): Llama-family geometry, MHA (no GQA),
     # 2047-token sliding window; HF ships qkv/gate|up pre-fused
     "phi3-mini-4k": ModelConfig(
@@ -469,6 +507,18 @@ PRESETS: Dict[str, ModelConfig] = {
         rms_offset=1.0, post_norms=True, scale_embeddings=True,
         attn_logit_softcap=50.0, final_logit_softcap=30.0,
         query_pre_attn_scalar=64.0,
+    ),
+    # gemma3-1b scaled down: qk-norm + dual rope theta, test-sized
+    "gemma3-tiny": ModelConfig(
+        name="gemma3-tiny", vocab_size=512, hidden_size=64, num_layers=4,
+        num_heads=4, num_kv_heads=2, head_dim=32, intermediate_size=128,
+        max_seq_len=256, norm="rmsnorm", norm_eps=1e-6,
+        activation="geglu", position="rope",
+        rope_theta=100000.0, rope_local_theta=10000.0,
+        use_qkv_bias=False, use_mlp_bias=False, tie_embeddings=True,
+        sliding_window=32, sliding_window_pattern=2,
+        rms_offset=1.0, post_norms=True, scale_embeddings=True,
+        query_pre_attn_scalar=64.0, qk_norm=True,
     ),
     "llama-tiny": ModelConfig(
         name="llama-tiny", vocab_size=512, hidden_size=64, num_layers=2,

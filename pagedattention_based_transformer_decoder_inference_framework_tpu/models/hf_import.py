@@ -122,7 +122,11 @@ def params_from_hf_gemma2(state_dict: Mapping[str, Any], cfg: ModelConfig,
     post_attn``, ``pre_feedforward_layernorm -> ln2``,
     ``post_feedforward_layernorm -> post_mlp`` (HF's "post_attention"
     norm is applied to the attention *output*, not pre-MLP). Gemma norm
-    weights are stored zero-centred (``cfg.rms_offset = 1``)."""
+    weights are stored zero-centred (``cfg.rms_offset = 1``).
+
+    Also converts ``Gemma3ForCausalLM`` (same layout + per-head
+    ``q_norm``/``k_norm`` when ``cfg.qk_norm``); aliased as
+    :func:`params_from_hf_gemma3`."""
     from ..utils.common import jnp_dtype
 
     dt = dtype or jnp_dtype(cfg.dtype)
@@ -144,12 +148,20 @@ def params_from_hf_gemma2(state_dict: Mapping[str, Any], cfg: ModelConfig,
         "w_up": _stack(sd, "model.layers.{i}.mlp.up_proj.weight", L, transpose=True),
         "w_down": _stack(sd, "model.layers.{i}.mlp.down_proj.weight", L, transpose=True),
     }
+    if cfg.qk_norm:
+        layers["q_norm_scale"] = _stack(
+            sd, "model.layers.{i}.self_attn.q_norm.weight", L)
+        layers["k_norm_scale"] = _stack(
+            sd, "model.layers.{i}.self_attn.k_norm.weight", L)
     params: Params = {
         "embedding": _np(sd["model.embed_tokens.weight"]),
         "final_norm_scale": _np(sd["model.norm.weight"]),
         "layers": layers,
     }
     return _to_jnp(params, dt)
+
+
+params_from_hf_gemma3 = params_from_hf_gemma2
 
 
 def params_from_hf_phi3(state_dict: Mapping[str, Any], cfg: ModelConfig,

@@ -102,11 +102,15 @@ def config_from_hf(hf_dir: str, name: Optional[str] = None) -> ModelConfig:
             norm="layernorm", norm_eps=d.get("layer_norm_epsilon", 1e-5),
             activation="gelu", position="learned",
             tie_embeddings=True).validate()
-    if mt == "gemma2":
+    if mt in ("gemma2", "gemma3", "gemma3_text"):
+        if mt == "gemma3" and "text_config" in d:
+            d = d["text_config"]     # multimodal wrapper: text tower
+        gemma3 = mt != "gemma2"
         D = d["hidden_size"]
         H = d["num_attention_heads"]
+        rs = d.get("rope_scaling")   # gemma3 >=4B: linear factor 8
         return ModelConfig(
-            name=name or "gemma2-hf",
+            name=name or f"{mt}-hf",
             vocab_size=d["vocab_size"], hidden_size=D,
             num_layers=d["num_hidden_layers"], num_heads=H,
             num_kv_heads=d.get("num_key_value_heads", H),
@@ -116,12 +120,18 @@ def config_from_hf(hf_dir: str, name: Optional[str] = None) -> ModelConfig:
             norm="rmsnorm", norm_eps=d.get("rms_norm_eps", 1e-6),
             activation="geglu", position="rope",
             rope_theta=float(d.get("rope_theta", 10000.0)),
+            rope_local_theta=(float(d.get("rope_local_base_freq")
+                                    or 10000.0) if gemma3 else 0.0),
+            rope_scaling=rs if gemma3 else None,
             use_qkv_bias=d.get("attention_bias", False),
             use_mlp_bias=False,
             sliding_window=int(d.get("sliding_window") or 4096),
-            sliding_window_pattern=2,
+            sliding_window_pattern=int(
+                d.get("sliding_window_pattern")
+                or (6 if gemma3 else 2)),
             tie_embeddings=d.get("tie_word_embeddings", True),
             rms_offset=1.0, post_norms=True, scale_embeddings=True,
+            qk_norm=gemma3,
             attn_logit_softcap=float(
                 d.get("attn_logit_softcapping") or 0.0),
             final_logit_softcap=float(
@@ -176,7 +186,8 @@ def _quant_np(w: np.ndarray):
     return q, scale.astype(np.float32)
 
 
-def _llama_layer_map(i: int, post_norms: bool = False) -> Dict[str, tuple]:
+def _llama_layer_map(i: int, post_norms: bool = False,
+                     qk_norm: bool = False) -> Dict[str, tuple]:
     """our-key -> (hf key, transpose). torch Linear stores [out, in].
 
     ``post_norms`` (Gemma-2 sandwich layout): HF's
@@ -202,6 +213,9 @@ def _llama_layer_map(i: int, post_norms: bool = False) -> Dict[str, tuple]:
                                False)
     else:
         m["ln2_scale"] = (p + "post_attention_layernorm.weight", False)
+    if qk_norm:                     # Gemma-3 per-head q/k RMSNorm
+        m["q_norm_scale"] = (p + "self_attn.q_norm.weight", False)
+        m["k_norm_scale"] = (p + "self_attn.k_norm.weight", False)
     # qwen2-style attention biases (cfg.use_qkv_bias)
     for ours, hf in (("bq", "self_attn.q_proj.bias"),
                      ("bk", "self_attn.k_proj.bias"),
@@ -334,7 +348,8 @@ def import_hf_streaming(hf_dir: str, cfg: ModelConfig,
                 put_layer_tensor("w_up", i, w[half:].T)
                 del w
             for ours, (hf, transpose) in _llama_layer_map(
-                    i, post_norms=cfg.post_norms).items():
+                    i, post_norms=cfg.post_norms,
+                    qk_norm=cfg.qk_norm).items():
                 if ours.startswith("w_") and cfg.num_experts > 0:
                     continue           # MoE: no dense MLP
                 if not has(hf):

@@ -78,6 +78,11 @@ def init_params(cfg: ModelConfig, key: jax.Array) -> Params:
     if cfg.post_norms:
         layers["post_attn_scale"] = jnp.ones((L, D), dt)
         layers["post_mlp_scale"] = jnp.ones((L, D), dt)
+    if cfg.qk_norm:
+        # stored weight = effective scale - rms_offset (zero for Gemma)
+        qk1 = jnp.full((L, dh), 1.0 - cfg.rms_offset, dt)
+        layers["q_norm_scale"] = qk1
+        layers["k_norm_scale"] = qk1
     if cfg.num_experts > 0:
         E = cfg.num_experts
         layers["router"] = w(keys[10], L, D, E)
@@ -164,6 +169,11 @@ def init_params_quantized(cfg: ModelConfig, key: jax.Array) -> Params:
     if cfg.post_norms:
         layers["post_attn_scale"] = jnp.ones((L, D), dt)
         layers["post_mlp_scale"] = jnp.ones((L, D), dt)
+    if cfg.qk_norm:
+        # stored weight = effective scale - rms_offset (zero for Gemma)
+        qk1 = jnp.full((L, dh), 1.0 - cfg.rms_offset, dt)
+        layers["q_norm_scale"] = qk1
+        layers["k_norm_scale"] = qk1
     def q_experts(k, K, N):
         E = cfg.num_experts
         vals, scales = [], []
@@ -359,6 +369,22 @@ class DecoderModel:
                           self.cfg.rope_theta,
                           scaling=self.cfg.rope_scaling)
 
+    def rope_local(self) -> Optional[Tuple[jax.Array, jax.Array]]:
+        """Gemma-3 dual RoPE: the table sliding-window layers rotate
+        with (``rope_local_theta``, never scaled); None when the model
+        uses one theta everywhere."""
+        if self.cfg.position != "rope" or self.cfg.rope_local_theta <= 0:
+            return None
+        length = min(self.rope_len or self.cfg.max_seq_len,
+                     self.cfg.max_seq_len)
+        return rope_table(length, self.cfg.head_dim,
+                          self.cfg.rope_local_theta)
+
+    def _rope_for_layer(self, layer: int, rope_cs, rope_loc):
+        if rope_loc is not None and self.cfg.window_for_layer(layer) > 0:
+            return rope_loc
+        return rope_cs
+
     def embed(self, params: Params, tokens: jax.Array,
               positions: jax.Array) -> jax.Array:
         emb = params["embedding"]
@@ -395,12 +421,21 @@ class DecoderModel:
         kw = (qkv.shape[-1] - qw) // 2
         return qkv[..., :qw], qkv[..., qw:qw + kw], qkv[..., qw + kw:]
 
-    def _heads(self, q, k, v, B, T, positions, rope_cs):
-        """Reshape flat projections to per-head layout + apply RoPE."""
+    def _heads(self, q, k, v, B, T, positions, rope_cs, qk_scales=None):
+        """Reshape flat projections to per-head layout + apply RoPE.
+
+        ``qk_scales`` (Gemma-3 ``cfg.qk_norm``): per-head RMSNorm
+        weights for q and k, applied over head_dim before RoPE."""
         dh = self.cfg.head_dim
         q = q.reshape(B, T, q.shape[-1] // dh, dh)
         k = k.reshape(B, T, k.shape[-1] // dh, dh)
         v = v.reshape(B, T, v.shape[-1] // dh, dh)
+        if qk_scales is not None:
+            qs, ks = qk_scales
+            q = rmsnorm(q, qs, self.cfg.norm_eps,
+                        offset=self.cfg.rms_offset)
+            k = rmsnorm(k, ks, self.cfg.norm_eps,
+                        offset=self.cfg.rms_offset)
         if rope_cs is not None:
             cos, sin = rope_cs
             q = apply_rope(q, positions, cos, sin)
@@ -438,7 +473,10 @@ class DecoderModel:
             q = linear(h, lp["wq"], lp.get("bq"), w8a8=w8a8)
             k = linear(h, lp["wk"], lp.get("bk"), w8a8=w8a8)
             v = linear(h, lp["wv"], lp.get("bv"), w8a8=w8a8)
-        q, k, v = self._heads(q, k, v, B, T, positions, rope_cs)
+        q, k, v = self._heads(
+            q, k, v, B, T, positions, rope_cs,
+            qk_scales=((lp["q_norm_scale"], lp["k_norm_scale"])
+                       if cfg.qk_norm else None))
 
         attn_out, kv = attn_fn(q, k, v, kv, layer, positions)
         ao = attn_out.reshape(B, T, -1)
@@ -641,6 +679,7 @@ class DecoderModel:
                                          return_hidden)
         x = self.embed(params, tokens, positions)
         rope_cs = self.rope()
+        rope_loc = self.rope_local()
 
         layers = params["layers"]
         # megakernel with dropped per-op weights: serve every matmul
@@ -654,11 +693,18 @@ class DecoderModel:
             new_kv = kv_caches
             for l, lp in enumerate(layers):
                 x, new_kv = self._block(
-                    lp, x, new_kv, l, positions, attn_fn, rope_cs,
+                    lp, x, new_kv, l, positions, attn_fn,
+                    self._rope_for_layer(l, rope_cs, rope_loc),
                     chain=chains[l] if dropped else None,
                     qkv_chain=(chains[l - 1] if dropped and l > 0
                                else None))
         else:
+            if rope_loc is not None:
+                raise ValueError(
+                    "rope_local_theta needs the unrolled layer loop "
+                    "(RuntimeConfig.scan_layers=False): the per-layer "
+                    "RoPE table choice is static")
+
             def body(carry, xs):
                 x, kv = carry
                 lp, layer = xs
@@ -694,6 +740,7 @@ class DecoderModel:
         interp = default_interpret()
         x = self.embed(params, tokens, positions)          # [B, 1, D]
         rope_cs = self.rope()
+        rope_loc = self.rope_local()
         layers, chains = params["layers"], params["chains"]
         B = x.shape[0]
         w8a8 = cfg.quant == "int8"      # layer-0 qkv only; the chains
@@ -706,7 +753,11 @@ class DecoderModel:
         new_kv = kv_caches
         for l, lp in enumerate(layers):
             q, k, v = self._split_fused_qkv(qkv)
-            q, k, v = self._heads(q, k, v, B, 1, positions, rope_cs)
+            q, k, v = self._heads(
+                q, k, v, B, 1, positions,
+                self._rope_for_layer(l, rope_cs, rope_loc),
+                qk_scales=((lp["q_norm_scale"], lp["k_norm_scale"])
+                           if cfg.qk_norm else None))
             attn_out, new_kv = attn_fn(q, k, v, new_kv, l, positions)
             x2, tail = chain_decode(chains[l],
                                     attn_out.reshape(B, -1),

@@ -193,3 +193,112 @@ def test_gemma2_hf_streaming_import(tmp_path):
     # bf16 weight rounding from the streaming path dominates the error
     np.testing.assert_allclose(np.asarray(ours), ref, atol=0.05,
                                rtol=5e-2)
+
+
+# --- Gemma-3 (text): qk-norm + dual-theta RoPE on the Gemma-2 base ----------
+
+TINY3 = dict(
+    vocab_size=257, hidden_size=64, num_layers=4, num_heads=4,
+    num_kv_heads=2, head_dim=16, intermediate_size=128, max_seq_len=96,
+    norm="rmsnorm", norm_eps=1e-6, activation="geglu", position="rope",
+    rope_theta=100000.0, rope_local_theta=10000.0,
+    use_qkv_bias=False, use_mlp_bias=False, tie_embeddings=True,
+    sliding_window=8, sliding_window_pattern=2,
+    rms_offset=1.0, post_norms=True, scale_embeddings=True,
+    query_pre_attn_scalar=32.0, qk_norm=True, dtype="float32")
+
+
+def tiny_hf_gemma3():
+    torch = pytest.importorskip("torch")
+    from transformers import Gemma3TextConfig
+    from transformers import Gemma3ForCausalLM
+
+    torch.manual_seed(0)
+    hf_cfg = Gemma3TextConfig(
+        vocab_size=257, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=96, rms_norm_eps=1e-6,
+        rope_theta=100000.0, rope_local_base_freq=10000.0,
+        attention_bias=False, tie_word_embeddings=True,
+        query_pre_attn_scalar=32, sliding_window=8,
+        sliding_window_pattern=2,
+        hidden_activation="gelu_pytorch_tanh",
+        attn_implementation="eager")
+    return Gemma3ForCausalLM(hf_cfg).eval()
+
+
+def test_gemma3_parity_vs_hf():
+    """qk-norm + the local/global RoPE table split (different thetas so
+    a wrong table choice shows up in the logits)."""
+    torch = pytest.importorskip("torch")
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.models.hf_import import (
+        params_from_hf_gemma3)
+
+    hf = tiny_hf_gemma3()
+    cfg = ModelConfig(name="test-gemma3", **TINY3).validate()
+    params = params_from_hf_gemma3(hf.state_dict(), cfg,
+                                   dtype=jnp.float32)
+    params = unstack_layers(params)
+
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, 257, size=(2, 17))
+    with torch.no_grad():
+        ref = hf(torch.tensor(tokens)).logits.numpy()
+
+    model = DecoderModel(cfg)
+    backend = DenseKVBackend(cfg, kv_dtype="float32")
+    kv = backend.init_cache(2, cfg.max_seq_len)
+    positions = jnp.broadcast_to(jnp.arange(17), (2, 17))
+    ours, _ = model.forward(params, jnp.asarray(tokens), positions, kv,
+                            backend.attn_fn)
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=5e-3,
+                               rtol=5e-2)
+
+
+def test_gemma3_engine_generate():
+    cfg = FrameworkConfig(
+        model=preset("gemma3-tiny"),
+        cache=CacheConfig(page_size=8, num_pages=128,
+                          max_pages_per_seq=16, kv_dtype="float32"),
+        runtime=RuntimeConfig(max_new_tokens=8))
+    cfg.model.dtype = "float32"
+    eng = Engine(cfg, interpret=True)
+    prompt = [5, 9, 3, 14, 2, 7]
+    a = eng.generate(prompt, 6, GREEDY)
+    assert len(a) == 6
+    fused = eng.generate_batch_fused([prompt], 6, GREEDY)[0]
+    assert fused == a
+
+
+def test_gemma3_hf_streaming_import(tmp_path):
+    torch = pytest.importorskip("torch")
+    pytest.importorskip("safetensors")
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.models.hf_stream import (
+        config_from_hf, import_hf_streaming, load_flat_params)
+
+    hf = tiny_hf_gemma3()
+    path = tmp_path / "gemma3"
+    hf.save_pretrained(path, safe_serialization=True)
+
+    cfg = config_from_hf(str(path), name="test-gemma3")
+    assert cfg.qk_norm and cfg.rope_local_theta == 10000.0
+    assert cfg.rope_theta == 100000.0
+    assert cfg.sliding_window == 8 and cfg.sliding_window_pattern == 2
+    assert cfg.attn_logit_softcap == 0.0   # gemma3 dropped softcaps
+
+    flat = import_hf_streaming(str(path), cfg)
+    params = load_flat_params(flat, dtype=jnp.float32)
+    params = unstack_layers(params)
+
+    rng = np.random.default_rng(1)
+    tokens = rng.integers(0, 257, size=(1, 13))
+    with torch.no_grad():
+        ref = hf(torch.tensor(tokens)).logits.numpy()
+    model = DecoderModel(cfg)
+    backend = DenseKVBackend(cfg, kv_dtype="float32")
+    positions = jnp.broadcast_to(jnp.arange(13), (1, 13))
+    ours, _ = model.forward(params, jnp.asarray(tokens), positions,
+                            backend.init_cache(1, cfg.max_seq_len),
+                            backend.attn_fn)
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=0.05,
+                               rtol=5e-2)

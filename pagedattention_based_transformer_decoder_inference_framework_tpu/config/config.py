@@ -146,6 +146,8 @@ class ModelConfig:
                         "llama3": ("factor", "low_freq_factor",
                                    "high_freq_factor",
                                    "original_max_position_embeddings"),
+                        "longrope": ("short_factor", "long_factor",
+                                     "original_max_position_embeddings"),
                         "default": ()}
             assert kind in required, f"rope_scaling type {kind!r}"
             missing = [k for k in required[kind]

@@ -143,14 +143,20 @@ def config_from_hf(hf_dir: str, name: Optional[str] = None) -> ModelConfig:
         raise ValueError(f"unsupported HF model_type: {mt!r}")
     rs = d.get("rope_scaling")
     if rs and rs.get("rope_type", rs.get("type")) not in (
-            "default", "linear", "llama3"):
-        # (includes Phi-3's "longrope": dual per-dim inv_freq factor
-        # tables switched at the original context length — the 4k
-        # Phi-3 checkpoints have rope_scaling null and import fine)
+            "default", "linear", "llama3", "longrope"):
         # rescales inv_freq at every position; importing without it
         # would silently produce wrong logits — refuse what ops/rope.py
         # doesn't implement
         raise ValueError(f"unsupported rope_scaling: {rs!r}")
+    if rs and rs.get("rope_type", rs.get("type")) == "longrope":
+        # Phi-3 stores the switch point / trained length at the config
+        # root; ops/rope.py reads them from the scaling dict
+        rs = dict(rs)
+        rs.setdefault("original_max_position_embeddings",
+                      d.get("original_max_position_embeddings",
+                            d.get("max_position_embeddings", 4096)))
+        rs.setdefault("max_position_embeddings",
+                      d.get("max_position_embeddings", 4096))
     D = d["hidden_size"]
     H = d["num_attention_heads"]
     sw = 0

@@ -10,6 +10,8 @@ checkpoints match bit-for-bit (within dtype tolerance).
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -20,13 +22,21 @@ def rope_table(max_seq_len: int, head_dim: int, theta: float = 10000.0,
 
     ``scaling``: optional HF-style ``rope_scaling`` dict. Supported
     ``rope_type``s: ``"linear"`` (divide all frequencies by
-    ``factor``) and ``"llama3"`` (Llama-3.1+ wavelength-banded
+    ``factor``), ``"llama3"`` (Llama-3.1+ wavelength-banded
     scaling, matching transformers' ``_compute_llama3_parameters``:
     long wavelengths divided by ``factor``, short kept, smooth
     interpolation between ``low_freq_factor``/``high_freq_factor``
-    bands of ``original_max_position_embeddings``).
+    bands of ``original_max_position_embeddings``), and
+    ``"longrope"`` (Phi-3: per-dim ``short_factor``/``long_factor``
+    frequency divisors + a sqrt-log attention scale on cos/sin —
+    transformers' ``_compute_longrope_parameters``). The long/short
+    choice is static at table-build time — long iff the serveable
+    context (``max_seq_len``) exceeds
+    ``original_max_position_embeddings`` (vLLM-style; HF instead
+    re-switches per forward call on the running sequence length).
     """
     half = head_dim // 2
+    mscale = 1.0
     inv_freq = 1.0 / (theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
     if scaling:
         kind = scaling.get("rope_type", scaling.get("type", "default"))
@@ -45,11 +55,25 @@ def rope_table(max_seq_len: int, head_dim: int, theta: float = 10000.0,
             in_band = ((wavelen >= old_len / high)
                        & (wavelen <= old_len / low))
             inv_freq = jnp.where(in_band, mid, scaled)
+        elif kind == "longrope":
+            omax = float(scaling["original_max_position_embeddings"])
+            mmax = float(scaling.get("max_position_embeddings", omax))
+            factors = (scaling["long_factor"] if max_seq_len > omax
+                       else scaling["short_factor"])
+            f = jnp.asarray(factors, jnp.float32)
+            assert f.shape == (half,), (
+                f"longrope factor list must have head_dim/2={half} "
+                f"entries, got {f.shape}")
+            inv_freq = inv_freq / f
+            ratio = mmax / omax
+            if ratio > 1.0:
+                mscale = math.sqrt(1.0 + math.log(ratio)
+                                   / math.log(omax))
         elif kind != "default":
             raise ValueError(f"unsupported rope_scaling type: {kind!r}")
     t = jnp.arange(max_seq_len, dtype=jnp.float32)
     freqs = jnp.outer(t, inv_freq)  # [S, half]
-    return jnp.cos(freqs), jnp.sin(freqs)
+    return jnp.cos(freqs) * mscale, jnp.sin(freqs) * mscale
 
 
 def apply_rope(x: jax.Array, positions: jax.Array, cos: jax.Array,

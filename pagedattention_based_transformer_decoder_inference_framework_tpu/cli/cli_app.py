@@ -37,6 +37,12 @@ def add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--temperature", type=float, default=None)
     p.add_argument("--top-k", type=int, default=None)
     p.add_argument("--top-p", type=float, default=None)
+    p.add_argument("--min-p", type=float, default=None)
+    p.add_argument("--repetition-penalty", type=float, default=None)
+    p.add_argument("--presence-penalty", type=float, default=None)
+    p.add_argument("--frequency-penalty", type=float, default=None)
+    p.add_argument("--stop-token-ids", type=int, nargs="*", default=None,
+                   help="token ids that end generation like EOS")
     p.add_argument("--seed", type=int, default=None)
 
 
@@ -58,10 +64,10 @@ def build_config(args) -> FrameworkConfig:
         cfg.model = preset(args.model)
     if args.tokenizer:
         cfg.tokenizer = args.tokenizer
-    for field, key in (("max_new_tokens", "max_new_tokens"),
-                       ("temperature", "temperature"),
-                       ("top_k", "top_k"), ("top_p", "top_p")):
-        v = getattr(args, field, None)
+    for key in ("max_new_tokens", "temperature", "top_k", "top_p",
+                "min_p", "repetition_penalty", "presence_penalty",
+                "frequency_penalty"):
+        v = getattr(args, key, None)
         if v is not None:
             setattr(cfg.runtime, key, v)
     return cfg
@@ -73,10 +79,16 @@ def build_engine(cfg: FrameworkConfig):
     return _build(cfg)
 
 
-def sampling(cfg: FrameworkConfig, tok) -> SamplingParams:
+def sampling(cfg: FrameworkConfig, tok,
+             stop_token_ids=None) -> SamplingParams:
     r = cfg.runtime
     return SamplingParams(temperature=r.temperature, top_k=r.top_k,
-                          top_p=r.top_p, eos_token_id=tok.eos_token_id,
+                          top_p=r.top_p, min_p=r.min_p,
+                          repetition_penalty=r.repetition_penalty,
+                          presence_penalty=r.presence_penalty,
+                          frequency_penalty=r.frequency_penalty,
+                          stop_token_ids=tuple(stop_token_ids or ()),
+                          eos_token_id=tok.eos_token_id,
                           eos_threshold=r.eos_threshold)
 
 
@@ -87,7 +99,7 @@ def cmd_generate(args) -> int:
     tok = get_tokenizer(cfg.tokenizer)
     eng = build_engine(cfg)
     out = eng.generate(tok.encode(args.prompt), cfg.runtime.max_new_tokens,
-                       sampling(cfg, tok), seed=args.seed)
+                       sampling(cfg, tok, args.stop_token_ids), seed=args.seed)
     print(tok.decode(out))
     return 0
 
@@ -98,7 +110,7 @@ def cmd_stream(args) -> int:
     eng = build_engine(cfg)
     for t in eng.generate_stream(tok.encode(args.prompt),
                                  cfg.runtime.max_new_tokens,
-                                 sampling(cfg, tok), seed=args.seed):
+                                 sampling(cfg, tok, args.stop_token_ids), seed=args.seed):
         sys.stdout.write(tok.decode_token(t))
         sys.stdout.flush()
         if cfg.runtime.stream_delay_ms:
@@ -124,7 +136,7 @@ def _chat_loop(args, log_path: Optional[str]) -> int:
         messages.append({"role": "user", "content": user})
         prompt = cfg.chat.render(messages)
         out = eng.generate(tok.encode(prompt), cfg.runtime.max_new_tokens,
-                           sampling(cfg, tok), seed=args.seed)
+                           sampling(cfg, tok, args.stop_token_ids), seed=args.seed)
         reply = tok.decode(out)
         print(f"bot> {reply}")
         messages.append({"role": "assistant", "content": reply})
@@ -153,8 +165,9 @@ def cmd_batch(args) -> int:
     eng = build_engine(cfg)
     prompts = [l.rstrip("\n") for l in open(args.input) if l.strip()]
     ids = [tok.encode(p) for p in prompts]
-    sp = sampling(cfg, tok)
-    if cfg.runtime.spec_k > 0 and sp.mode().greedy and eng.mesh is None:
+    sp = sampling(cfg, tok, args.stop_token_ids)
+    if (cfg.runtime.spec_k > 0 and sp.mode().greedy and eng.mesh is None
+            and not (sp.has_penalties or sp.stop_token_ids)):
         # prompt-lookup speculative decoding (greedy-exact, engine/spec.py)
         outs = eng.generate_batch_spec(ids, cfg.runtime.max_new_tokens, sp)
     else:

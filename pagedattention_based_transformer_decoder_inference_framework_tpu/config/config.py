@@ -191,6 +191,12 @@ class RuntimeConfig:
     temperature: float = 1.0
     top_k: int = 0                  # 0 = disabled
     top_p: float = 1.0              # 1.0 = disabled
+    min_p: float = 0.0              # drop p < min_p * p_max (0 = off)
+    # HF-style repetition penalty / OpenAI-style additive penalties on
+    # prompt+generated tokens (1.0 / 0.0 = disabled)
+    repetition_penalty: float = 1.0
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
     max_new_tokens: int = 64
     eos_token_id: int = 50256
     eos_threshold: float = 0.0      # if P(eos) >= threshold > 0, force EOS

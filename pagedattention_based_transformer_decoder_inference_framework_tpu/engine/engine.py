@@ -28,7 +28,8 @@ from ..models.model import (DecoderModel, Params, fuse_projections,
 from ..parallel.specs import kv_pspec, pad_vocab, param_pspecs, shard_params
 from ..utils.common import cdiv, to_host
 from .paged_backend import PagedKVBackend
-from .sampling import SampleMode, SamplingParams, request_key, sample
+from .sampling import (SampleMode, SamplingParams, bump_counts, hit_stop,
+                       request_key, sample, token_counts)
 
 
 @dataclasses.dataclass
@@ -42,6 +43,11 @@ class EngineState:
     rng: jax.Array
     last_tokens: np.ndarray         # [B] int32 — last sampled token
     finished: np.ndarray            # [B] bool
+    # [B, V] int32 token histogram (prompt + generated) feeding the
+    # repetition/presence/frequency penalties; a [B, 1] zeros dummy
+    # when the sampling mode compiles without penalties (the decode
+    # step signature stays fixed either way)
+    counts: Optional[jax.Array] = None
     prefill_logits: Optional[np.ndarray] = None   # [B, V] (debug/tests)
     # allocators owning this state's page ids (one per data shard);
     # None = the engine's own. A private allocator list gives a state
@@ -161,8 +167,9 @@ class Engine:
     # spec helpers for shard_map-wrapped steps ------------------------------
 
     def _samp_specs(self):
-        keys = ("temperature", "top_k", "top_p", "eos_token_id",
-                "eos_threshold")
+        keys = ("temperature", "top_k", "top_p", "min_p",
+                "eos_token_id", "eos_threshold", "stop_ids",
+                "rep_pen", "presence_pen", "freq_pen")
         return {k: P(self._data_axis) for k in keys}
 
     def _shard_step(self, fn, in_specs, out_specs):
@@ -244,8 +251,12 @@ class Engine:
         data_axis = self._data_axis if self.mesh is not None else None
 
         def decode_step(params, tokens, kv, block_tables, seq_lens, rng,
-                        samp, *, mode):
-            """One fused decode step: forward 1 token/seq + sample."""
+                        samp, counts, *, mode):
+            """One fused decode step: forward 1 token/seq + sample.
+
+            ``counts [B, V]`` is the penalty histogram (a ``[B, 1]``
+            dummy when ``mode.use_penalties`` is off); the sampled
+            token is folded in and the updated histogram returned."""
             positions = seq_lens[:, None]
             attn = backend.make_attn_fn(block_tables, seq_lens + 1, seq_lens)
             logits, kv = model.forward(params, tokens[:, None], positions,
@@ -253,25 +264,31 @@ class Engine:
             rng, sub = jax.random.split(rng)
             if data_axis is not None:
                 sub = jax.random.fold_in(sub, jax.lax.axis_index(data_axis))
-            next_tok = sample(logits[:, 0, :V], sub, mode=mode, **samp)
-            return next_tok, kv, rng
+            next_tok = sample(logits[:, 0, :V], sub, mode=mode,
+                              counts=counts if mode.use_penalties else None,
+                              **samp)
+            if mode.use_penalties:
+                counts = bump_counts(counts, next_tok,
+                                     jnp.ones_like(next_tok))
+            return next_tok, kv, rng, counts
 
         if self.mesh is None:
             return functools.partial(jax.jit, static_argnames=("mode",),
-                                     donate_argnums=(2,))(decode_step)
+                                     donate_argnums=(2, 7))(decode_step)
 
         d = self._data_axis
 
         @functools.partial(jax.jit, static_argnames=("mode",),
-                           donate_argnums=(2,))
+                           donate_argnums=(2, 7))
         def sharded(params, tokens, kv, block_tables, seq_lens, rng, samp,
-                    *, mode):
+                    counts, *, mode):
             fn = self._shard_step(
                 functools.partial(decode_step, mode=mode),
                 in_specs=(self._param_specs, P(d), self._kv_specs, P(d),
-                          P(d), P(), self._samp_specs()),
-                out_specs=(P(d), self._kv_specs, P()))
-            return fn(params, tokens, kv, block_tables, seq_lens, rng, samp)
+                          P(d), P(), self._samp_specs(), P(d)),
+                out_specs=(P(d), self._kv_specs, P(), P(d)))
+            return fn(params, tokens, kv, block_tables, seq_lens, rng,
+                      samp, counts)
 
         return sharded
 
@@ -302,51 +319,59 @@ class Engine:
         V = self.cfg.vocab_size
 
         def decode_loop(params, tokens, kv, block_tables, seq_lens,
-                        emitted, budgets, seeds, samp, *, num_steps: int,
-                        mode):
+                        emitted, budgets, seeds, samp, counts, *,
+                        num_steps: int, mode):
             eos = samp["eos_token_id"]
 
             def body(carry, _):
-                tokens, kv, seq_lens, emitted, finished = carry
+                tokens, kv, seq_lens, emitted, finished, counts = carry
                 attn = backend.make_attn_fn(block_tables, seq_lens + 1,
                                             seq_lens)
                 logits, kv = model.forward(params, tokens[:, None],
                                            seq_lens[:, None], kv, attn)
                 keys = jax.vmap(request_key)(seeds, emitted)
                 nxt = sample(logits[:, 0, :V], None, row_keys=keys,
-                             mode=mode, **samp)
+                             mode=mode,
+                             counts=counts if mode.use_penalties else None,
+                             **samp)
                 nxt = jnp.where(finished, jnp.maximum(eos, 0), nxt)
                 live = (~finished).astype(jnp.int32)
+                if mode.use_penalties:
+                    counts = bump_counts(counts, nxt, live)
                 emitted = emitted + live
-                finished = (finished | ((eos >= 0) & (nxt == eos))
+                finished = (finished
+                            | hit_stop(nxt, eos, samp.get("stop_ids"))
                             | (emitted >= budgets))
-                return (nxt, kv, seq_lens + live, emitted, finished), nxt
+                return (nxt, kv, seq_lens + live, emitted, finished,
+                        counts), nxt
 
             finished = emitted >= budgets
-            (tokens, kv, seq_lens, emitted, finished), toks = jax.lax.scan(
-                body, (tokens, kv, seq_lens, emitted, finished), None,
-                length=num_steps)
-            return jnp.swapaxes(toks, 0, 1), kv
+            (tokens, kv, seq_lens, emitted, finished, counts), toks = \
+                jax.lax.scan(
+                    body, (tokens, kv, seq_lens, emitted, finished,
+                           counts), None, length=num_steps)
+            return jnp.swapaxes(toks, 0, 1), kv, counts
 
         if self.mesh is None:
             return functools.partial(
                 jax.jit, static_argnames=("num_steps", "mode"),
-                donate_argnums=(2,))(decode_loop)
+                donate_argnums=(2, 9))(decode_loop)
 
         d = self._data_axis
 
         @functools.partial(jax.jit, static_argnames=("num_steps", "mode"),
-                           donate_argnums=(2,))
+                           donate_argnums=(2, 9))
         def sharded(params, tokens, kv, block_tables, seq_lens, emitted,
-                    budgets, seeds, samp, *, num_steps: int, mode):
+                    budgets, seeds, samp, counts, *, num_steps: int, mode):
             fn = self._shard_step(
                 functools.partial(decode_loop, num_steps=num_steps,
                                   mode=mode),
                 in_specs=(self._param_specs, P(d), self._kv_specs, P(d),
-                          P(d), P(d), P(d), P(d), self._samp_specs()),
-                out_specs=(P(d), self._kv_specs))
+                          P(d), P(d), P(d), P(d), self._samp_specs(),
+                          P(d)),
+                out_specs=(P(d), self._kv_specs, P(d)))
             return fn(params, tokens, kv, block_tables, seq_lens, emitted,
-                      budgets, seeds, samp)
+                      budgets, seeds, samp, counts)
 
         return sharded
 
@@ -397,12 +422,21 @@ class Engine:
             if data_axis is not None:
                 sub = jax.random.fold_in(sub, jax.lax.axis_index(data_axis))
             eos = samp["eos_token_id"]
-            first = sample(final_logits, sub, mode=mode, **samp)
-            finished = (eos >= 0) & (first == eos)
+            if mode.use_penalties:
+                counts = token_counts(tokens_full, prompt_lens, V)
+            else:
+                counts = jnp.zeros((B, 1), jnp.int32)
+            first = sample(final_logits, sub, mode=mode,
+                           counts=counts if mode.use_penalties else None,
+                           **samp)
+            if mode.use_penalties:
+                counts = bump_counts(counts, first,
+                                     jnp.ones((B,), jnp.int32))
+            finished = hit_stop(first, eos, samp.get("stop_ids"))
             seq_lens = prompt_lens
 
             def body(carry, _):
-                tokens, kv, seq_lens, rng, finished = carry
+                tokens, kv, seq_lens, rng, finished, counts = carry
                 attn = backend.make_attn_fn(block_tables, seq_lens + 1,
                                             seq_lens)
                 logits, kv = model.forward(params, tokens[:, None],
@@ -411,13 +445,19 @@ class Engine:
                 if data_axis is not None:
                     sub = jax.random.fold_in(
                         sub, jax.lax.axis_index(data_axis))
-                nxt = sample(logits[:, 0, :V], sub, mode=mode, **samp)
+                nxt = sample(logits[:, 0, :V], sub, mode=mode,
+                             counts=counts if mode.use_penalties else None,
+                             **samp)
                 nxt = jnp.where(finished, jnp.maximum(eos, 0), nxt)
-                finished = finished | ((eos >= 0) & (nxt == eos))
-                return (nxt, kv, seq_lens + 1, rng, finished), nxt
+                if mode.use_penalties:
+                    counts = bump_counts(counts, nxt,
+                                         (~finished).astype(jnp.int32))
+                finished = finished | hit_stop(nxt, eos,
+                                               samp.get("stop_ids"))
+                return (nxt, kv, seq_lens + 1, rng, finished, counts), nxt
 
-            (_, kv, _, rng, _), toks = jax.lax.scan(
-                body, (first, kv, seq_lens, rng, finished), None,
+            (_, kv, _, rng, _, _), toks = jax.lax.scan(
+                body, (first, kv, seq_lens, rng, finished, counts), None,
                 length=num_steps)
             return jnp.concatenate(
                 [first[:, None], jnp.swapaxes(toks, 0, 1)], axis=1)
@@ -702,16 +742,27 @@ class Engine:
         rng = jax.random.key(self.runtime.seed if seed is None else seed)
         rng, sub = jax.random.split(rng)
         sp = sampling or self._default_sampling()
+        mode = sp.mode()
+        if mode.use_penalties:
+            counts = token_counts(jnp.asarray(tokens), prompt_lens,
+                                  self.cfg.vocab_size)
+        else:
+            counts = jnp.zeros((B, 1), jnp.int32)
         final_np = to_host(final_logits)     # multi-process: allgather
-        first = self._sample_fn(jnp.asarray(final_np), sub, mode=sp.mode(),
+        first = self._sample_fn(jnp.asarray(final_np), sub, mode=mode,
+                                counts=counts if mode.use_penalties
+                                else None,
                                 **sp.as_arrays(B))
         first_np = np.asarray(first)
+        if mode.use_penalties:
+            counts = bump_counts(counts, first, jnp.ones((B,), jnp.int32))
 
         state = EngineState(
             kv=kv, block_tables=bt_np, seq_lens=lens.copy(), pages=pages,
             rng=rng, last_tokens=first_np,
             finished=np.zeros((B,), bool),
             prefill_logits=final_np,
+            counts=counts,
             allocators=allocators)
         self._mark_finished(state, first_np, sampling)
         return state
@@ -777,13 +828,19 @@ class Engine:
         r = self.runtime
         return SamplingParams(
             temperature=r.temperature, top_k=r.top_k, top_p=r.top_p,
+            min_p=r.min_p, repetition_penalty=r.repetition_penalty,
+            presence_penalty=r.presence_penalty,
+            frequency_penalty=r.frequency_penalty,
             eos_token_id=r.eos_token_id, eos_threshold=r.eos_threshold)
 
     def _mark_finished(self, state: EngineState, toks: np.ndarray,
                        sampling: Optional[SamplingParams]) -> None:
-        eos = (sampling or self._default_sampling()).eos_token_id
-        if eos >= 0:
-            state.finished |= toks == eos
+        sp = sampling or self._default_sampling()
+        if sp.eos_token_id >= 0:
+            state.finished |= toks == sp.eos_token_id
+        if sp.stop_token_ids:
+            state.finished |= np.isin(
+                toks, np.asarray(sp.stop_token_ids, np.int32))
 
     def decode(self, state: EngineState,
                sampling: Optional[SamplingParams] = None) -> np.ndarray:
@@ -795,10 +852,18 @@ class Engine:
         state.block_tables = self._block_tables(state.pages)
 
         sp = sampling or self._default_sampling()
-        next_tok, state.kv, state.rng = self._decode_fn(
+        mode = sp.mode()
+        if state.counts is None or (mode.use_penalties
+                                    and state.counts.shape[1] == 1):
+            # states prefillled without penalties that decode with them:
+            # seed from nothing (prompt history unavailable here)
+            state.counts = jnp.zeros(
+                (B, self.cfg.vocab_size if mode.use_penalties else 1),
+                jnp.int32)
+        next_tok, state.kv, state.rng, state.counts = self._decode_fn(
             self.params, jnp.asarray(state.last_tokens), state.kv,
             jnp.asarray(state.block_tables), jnp.asarray(state.seq_lens),
-            state.rng, sp.as_arrays(B), mode=sp.mode())
+            state.rng, sp.as_arrays(B), state.counts, mode=mode)
         state.seq_lens += 1
         toks = to_host(next_tok)
         state.last_tokens = toks
@@ -1002,9 +1067,10 @@ class Engine:
             outs: List[List[int]] = []
             for b in range(B):
                 row: List[int] = []
+                stops = set(sampling.stop_token_ids)
                 for t in map(int, toks[b]):
                     row.append(t)
-                    if t == sampling.eos_token_id >= 0:
+                    if (t == sampling.eos_token_id >= 0) or t in stops:
                         break
                 outs.append(row)
             return outs
@@ -1031,6 +1097,10 @@ class Engine:
         sampling = sampling or self._default_sampling()
         assert sampling.mode().greedy, \
             "speculative decoding is greedy-exact only (temperature=0)"
+        assert not (sampling.has_penalties or sampling.stop_token_ids), \
+            "speculative decoding does not support penalties/stop sets " \
+            "(they change the greedy pick per emitted token); use " \
+            "generate_batch_fused"
         assert self.mesh is None, \
             "speculative decoding runs on single-process engines"
         K = spec_k if spec_k is not None else (self.runtime.spec_k or 4)

@@ -26,6 +26,12 @@ import jax
 import jax.numpy as jnp
 
 
+#: stop-token set width: ``stop_token_ids`` pads to this many slots so
+#: the compiled step shape is independent of how many stops a request
+#: sets (unused slots are -1)
+STOP_SLOTS = 4
+
+
 @dataclasses.dataclass
 class SamplingParams:
     """Host-side sampling knobs; ``as_arrays`` broadcasts to a batch."""
@@ -33,30 +39,59 @@ class SamplingParams:
     temperature: float = 1.0
     top_k: int = 0            # 0 disables
     top_p: float = 1.0        # 1.0 disables
+    min_p: float = 0.0        # >0: drop tokens with p < min_p * p_max
     eos_token_id: int = -1    # -1 disables EOS handling
     eos_threshold: float = 0.0
+    #: extra token ids that terminate generation like EOS (padded to
+    #: STOP_SLOTS; the emitted stop token is delivered, as with EOS)
+    stop_token_ids: tuple = ()
+    #: HF-style repetition penalty (1.0 disables): seen tokens' logits
+    #: are divided (if >0) / multiplied (if <0) by the penalty. "Seen"
+    #: counts prompt + generated tokens.
+    repetition_penalty: float = 1.0
+    #: OpenAI-style additive penalties (0 disables): presence subtracts
+    #: a flat penalty from every seen token, frequency subtracts
+    #: ``penalty * count``.
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
 
     def as_arrays(self, batch: int):
         f = lambda v: jnp.full((batch,), v, jnp.float32)
         i = lambda v: jnp.full((batch,), v, jnp.int32)
+        stops = (tuple(self.stop_token_ids)[:STOP_SLOTS]
+                 + (-1,) * (STOP_SLOTS - len(self.stop_token_ids)))
         return {
             "temperature": f(self.temperature),
             "top_k": i(self.top_k),
             "top_p": f(self.top_p),
+            "min_p": f(self.min_p),
             "eos_token_id": i(self.eos_token_id),
             "eos_threshold": f(self.eos_threshold),
+            "stop_ids": jnp.broadcast_to(
+                jnp.asarray(stops, jnp.int32), (batch, STOP_SLOTS)),
+            "rep_pen": f(self.repetition_penalty),
+            "presence_pen": f(self.presence_penalty),
+            "freq_pen": f(self.frequency_penalty),
         }
+
+    @property
+    def has_penalties(self) -> bool:
+        return (self.repetition_penalty != 1.0
+                or self.presence_penalty != 0.0
+                or self.frequency_penalty != 0.0)
 
     def mode(self) -> "SampleMode":
         """Static compilation mode (hashable) for this parameter set."""
         return SampleMode(
             greedy=self.temperature <= 0.0,
             use_filter=self.top_k > 0 or self.top_p < 1.0,
+            use_min_p=self.min_p > 0.0,
             use_eos_threshold=self.eos_threshold > 0.0
             and self.eos_token_id >= 0,
             # k <= 64: bound the candidate set with lax.top_k instead of
             # a full-vocab sort (1.34 ms -> 0.14 ms at V=128k, measured)
             filter_cap=64 if 0 < self.top_k <= 64 else 0,
+            use_penalties=self.has_penalties,
         )
 
 
@@ -66,12 +101,15 @@ class SampleMode:
 
     greedy: bool = False
     use_filter: bool = True
+    use_min_p: bool = False
     use_eos_threshold: bool = True
     #: >0: top-k/top-p over the lax.top_k(cap) candidate set instead of
     #: a full-vocab sort. Exact for the top-k + top-p intersection
     #: whenever top_k <= cap (every survivor and every
     #: higher-probability token is inside the candidate set).
     filter_cap: int = 0
+    #: compile the count-based penalty epilogue (needs ``counts``)
+    use_penalties: bool = False
 
 
 def filter_logits(logits: jax.Array, top_k: jax.Array,
@@ -120,6 +158,54 @@ def _filter_logits_capped(logits: jax.Array, top_k: jax.Array,
     return jnp.where(keep_k & keep_p, logits, -jnp.inf)
 
 
+def hit_stop(tok: jax.Array, eos_token_id: jax.Array,
+             stop_ids: Optional[jax.Array]) -> jax.Array:
+    """``[B]`` bool: ``tok`` ends its request — EOS or any id in the
+    per-row stop set (``stop_ids [B, S]``, -1 slots ignored)."""
+    done = (eos_token_id >= 0) & (tok == eos_token_id)
+    if stop_ids is not None:
+        done = done | ((stop_ids >= 0)
+                       & (tok[:, None] == stop_ids)).any(axis=-1)
+    return done
+
+
+def token_counts(tokens: jax.Array, lens: jax.Array, vocab: int) -> jax.Array:
+    """``[B, V]`` int32 histogram of ``tokens[b, :lens[b]]`` — the
+    penalty state seeded from the prompt (out-of-range ids are
+    clipped; padding beyond ``lens`` is ignored)."""
+    B, T = tokens.shape
+    valid = (jnp.arange(T)[None, :] < lens[:, None]).astype(jnp.int32)
+    idx = jnp.clip(tokens, 0, vocab - 1)
+    return jnp.zeros((B, vocab), jnp.int32).at[
+        jnp.arange(B)[:, None], idx].add(valid)
+
+
+def bump_counts(counts: jax.Array, tok: jax.Array,
+                live: jax.Array) -> jax.Array:
+    """Add ``tok`` to each live row's histogram."""
+    idx = jnp.clip(tok, 0, counts.shape[1] - 1)
+    return counts.at[jnp.arange(counts.shape[0]), idx].add(
+        live.astype(jnp.int32))
+
+
+def apply_penalties(logits: jax.Array, counts: jax.Array,
+                    rep_pen: jax.Array, presence_pen: jax.Array,
+                    freq_pen: jax.Array) -> jax.Array:
+    """Count-based penalties on raw logits (before temperature).
+
+    HF-style repetition penalty (divide positive / multiply negative
+    seen-token logits) + OpenAI-style additive presence/frequency
+    penalties. ``counts [B, V]`` covers prompt + generated tokens."""
+    seen = counts > 0
+    rp = jnp.maximum(rep_pen, 1e-6)[:, None]
+    logits = jnp.where(seen,
+                       jnp.where(logits > 0, logits / rp, logits * rp),
+                       logits)
+    logits = logits - jnp.where(seen, presence_pen[:, None], 0.0)
+    logits = logits - freq_pen[:, None] * counts.astype(jnp.float32)
+    return logits
+
+
 def request_key(seed, index) -> jax.Array:
     """Per-request sampling key for generated-token ``index``: a pure
     function of ``(seed, index)``, so a request's sampled continuation is
@@ -133,6 +219,12 @@ def sample(logits: jax.Array, rng: Optional[jax.Array], *,
            temperature: jax.Array, top_k: jax.Array, top_p: jax.Array,
            eos_token_id: Optional[jax.Array] = None,
            eos_threshold: Optional[jax.Array] = None,
+           min_p: Optional[jax.Array] = None,
+           stop_ids: Optional[jax.Array] = None,
+           rep_pen: Optional[jax.Array] = None,
+           presence_pen: Optional[jax.Array] = None,
+           freq_pen: Optional[jax.Array] = None,
+           counts: Optional[jax.Array] = None,
            row_keys: Optional[jax.Array] = None,
            mode: Optional["SampleMode"] = None) -> jax.Array:
     """Draw next tokens from ``logits [B, V]``. Returns ``[B]`` int32.
@@ -142,10 +234,18 @@ def sample(logits: jax.Array, rng: Optional[jax.Array], *,
     the default compiles everything, staying correct for any values.
     ``row_keys`` (``[B]`` PRNG keys) draws each row with its own key —
     used by the scheduler's decode bursts for per-request seeds.
+    ``counts [B, V]`` + the penalty knobs apply count-based penalties
+    when ``mode.use_penalties`` (penalties shift greedy picks too).
+    ``stop_ids`` is accepted so callers can splat the whole samp dict;
+    termination is the caller's job (:func:`hit_stop`).
     """
+    del stop_ids
     mode = mode or SampleMode()
     B, V = logits.shape
     logits = logits.astype(jnp.float32)
+    if mode.use_penalties and counts is not None:
+        logits = apply_penalties(logits, counts, rep_pen, presence_pen,
+                                 freq_pen)
     greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     if mode.greedy:
@@ -153,6 +253,13 @@ def sample(logits: jax.Array, rng: Optional[jax.Array], *,
     else:
         temp = jnp.maximum(temperature, 1e-6)[:, None]
         scaled = logits / temp
+        if mode.use_min_p and min_p is not None:
+            # p_i / p_max = exp(l_i - l_max): the min-p cut is a pure
+            # logit threshold, no softmax needed
+            lmax = jnp.max(scaled, axis=-1, keepdims=True)
+            cut = lmax + jnp.log(jnp.maximum(min_p, 1e-10))[:, None]
+            scaled = jnp.where((min_p[:, None] > 0.0) & (scaled < cut),
+                               -jnp.inf, scaled)
         if mode.use_filter and mode.filter_cap:
             scaled = _filter_logits_capped(scaled, top_k, top_p,
                                            min(mode.filter_cap, V))

@@ -52,7 +52,8 @@ import numpy as np
 
 from ..config import FrameworkConfig
 from ..engine.engine import Engine
-from ..engine.sampling import SamplingParams, request_key
+from ..engine.sampling import (STOP_SLOTS, SamplingParams, bump_counts,
+                               request_key)
 from ..kvcache.allocator import OutOfPagesError
 from ..kvcache.swap import gather_pages, scatter_pages
 from ..utils.common import cdiv
@@ -174,6 +175,14 @@ class Scheduler:
         # loop reuses the uploaded arrays across ticks instead of
         # re-device-putting 5 per-lane vectors every burst
         self._samp_cache: Optional[tuple] = None
+        # penalty histograms: [B, V] int32, lane rows seeded at
+        # admission from prompt(+resumed tokens); allocated lazily the
+        # first time a request with penalties admits. Bursts whose
+        # compile mode has penalties off get the [B, 1] dummy instead,
+        # so the common no-penalty program never carries the [B, V]
+        # array (both are donated and reassigned every burst).
+        self._counts: Optional[jax.Array] = None
+        self._dummy_counts = jnp.zeros((self.B, 1), jnp.int32)
         self._thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
         # observability (served through /metrics)
@@ -271,6 +280,9 @@ class Scheduler:
         r = self.config.runtime
         return SamplingParams(
             temperature=r.temperature, top_k=r.top_k, top_p=r.top_p,
+            min_p=r.min_p, repetition_penalty=r.repetition_penalty,
+            presence_penalty=r.presence_penalty,
+            frequency_penalty=r.frequency_penalty,
             eos_token_id=r.eos_token_id, eos_threshold=r.eos_threshold)
 
     def _validate(self, req: Request) -> Optional[str]:
@@ -507,15 +519,45 @@ class Scheduler:
             # preemption resume: the next token to append is the last
             # one already delivered — nothing is sampled or re-sent
             lane.last_token = job.resume_token
+            self._seed_counts(lane)
             return
         samp = req.sampling or self._samp
         key = request_key(req.seed, 0)
+        mode = samp.mode()
+        counts1 = (self._lane_hist(req)[None, :]
+                   if mode.use_penalties else None)
         tok = int(np.asarray(self.engine._sample_fn(
-            job.final_logits, key, mode=samp.mode(),
+            job.final_logits, key, mode=mode, counts=counts1,
             **samp.as_arrays(1)))[0])
         lane.last_token = tok
         req.first_token_at = time.time()
         self._deliver(lane, tok)
+        self._seed_counts(lane)
+
+    def _lane_hist(self, req: Request) -> jax.Array:
+        """[V] int32 token histogram of everything the request has in
+        context (prompt + already-delivered tokens) — the penalty seed
+        for a lane entering decode (fresh, requeued, or swapped in)."""
+        V = self.engine.cfg.vocab_size
+        ids = np.asarray(req.prompt + req.tokens, np.int64)
+        hist = np.bincount(np.clip(ids, 0, V - 1),
+                           minlength=V).astype(np.int32)
+        return jnp.asarray(hist)
+
+    def _seed_counts(self, lane: _Lane) -> None:
+        """Write the lane's penalty histogram row. When the first
+        sampled token already released the lane (single-token request
+        / immediate EOS), ``lane.request`` is gone — nothing to seed."""
+        req = lane.request
+        if req is None:
+            return
+        s = req.sampling or self._samp
+        if not s.has_penalties:
+            return
+        if self._counts is None:
+            self._counts = jnp.zeros(
+                (self.B, self.engine.cfg.vocab_size), jnp.int32)
+        self._counts = self._counts.at[lane.idx].set(self._lane_hist(req))
 
     # -- preemption / swap -----------------------------------------------------
 
@@ -554,6 +596,7 @@ class Scheduler:
         lane.seq_len = seq_len
         lane.last_token = last_token
         req.state = RequestState.RUNNING
+        self._seed_counts(lane)
 
     def _preempt(self, lane: _Lane) -> None:
         self.n_preempted += 1
@@ -573,7 +616,8 @@ class Scheduler:
         req._out.put(tok)
         samp = req.sampling or self._samp
         done = (len(req.tokens) >= req.max_new_tokens
-                or (samp.eos_token_id >= 0 and tok == samp.eos_token_id))
+                or (samp.eos_token_id >= 0 and tok == samp.eos_token_id)
+                or tok in samp.stop_token_ids)
         if done:
             self._release(lane, RequestState.FINISHED)
 
@@ -697,24 +741,30 @@ class Scheduler:
             return self._samp_cache[1], self._samp_cache[2]
 
         samp = self._samp        # per-request sampling: values per lane
-        vals = {k: [] for k in ("temperature", "top_k", "top_p",
-                                "eos_token_id", "eos_threshold")}
-        for lane in self.lanes:
+        vals = {k: [] for k in ("temperature", "top_k", "top_p", "min_p",
+                                "eos_token_id", "eos_threshold",
+                                "rep_pen", "presence_pen", "freq_pen")}
+        stop_ids = np.full((self.B, STOP_SLOTS), -1, np.int32)
+        for i, lane in enumerate(self.lanes):
             s = (lane.request.sampling if lane.request and
                  lane.request.sampling else samp)
             vals["temperature"].append(s.temperature)
             vals["top_k"].append(s.top_k)
             vals["top_p"].append(s.top_p)
+            vals["min_p"].append(s.min_p)
             vals["eos_token_id"].append(s.eos_token_id)
             vals["eos_threshold"].append(s.eos_threshold)
+            vals["rep_pen"].append(s.repetition_penalty)
+            vals["presence_pen"].append(s.presence_penalty)
+            vals["freq_pen"].append(s.frequency_penalty)
+            sids = tuple(s.stop_token_ids)[:STOP_SLOTS]
+            stop_ids[i, :len(sids)] = sids
+        ints = {"top_k", "eos_token_id"}
         samp_arrays = {
-            "temperature": jnp.asarray(vals["temperature"], jnp.float32),
-            "top_k": jnp.asarray(vals["top_k"], jnp.int32),
-            "top_p": jnp.asarray(vals["top_p"], jnp.float32),
-            "eos_token_id": jnp.asarray(vals["eos_token_id"], jnp.int32),
-            "eos_threshold": jnp.asarray(vals["eos_threshold"],
-                                         jnp.float32),
+            k: jnp.asarray(v, jnp.int32 if k in ints else jnp.float32)
+            for k, v in vals.items()
         }
+        samp_arrays["stop_ids"] = jnp.asarray(stop_ids)
         # compile mode = union of the active requests' features (at most
         # a handful of mode combinations ever get compiled)
         from ..engine.sampling import SampleMode
@@ -723,6 +773,7 @@ class Scheduler:
         mode = SampleMode(
             greedy=all(s.temperature <= 0 for s in active_s),
             use_filter=any(s.top_k > 0 or s.top_p < 1.0 for s in active_s),
+            use_min_p=any(s.min_p > 0.0 for s in active_s),
             use_eos_threshold=any(
                 s.eos_threshold > 0 and s.eos_token_id >= 0
                 for s in active_s),
@@ -730,7 +781,8 @@ class Scheduler:
             # capped filter clips k into [1, cap], which would corrupt
             # lanes running without top-k)
             filter_cap=64 if all(0 < s.top_k <= 64 for s in active_s)
-            else 0)
+            else 0,
+            use_penalties=any(s.has_penalties for s in active_s))
         self._samp_cache = (key, samp_arrays, mode)
         return samp_arrays, mode
 
@@ -738,7 +790,14 @@ class Scheduler:
         if not any(l.decoding for l in self.lanes):
             return sum(not l.free for l in self.lanes)
         if (self.config.runtime.spec_k > 0 and self.dp == 1
-                and self.engine.mesh is None):
+                and self.engine.mesh is None
+                # the spec loop neither threads the penalty histogram
+                # nor checks per-lane stop sets — any such lane forces
+                # the plain burst this tick
+                and not any(
+                    (s := (l.request.sampling or self._samp)).has_penalties
+                    or s.stop_token_ids
+                    for l in self.lanes if l.decoding)):
             return self._decode_tick_spec()
         n_steps = self._burst_steps([l for l in self.lanes if l.decoding])
         self._grow_pages(n_steps)
@@ -764,13 +823,21 @@ class Scheduler:
             seeds[i] = lane.request.seed
 
         samp_arrays, mode = self._samp_plan(active)
+        if mode.use_penalties and self._counts is None:
+            self._counts = jnp.zeros(
+                (self.B, self.engine.cfg.vocab_size), jnp.int32)
+        counts = self._counts if mode.use_penalties else self._dummy_counts
 
         try:
-            out, self.kv = eng._decode_loop_fn(
+            out, self.kv, counts = eng._decode_loop_fn(
                 eng.params, jnp.asarray(toks), self.kv, jnp.asarray(bt),
                 jnp.asarray(sl), jnp.asarray(emitted),
                 jnp.asarray(budgets), jnp.asarray(seeds), samp_arrays,
-                num_steps=n_steps, mode=mode)
+                counts, num_steps=n_steps, mode=mode)
+            if mode.use_penalties:
+                self._counts = counts
+            else:
+                self._dummy_counts = counts
             out_np = np.asarray(out)
         except Exception as e:
             self._reset_device_state(e)
@@ -883,3 +950,6 @@ class Scheduler:
         for alloc in self.engine.allocators:
             alloc.drop_cached()
         self.kv = self.engine._init_cache()
+        # the counts buffers were donated into the failed program
+        self._counts = None
+        self._dummy_counts = jnp.zeros((self.B, 1), jnp.int32)

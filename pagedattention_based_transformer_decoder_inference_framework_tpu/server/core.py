@@ -77,6 +77,11 @@ class ServerCore:
     def _sampling(self, req) -> SamplingParams:
         return SamplingParams(
             temperature=req.temperature, top_k=req.top_k, top_p=req.top_p,
+            min_p=getattr(req, "min_p", 0.0),
+            repetition_penalty=getattr(req, "repetition_penalty", 1.0),
+            presence_penalty=getattr(req, "presence_penalty", 0.0),
+            frequency_penalty=getattr(req, "frequency_penalty", 0.0),
+            stop_token_ids=tuple(getattr(req, "stop_token_ids", ()) or ()),
             eos_token_id=self.tokenizer.eos_token_id,
             eos_threshold=self.config.runtime.eos_threshold)
 

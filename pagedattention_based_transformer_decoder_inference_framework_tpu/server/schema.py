@@ -9,13 +9,29 @@ from typing import Dict, List, Optional
 from pydantic import BaseModel, Field
 
 
-class GenerateRequest(BaseModel):
-    prompt: str
-    max_new_tokens: int = Field(default=64, ge=1, le=4096)
+class SamplingFields(BaseModel):
+    """Sampling knobs shared by every generation endpoint (all of them
+    honored end-to-end, including through the continuous-batching
+    scheduler's fused decode bursts)."""
+
     temperature: float = 1.0
     top_k: int = 0
     top_p: float = 1.0
+    #: drop tokens with p < min_p * p(best token) (0 disables)
+    min_p: float = Field(default=0.0, ge=0.0, le=1.0)
+    #: HF-style repetition penalty over prompt+generated tokens
+    repetition_penalty: float = Field(default=1.0, gt=0.0)
+    #: OpenAI-style additive penalties on seen tokens
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
+    #: extra token ids that end generation like EOS (at most 4 used)
+    stop_token_ids: List[int] = Field(default_factory=list)
     seed: Optional[int] = None
+
+
+class GenerateRequest(SamplingFields):
+    prompt: str
+    max_new_tokens: int = Field(default=64, ge=1, le=4096)
 
 
 class GenerateResponse(BaseModel):
@@ -24,13 +40,9 @@ class GenerateResponse(BaseModel):
     finish_reason: str = "length"
 
 
-class BatchGenerateRequest(BaseModel):
+class BatchGenerateRequest(SamplingFields):
     prompts: List[str]
     max_new_tokens: int = Field(default=64, ge=1, le=4096)
-    temperature: float = 1.0
-    top_k: int = 0
-    top_p: float = 1.0
-    seed: Optional[int] = None
 
 
 class ChatMessage(BaseModel):
@@ -38,13 +50,9 @@ class ChatMessage(BaseModel):
     content: str
 
 
-class StreamChatRequest(BaseModel):
+class StreamChatRequest(SamplingFields):
     messages: List[ChatMessage]
     max_new_tokens: int = Field(default=64, ge=1, le=4096)
-    temperature: float = 1.0
-    top_k: int = 0
-    top_p: float = 1.0
-    seed: Optional[int] = None
 
 
 class BeamStreamRequest(BaseModel):

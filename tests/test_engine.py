@@ -204,3 +204,46 @@ def test_attention_maps_on_engine_params():
     attn, logits = attention_maps(eng.model, eng.params, [1, 2, 3, 4])
     assert attn.shape[0] == eng.cfg.num_layers
     assert np.allclose(attn.sum(-1), 1.0, atol=1e-4)
+
+
+def test_stop_token_ends_stream(engine):
+    """A stop_token_ids hit ends generation like EOS (the stop token is
+    delivered, nothing after it)."""
+    base = engine.generate([5, 9, 3, 14], 8, GREEDY)
+    stop = base[2]
+    sp = dataclasses.replace(GREEDY, stop_token_ids=(stop,))
+    out = engine.generate([5, 9, 3, 14], 8, sp)
+    assert out == base[:3]
+
+
+def test_repetition_penalty_changes_output(engine):
+    """Penalties must flow through prefill seeding + decode bumping:
+    greedy output with a strong repetition penalty never repeats a
+    token (tiny-vocab models repeat constantly without it)."""
+    prompt = [5, 9, 3, 14]
+    base = engine.generate(prompt, 8, GREEDY)
+    assert len(set(base)) < len(base)  # unpenalized model does repeat
+    sp = dataclasses.replace(GREEDY, presence_penalty=1000.0)
+    out = engine.generate(prompt, 8, sp)
+    assert len(out) == 8
+    assert len(set(out)) == len(out)          # no generated repeats
+    assert not (set(out) & set(prompt))       # prompt tokens penalized
+
+
+def test_fused_matches_stream_with_penalties(engine):
+    """generate_batch_fused threads the same penalty histogram as the
+    stepwise prefill/decode path (greedy ⇒ bit-identical)."""
+    sp = dataclasses.replace(GREEDY, repetition_penalty=1.5,
+                             frequency_penalty=0.2)
+    prompts = [[5, 9, 3, 14], [2, 7, 1, 1]]
+    fused = engine.generate_batch_fused(prompts, 6, sp)
+    for p, f in zip(prompts, fused):
+        assert f == engine.generate(p, 6, sp)
+
+
+def test_fused_stop_tokens(engine):
+    base = engine.generate_batch_fused([[5, 9, 3, 14]], 8, GREEDY)[0]
+    stop = base[3]
+    sp = dataclasses.replace(GREEDY, stop_token_ids=(stop,))
+    out = engine.generate_batch_fused([[5, 9, 3, 14]], 8, sp)[0]
+    assert out == base[:4]

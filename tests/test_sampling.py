@@ -88,3 +88,85 @@ def test_capped_filter_matches_full_sort():
         capped = _filter_logits_capped(logits, tk, tp, 64)
         np.testing.assert_array_equal(np.isfinite(np.asarray(full)),
                                       np.isfinite(np.asarray(capped)))
+
+
+def test_min_p_restricts_support():
+    """min_p keeps exactly the tokens with p >= min_p * p_max (the cut
+    is a pure logit threshold; temperature applies first)."""
+    logits = jnp.asarray([[3.0, 2.9, 1.0, -2.0]], jnp.float32)
+    sp = SamplingParams(temperature=1.0, min_p=0.5)
+    probs = np.exp(np.asarray(logits)[0])
+    probs /= probs.sum()
+    allowed = set(np.where(probs >= 0.5 * probs.max())[0])
+    seen = set()
+    for i in range(64):
+        t = sample(logits, jax.random.key(i), mode=sp.mode(),
+                   **sp.as_arrays(1))
+        seen.add(int(t[0]))
+    assert seen <= allowed
+    assert len(allowed) == 2  # the test is non-trivial
+
+
+def test_repetition_penalty_flips_argmax():
+    """A seen token with the (slightly) best logit loses to an unseen
+    runner-up once the repetition penalty divides it down."""
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.engine.sampling import (
+        token_counts)
+
+    logits = jnp.asarray([[2.0, 1.9, 0.0, 0.0]], jnp.float32)
+    sp = SamplingParams(temperature=0.0, repetition_penalty=1.3)
+    counts = token_counts(jnp.asarray([[0, 0, 3]]),
+                          jnp.asarray([3]), 4)
+    np.testing.assert_array_equal(np.asarray(counts)[0], [2, 0, 0, 1])
+    t = sample(logits, None, mode=sp.mode(), counts=counts,
+               **sp.as_arrays(1))
+    assert int(t[0]) == 1  # token 0 penalized: 2.0/1.3 < 1.9
+    # without the penalty the argmax stays 0
+    sp0 = SamplingParams(temperature=0.0)
+    t0 = sample(logits, None, mode=sp0.mode(), **sp0.as_arrays(1))
+    assert int(t0[0]) == 0
+
+
+def test_frequency_and_presence_penalties():
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.engine.sampling import (
+        apply_penalties)
+
+    logits = jnp.asarray([[1.0, 1.0, 1.0]], jnp.float32)
+    counts = jnp.asarray([[0, 1, 3]], jnp.int32)
+    out = np.asarray(apply_penalties(
+        logits, counts,
+        rep_pen=jnp.ones((1,), jnp.float32),
+        presence_pen=jnp.full((1,), 0.5, jnp.float32),
+        freq_pen=jnp.full((1,), 0.1, jnp.float32)))[0]
+    np.testing.assert_allclose(out, [1.0, 1.0 - 0.5 - 0.1,
+                                     1.0 - 0.5 - 0.3], rtol=1e-6)
+
+
+def test_hit_stop_matches_eos_or_stop_set():
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.engine.sampling import (
+        STOP_SLOTS, hit_stop)
+
+    tok = jnp.asarray([5, 7, 9], jnp.int32)
+    eos = jnp.asarray([5, -1, -1], jnp.int32)
+    stops = jnp.asarray([[-1] * STOP_SLOTS,
+                         [7, 11, -1, -1],
+                         [-1, -1, -1, -1]], jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(hit_stop(tok, eos, stops)), [True, True, False])
+
+
+def test_penalized_sampling_restricted_to_unseen():
+    """With a huge presence penalty, sampling avoids every seen token."""
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.engine.sampling import (
+        token_counts)
+
+    rng = np.random.default_rng(3)
+    logits = jnp.asarray(rng.normal(size=(2, 16)), jnp.float32)
+    hist = jnp.asarray([[0, 1, 2, 3, 4, 5], [10, 11, 12, 13, 14, 15]],
+                       jnp.int32)
+    counts = token_counts(hist, jnp.asarray([6, 6]), 16)
+    sp = SamplingParams(temperature=1.0, presence_penalty=100.0)
+    for i in range(16):
+        t = np.asarray(sample(logits, jax.random.key(i), mode=sp.mode(),
+                              counts=counts, **sp.as_arrays(2)))
+        assert t[0] >= 6 and t[1] < 10

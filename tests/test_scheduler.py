@@ -210,3 +210,38 @@ def test_sliding_window_reclaims_pages():
     # peak at ceil((window + burst_horizon)/page) + 1 boundary slack =
     # 3 pages — pages ahead of the window are pre-allocated per burst
     assert peak <= 3, peak
+
+
+def test_scheduler_penalties_match_engine():
+    """Penalty histograms persist across decode bursts and admissions:
+    scheduler output ≡ the engine's stepwise path, including a
+    penalty-free request sharing the batch (its lane must not be
+    affected by the histogram carried for its neighbor)."""
+    import dataclasses
+
+    eng = make_engine()
+    pen = dataclasses.replace(GREEDY, repetition_penalty=1.5,
+                              presence_penalty=0.3)
+    p1, p2 = [3, 5, 7, 9], [1, 2, 3]
+    want_pen = eng.generate(p1, 6, pen)
+    want_plain = eng.generate(p2, 6, GREEDY)
+    sched = Scheduler(eng)
+    r1 = sched.submit(p1, 6, pen)
+    r2 = sched.submit(p2, 6, GREEDY)
+    sched.run_until_idle()
+    assert r1.tokens == want_pen
+    assert r2.tokens == want_plain
+
+
+def test_scheduler_stop_tokens():
+    import dataclasses
+
+    eng = make_engine()
+    base = eng.generate([3, 5, 7, 9], 6, GREEDY)
+    stop = base[2]
+    sp = dataclasses.replace(GREEDY, stop_token_ids=(stop,))
+    sched = Scheduler(eng)
+    req = sched.submit([3, 5, 7, 9], 6, sp)
+    sched.run_until_idle()
+    assert req.state == RequestState.FINISHED
+    assert req.tokens == base[:3]

@@ -133,3 +133,31 @@ def test_metrics(server):
     assert m["requests_total"] >= 1
     assert m["tokens_out"] >= 1
     assert "kv_pages" in m and m["kv_pages"]["live"] == 0
+
+
+def test_generate_accepts_penalty_and_stop_fields(server):
+    """The new SamplingFields knobs flow HTTP → schema → SamplingParams
+    → scheduler decode bursts without error, and a stop_token_ids hit
+    truncates the generation."""
+    body = {"prompt": "hello", "max_new_tokens": 8, "temperature": 0.0,
+            "repetition_penalty": 1.3, "presence_penalty": 0.1,
+            "min_p": 0.05}
+    code, data = _request(server, "POST", "/generate", body)
+    assert code == 200
+    base = json.loads(data)
+    assert len(base["tokens"]) >= 1
+    # stop on the second generated token: output is the prefix
+    # (request must also produce ≥2 tokens unpenalized to be meaningful)
+    code, data = _request(server, "POST", "/generate",
+                          {"prompt": "hello", "max_new_tokens": 8,
+                           "temperature": 0.0})
+    plain = json.loads(data)["tokens"]
+    if len(plain) >= 2:
+        code, data = _request(server, "POST", "/generate",
+                              {"prompt": "hello", "max_new_tokens": 8,
+                               "temperature": 0.0,
+                               "stop_token_ids": [plain[1]]})
+        assert code == 200
+        # generation ends at the FIRST occurrence of the stop token
+        cut = plain.index(plain[1]) + 1
+        assert json.loads(data)["tokens"] == plain[:cut]

@@ -216,15 +216,16 @@ def _norm_row(x32: jax.Array, scale: jax.Array, bias: jax.Array, *,
               kind: str, D: int, eps: float) -> jax.Array:
     """Masked full-row norm over a ``[Bp, Wd]`` f32 block whose columns
     past ``D`` are zero; pad columns emit 0 through the zero-padded
-    scale/bias rows."""
+    scale/bias rows. ``scale``/``bias`` are ``[1, Wd]`` (2-D reads keep
+    Mosaic on the native vector layout; 1-D vectors lower worse)."""
     if kind == "rmsnorm":
         ms = jnp.sum(jnp.square(x32), axis=-1, keepdims=True) / D
-        return x32 * jax.lax.rsqrt(ms + eps) * scale[None, :]
+        return x32 * jax.lax.rsqrt(ms + eps) * scale
     col = jax.lax.broadcasted_iota(jnp.int32, x32.shape, 1)
     mean = jnp.sum(x32, axis=-1, keepdims=True) / D
     cent = jnp.where(col < D, x32 - mean, 0.0)
     var = jnp.sum(jnp.square(cent), axis=-1, keepdims=True) / D
-    return cent * jax.lax.rsqrt(var + eps) * scale[None, :] + bias[None, :]
+    return cent * jax.lax.rsqrt(var + eps) * scale + bias
 
 
 def _chain_kernel(meta_ref, ain_ref, x_ref, w_ref, sb_ref, ln_ref,
@@ -255,7 +256,7 @@ def _chain_kernel(meta_ref, ain_ref, x_ref, w_ref, sb_ref, ln_ref,
     wb = w_ref[0].astype(ain_ref.dtype)
 
     def mm(src):
-        xb = src[:, pl.ds(ki * bk, bk)]
+        xb = src[:, pl.ds(pl.multiple_of(ki * bk, bk), bk)]
         return jax.lax.dot_general(
             xb, wb, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -280,7 +281,7 @@ def _chain_kernel(meta_ref, ain_ref, x_ref, w_ref, sb_ref, ln_ref,
         if quantized:
             y = y * sb[0:1, :]
         y = y + sb[1:2, :]
-        off = ni * bn
+        off = pl.multiple_of(ni * bn, bn)
 
         @pl.when((op == OP_O) | (op == OP_D))
         def _():
@@ -311,7 +312,7 @@ def _chain_kernel(meta_ref, ain_ref, x_ref, w_ref, sb_ref, ln_ref,
 
     @pl.when((op_done == 1) & (op == OP_O))
     def _norm_after_o():
-        h[...] = _norm_row(xres[...], ln_ref[0], ln_ref[1],
+        h[...] = _norm_row(xres[...], ln_ref[0:1, :], ln_ref[1:2, :],
                            kind=norm_kind, D=D, eps=eps
                            ).astype(h.dtype)
 
@@ -319,7 +320,7 @@ def _chain_kernel(meta_ref, ain_ref, x_ref, w_ref, sb_ref, ln_ref,
     def _finish_down():
         x_out_ref[...] = xres[...].astype(x_out_ref.dtype)
         if has_tail:
-            h[...] = _norm_row(xres[...], ln_ref[2], ln_ref[3],
+            h[...] = _norm_row(xres[...], ln_ref[2:3, :], ln_ref[3:4, :],
                                kind=norm_kind, D=D, eps=eps
                                ).astype(h.dtype)
 
@@ -457,7 +458,7 @@ def _chain_kernel_w8a8(meta_ref, ain_ref, x_ref, w_ref, sb_ref, ln_ref,
 
     def mm(src):
         return jax.lax.dot_general(
-            src[:, pl.ds(ki * bk, bk)], wb, (((1,), (0,)), ((), ())),
+            src[:, pl.ds(pl.multiple_of(ki * bk, bk), bk)], wb, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
 
     @pl.when(op == OP_O)
@@ -479,7 +480,7 @@ def _chain_kernel_w8a8(meta_ref, ain_ref, x_ref, w_ref, sb_ref, ln_ref,
         xs = jnp.where(op == OP_O, ains[:, 0:1],
                        jnp.where(op == OP_D, acts[:, 0:1], hs[:, 0:1]))
         y = acc[...].astype(jnp.float32) * xs * sb[0:1, :] + sb[1:2, :]
-        off = ni * bn
+        off = pl.multiple_of(ni * bn, bn)
 
         @pl.when((op == OP_O) | (op == OP_D))
         def _():
@@ -510,7 +511,7 @@ def _chain_kernel_w8a8(meta_ref, ain_ref, x_ref, w_ref, sb_ref, ln_ref,
 
     @pl.when((op_done == 1) & (op == OP_O))
     def _norm_after_o():
-        h32 = _norm_row(xres[...], ln_ref[0], ln_ref[1],
+        h32 = _norm_row(xres[...], ln_ref[0:1, :], ln_ref[1:2, :],
                         kind=norm_kind, D=D, eps=eps)
         q, s = _quant_rows(h32)
         hq[...] = q
@@ -528,7 +529,7 @@ def _chain_kernel_w8a8(meta_ref, ain_ref, x_ref, w_ref, sb_ref, ln_ref,
     def _finish_down():
         x_out_ref[...] = xres[...].astype(x_out_ref.dtype)
         if has_tail:
-            h32 = _norm_row(xres[...], ln_ref[2], ln_ref[3],
+            h32 = _norm_row(xres[...], ln_ref[2:3, :], ln_ref[3:4, :],
                             kind=norm_kind, D=D, eps=eps)
             q, s = _quant_rows(h32)
             hq[...] = q

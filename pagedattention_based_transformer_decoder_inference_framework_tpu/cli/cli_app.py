@@ -167,7 +167,8 @@ def cmd_batch(args) -> int:
     ids = [tok.encode(p) for p in prompts]
     sp = sampling(cfg, tok, args.stop_token_ids)
     if (cfg.runtime.spec_k > 0 and sp.mode().greedy and eng.mesh is None
-            and not (sp.has_penalties or sp.stop_token_ids)):
+            and not (sp.has_penalties or sp.stop_token_ids
+                     or sp.logit_bias)):
         # prompt-lookup speculative decoding (greedy-exact, engine/spec.py)
         outs = eng.generate_batch_spec(ids, cfg.runtime.max_new_tokens, sp)
     else:

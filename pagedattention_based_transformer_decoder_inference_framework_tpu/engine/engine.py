@@ -169,7 +169,8 @@ class Engine:
     def _samp_specs(self):
         keys = ("temperature", "top_k", "top_p", "min_p",
                 "eos_token_id", "eos_threshold", "stop_ids",
-                "rep_pen", "presence_pen", "freq_pen")
+                "rep_pen", "presence_pen", "freq_pen",
+                "bias_ids", "bias_vals")
         return {k: P(self._data_axis) for k in keys}
 
     def _shard_step(self, fn, in_specs, out_specs):
@@ -1097,10 +1098,11 @@ class Engine:
         sampling = sampling or self._default_sampling()
         assert sampling.mode().greedy, \
             "speculative decoding is greedy-exact only (temperature=0)"
-        assert not (sampling.has_penalties or sampling.stop_token_ids), \
-            "speculative decoding does not support penalties/stop sets " \
-            "(they change the greedy pick per emitted token); use " \
-            "generate_batch_fused"
+        assert not (sampling.has_penalties or sampling.stop_token_ids
+                    or sampling.logit_bias), \
+            "speculative decoding does not support penalties/stop sets/" \
+            "logit bias (they change the greedy pick per emitted " \
+            "token); use generate_batch_fused"
         assert self.mesh is None, \
             "speculative decoding runs on single-process engines"
         K = spec_k if spec_k is not None else (self.runtime.spec_k or 4)

@@ -31,6 +31,9 @@ import jax.numpy as jnp
 #: sets (unused slots are -1)
 STOP_SLOTS = 4
 
+#: logit-bias slot width (same static-shape trick as STOP_SLOTS)
+BIAS_SLOTS = 8
+
 
 @dataclasses.dataclass
 class SamplingParams:
@@ -54,12 +57,20 @@ class SamplingParams:
     #: ``penalty * count``.
     presence_penalty: float = 0.0
     frequency_penalty: float = 0.0
+    #: OpenAI-style per-token additive logit bias: ((token_id, bias),
+    #: ...), at most BIAS_SLOTS entries used; applied to raw logits
+    #: before temperature (so it shifts greedy picks too)
+    logit_bias: tuple = ()
 
     def as_arrays(self, batch: int):
         f = lambda v: jnp.full((batch,), v, jnp.float32)
         i = lambda v: jnp.full((batch,), v, jnp.int32)
         stops = (tuple(self.stop_token_ids)[:STOP_SLOTS]
                  + (-1,) * (STOP_SLOTS - len(self.stop_token_ids)))
+        lb = tuple(self.logit_bias)[:BIAS_SLOTS]
+        bias_ids = tuple(t for t, _ in lb) + (-1,) * (BIAS_SLOTS - len(lb))
+        bias_vals = (tuple(float(v) for _, v in lb)
+                     + (0.0,) * (BIAS_SLOTS - len(lb)))
         return {
             "temperature": f(self.temperature),
             "top_k": i(self.top_k),
@@ -72,6 +83,10 @@ class SamplingParams:
             "rep_pen": f(self.repetition_penalty),
             "presence_pen": f(self.presence_penalty),
             "freq_pen": f(self.frequency_penalty),
+            "bias_ids": jnp.broadcast_to(
+                jnp.asarray(bias_ids, jnp.int32), (batch, BIAS_SLOTS)),
+            "bias_vals": jnp.broadcast_to(
+                jnp.asarray(bias_vals, jnp.float32), (batch, BIAS_SLOTS)),
         }
 
     @property
@@ -92,6 +107,7 @@ class SamplingParams:
             # a full-vocab sort (1.34 ms -> 0.14 ms at V=128k, measured)
             filter_cap=64 if 0 < self.top_k <= 64 else 0,
             use_penalties=self.has_penalties,
+            use_logit_bias=bool(self.logit_bias),
         )
 
 
@@ -110,6 +126,8 @@ class SampleMode:
     filter_cap: int = 0
     #: compile the count-based penalty epilogue (needs ``counts``)
     use_penalties: bool = False
+    #: compile the sparse per-token logit-bias scatter
+    use_logit_bias: bool = False
 
 
 def filter_logits(logits: jax.Array, top_k: jax.Array,
@@ -225,6 +243,8 @@ def sample(logits: jax.Array, rng: Optional[jax.Array], *,
            presence_pen: Optional[jax.Array] = None,
            freq_pen: Optional[jax.Array] = None,
            counts: Optional[jax.Array] = None,
+           bias_ids: Optional[jax.Array] = None,
+           bias_vals: Optional[jax.Array] = None,
            row_keys: Optional[jax.Array] = None,
            mode: Optional["SampleMode"] = None) -> jax.Array:
     """Draw next tokens from ``logits [B, V]``. Returns ``[B]`` int32.
@@ -246,6 +266,13 @@ def sample(logits: jax.Array, rng: Optional[jax.Array], *,
     if mode.use_penalties and counts is not None:
         logits = apply_penalties(logits, counts, rep_pen, presence_pen,
                                  freq_pen)
+    if mode.use_logit_bias and bias_ids is not None:
+        # sparse per-request additive bias ([B, S] id/value slots,
+        # id < 0 = unused) on raw logits — shifts greedy picks too
+        rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+        idx = jnp.clip(bias_ids, 0, V - 1)
+        vals = jnp.where(bias_ids >= 0, bias_vals, 0.0)
+        logits = logits.at[rows, idx].add(vals)
     greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     if mode.greedy:

@@ -52,8 +52,8 @@ import numpy as np
 
 from ..config import FrameworkConfig
 from ..engine.engine import Engine
-from ..engine.sampling import (STOP_SLOTS, SamplingParams, bump_counts,
-                               request_key)
+from ..engine.sampling import (BIAS_SLOTS, STOP_SLOTS, SamplingParams,
+                               bump_counts, request_key)
 from ..kvcache.allocator import OutOfPagesError
 from ..kvcache.swap import gather_pages, scatter_pages
 from ..utils.common import cdiv
@@ -745,6 +745,8 @@ class Scheduler:
                                 "eos_token_id", "eos_threshold",
                                 "rep_pen", "presence_pen", "freq_pen")}
         stop_ids = np.full((self.B, STOP_SLOTS), -1, np.int32)
+        bias_ids = np.full((self.B, BIAS_SLOTS), -1, np.int32)
+        bias_vals = np.zeros((self.B, BIAS_SLOTS), np.float32)
         for i, lane in enumerate(self.lanes):
             s = (lane.request.sampling if lane.request and
                  lane.request.sampling else samp)
@@ -759,12 +761,18 @@ class Scheduler:
             vals["freq_pen"].append(s.frequency_penalty)
             sids = tuple(s.stop_token_ids)[:STOP_SLOTS]
             stop_ids[i, :len(sids)] = sids
+            lb = tuple(s.logit_bias)[:BIAS_SLOTS]
+            if lb:
+                bias_ids[i, :len(lb)] = [t for t, _ in lb]
+                bias_vals[i, :len(lb)] = [v for _, v in lb]
         ints = {"top_k", "eos_token_id"}
         samp_arrays = {
             k: jnp.asarray(v, jnp.int32 if k in ints else jnp.float32)
             for k, v in vals.items()
         }
         samp_arrays["stop_ids"] = jnp.asarray(stop_ids)
+        samp_arrays["bias_ids"] = jnp.asarray(bias_ids)
+        samp_arrays["bias_vals"] = jnp.asarray(bias_vals)
         # compile mode = union of the active requests' features (at most
         # a handful of mode combinations ever get compiled)
         from ..engine.sampling import SampleMode
@@ -782,7 +790,8 @@ class Scheduler:
             # lanes running without top-k)
             filter_cap=64 if all(0 < s.top_k <= 64 for s in active_s)
             else 0,
-            use_penalties=any(s.has_penalties for s in active_s))
+            use_penalties=any(s.has_penalties for s in active_s),
+            use_logit_bias=any(s.logit_bias for s in active_s))
         self._samp_cache = (key, samp_arrays, mode)
         return samp_arrays, mode
 
@@ -792,11 +801,11 @@ class Scheduler:
         if (self.config.runtime.spec_k > 0 and self.dp == 1
                 and self.engine.mesh is None
                 # the spec loop neither threads the penalty histogram
-                # nor checks per-lane stop sets — any such lane forces
-                # the plain burst this tick
+                # nor checks per-lane stop sets nor applies logit bias —
+                # any such lane forces the plain burst this tick
                 and not any(
                     (s := (l.request.sampling or self._samp)).has_penalties
-                    or s.stop_token_ids
+                    or s.stop_token_ids or s.logit_bias
                     for l in self.lanes if l.decoding)):
             return self._decode_tick_spec()
         n_steps = self._burst_steps([l for l in self.lanes if l.decoding])

@@ -82,6 +82,8 @@ class ServerCore:
             presence_penalty=getattr(req, "presence_penalty", 0.0),
             frequency_penalty=getattr(req, "frequency_penalty", 0.0),
             stop_token_ids=tuple(getattr(req, "stop_token_ids", ()) or ()),
+            logit_bias=tuple(sorted(
+                (getattr(req, "logit_bias", {}) or {}).items())),
             eos_token_id=self.tokenizer.eos_token_id,
             eos_threshold=self.config.runtime.eos_threshold)
 

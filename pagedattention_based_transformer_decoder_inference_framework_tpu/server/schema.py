@@ -26,6 +26,9 @@ class SamplingFields(BaseModel):
     frequency_penalty: float = 0.0
     #: extra token ids that end generation like EOS (at most 4 used)
     stop_token_ids: List[int] = Field(default_factory=list)
+    #: OpenAI-style additive logit bias {token_id: bias} (at most 8
+    #: entries used; applied before temperature)
+    logit_bias: Dict[int, float] = Field(default_factory=dict)
     seed: Optional[int] = None
 
 

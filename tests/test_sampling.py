@@ -170,3 +170,20 @@ def test_penalized_sampling_restricted_to_unseen():
         t = np.asarray(sample(logits, jax.random.key(i), mode=sp.mode(),
                               counts=counts, **sp.as_arrays(2)))
         assert t[0] >= 6 and t[1] < 10
+
+
+def test_logit_bias_shifts_and_bans():
+    """+bias forces a token (greedy), -1e9 effectively bans one; unused
+    slots (-1) are ignored."""
+    logits = jnp.asarray([[2.0, 1.0, 0.0, 0.5],
+                          [2.0, 1.0, 0.0, 0.5]], jnp.float32)
+    sp = SamplingParams(temperature=0.0, logit_bias=((2, 5.0),))
+    t = sample(logits, None, mode=sp.mode(), **sp.as_arrays(2))
+    assert list(map(int, t)) == [2, 2]
+    ban = SamplingParams(temperature=0.0, logit_bias=((0, -1e9),))
+    t = sample(logits, None, mode=ban.mode(), **ban.as_arrays(2))
+    assert list(map(int, t)) == [1, 1]
+    # without mode flag the bias must not leak in
+    off = SamplingParams(temperature=0.0)
+    t = sample(logits, None, mode=off.mode(), **off.as_arrays(2))
+    assert list(map(int, t)) == [0, 0]

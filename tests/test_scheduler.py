@@ -245,3 +245,19 @@ def test_scheduler_stop_tokens():
     sched.run_until_idle()
     assert req.state == RequestState.FINISHED
     assert req.tokens == base[:3]
+
+
+def test_scheduler_logit_bias():
+    """Per-request logit bias flows through the fused burst; the biased
+    lane is pinned to the boosted token while a plain lane is not."""
+    import dataclasses
+
+    eng = make_engine()
+    plain = eng.generate([3, 5, 7, 9], 5, GREEDY)
+    boosted = dataclasses.replace(GREEDY, logit_bias=((11, 1e9),))
+    sched = Scheduler(eng)
+    r1 = sched.submit([3, 5, 7, 9], 5, boosted)
+    r2 = sched.submit([3, 5, 7, 9], 5, GREEDY)
+    sched.run_until_idle()
+    assert r1.tokens == [11] * 5
+    assert r2.tokens == plain

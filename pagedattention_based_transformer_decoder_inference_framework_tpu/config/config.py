@@ -261,16 +261,28 @@ class RuntimeConfig:
 
 @dataclass
 class ParallelConfig:
-    """Mesh layout: TP over ICI ('model'), DP across hosts ('data')."""
+    """Mesh layout: TP over ICI ('model'), DP across hosts ('data'),
+    and optional sequence parallelism ('seq') for long-prompt prefill.
+
+    ``sp > 1`` adds a 'seq' mesh axis between data and model: prefill
+    chunks split their query positions across it (each shard computes
+    1/sp of the chunk's matmul/attention FLOPs; per-layer K/V of the
+    chunk are all-gathered over ICI before the paged append) — the
+    blockwise decomposition of prefill attention from SURVEY.md §5.7.
+    Weights and the KV pool are replicated along 'seq' (it buys prefill
+    *time*, not KV memory); decode runs replicated along it.
+    """
 
     dp: int = 1
     tp: int = 1
+    sp: int = 1
     data_axis: str = "data"
     model_axis: str = "model"
+    seq_axis: str = "seq"
 
     @property
     def num_devices(self) -> int:
-        return self.dp * self.tp
+        return self.dp * self.sp * self.tp
 
 
 @dataclass

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 from typing import Iterator, List, Optional, Sequence, Tuple
 
 import jax
@@ -88,6 +89,10 @@ class Engine:
         # pages are sharded over the data axis: one allocator per data
         # shard handing out *local* page ids into that shard's sub-pool
         self.dp = mesh.shape[pcfg.data_axis] if mesh is not None else 1
+        # sequence-parallel prefill shards ('seq' axis; params and KV
+        # pool replicate along it — see ParallelConfig.sp)
+        self.sp = (dict(mesh.shape).get(pcfg.seq_axis, 1)
+                   if mesh is not None else 1)
         assert self.cache.num_pages % self.dp == 0
         from ..kvcache.native import make_allocator
 
@@ -204,6 +209,44 @@ class Engine:
                 prefill_chunk)
 
         d = self._data_axis
+        if self.sp > 1:
+            s = self.config.parallel.seq_axis
+
+            def prefill_chunk_sp(params, tokens, positions, kv,
+                                 block_tables, seq_lens, q_offsets,
+                                 prompt_lens):
+                """Sequence-parallel chunk (SURVEY.md §5.7 blockwise
+                prefill): this body sees the LOCAL ``[B, C/sp]`` slice
+                of the chunk's tokens/positions; per-layer K/V are
+                all-gathered over 'seq' inside the attn fn so every
+                shard appends the full chunk, while embeddings, q/k/v/
+                o/MLP matmuls and attention each cover 1/sp of the
+                positions."""
+                sidx = jax.lax.axis_index(s)
+                Csub = tokens.shape[1]
+                q0 = q_offsets + sidx * Csub
+                attn = backend.make_attn_fn(block_tables, seq_lens, q0,
+                                            gather_axis=s)
+                logits, kv = model.forward(params, tokens, positions,
+                                           kv, attn)
+                logits = logits[..., :V]
+                idx = prompt_lens - 1 - q0
+                inside = (idx >= 0) & (idx < Csub)
+                safe = jnp.clip(idx, 0, Csub - 1)
+                last = jnp.take_along_axis(
+                    logits, safe[:, None, None], axis=1)[:, 0]
+                # the final prompt token lives on exactly one (chunk,
+                # shard); psum replicates its logits along 'seq'
+                return jax.lax.psum(
+                    jnp.where(inside[:, None], last, 0.0), s), kv
+
+            sharded = self._shard_step(
+                prefill_chunk_sp,
+                in_specs=(self._param_specs, P(d, s), P(d, s),
+                          self._kv_specs, P(d), P(d), P(d), P(d)),
+                out_specs=(P(d), self._kv_specs))
+            return functools.partial(jax.jit, donate_argnums=(3,))(sharded)
+
         sharded = self._shard_step(
             prefill_chunk,
             in_specs=(self._param_specs, P(d), P(d), self._kv_specs,
@@ -707,9 +750,12 @@ class Engine:
         assert lens.min() >= 1
         page = self.cache.page_size
         # chunks must stay page-aligned: the kv-append kernel writes
-        # whole pages during prefill (ops/kv_append.py)
-        chunk = cdiv(max(self.runtime.prefill_chunk, 1), page) * page
-        max_len = cdiv(int(lens.max()), page) * page
+        # whole pages during prefill (ops/kv_append.py). Under
+        # sequence-parallel prefill every chunk additionally splits
+        # into sp equal per-shard slices.
+        grain = math.lcm(page, self.sp)
+        chunk = cdiv(max(self.runtime.prefill_chunk, 1), grain) * grain
+        max_len = cdiv(int(lens.max()), grain) * grain
 
         assert B % self.dp == 0, f"batch {B} must divide dp={self.dp}"
         allocs = allocators or self.allocators

@@ -32,7 +32,8 @@ class PagedKVBackend:
         return self.pool.init()
 
     def make_attn_fn(self, block_tables: jax.Array, seq_lens: jax.Array,
-                     q_offsets: jax.Array, score_sink: Optional[list] = None):
+                     q_offsets: jax.Array, score_sink: Optional[list] = None,
+                     gather_axis: Optional[str] = None):
         """Bind this step's batch plan (block tables / lengths / offsets).
 
         ``seq_lens`` must already include the tokens being appended in
@@ -45,10 +46,26 @@ class PagedKVBackend:
         appended to the list during tracing (requires the unrolled layer
         loop, the default) — the reference kernel's ``rerank_scores``
         tile export, TPU-style.
+
+        ``gather_axis``: sequence-parallel prefill (SURVEY.md §5.7's
+        blockwise decomposition). The caller runs under ``shard_map``
+        with query positions split along this mesh axis; the new K/V
+        rows (and their positions) are all-gathered over it before the
+        paged append so every seq shard appends the identical full
+        chunk to its pool replica, then attention runs on the local
+        queries only — exact causality via the kernel's absolute
+        position masks, 1/sp of the attention+matmul FLOPs per shard.
         """
 
         def attn_fn(q, k, v, kv, layer, positions):
-            kv = kv_append(kv, k, v, layer, positions, block_tables,
+            if gather_axis is not None:
+                k = jax.lax.all_gather(k, gather_axis, axis=1, tiled=True)
+                v = jax.lax.all_gather(v, gather_axis, axis=1, tiled=True)
+                app_pos = jax.lax.all_gather(positions, gather_axis,
+                                             axis=1, tiled=True)
+            else:
+                app_pos = positions
+            kv = kv_append(kv, k, v, layer, app_pos, block_tables,
                            page_size=self.cache.page_size,
                            interpret=self.interpret)
             scales = kv[1] if len(kv) == 2 else None

@@ -40,24 +40,36 @@ def init_distributed(coordinator: Optional[str] = None,
 
 def build_mesh(parallel: ParallelConfig,
                devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
-    """Build the ``(data, model)`` mesh.
+    """Build the ``(data[, seq], model)`` mesh.
 
     The model (TP) axis is innermost so it maps onto ICI neighbors
-    within a slice; the data axis spans hosts/DCN. ``dp * tp`` must
-    equal the device count (dp=0 or tp=0 means "infer").
+    within a slice; the data axis spans hosts/DCN; the optional seq
+    (sequence-parallel prefill) axis sits between them so its per-layer
+    K/V all-gathers also ride ICI. ``dp * sp * tp`` must equal the
+    device count (dp=0 or tp=0 means "infer"; sp defaults to 1 and is
+    never inferred).
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     dp, tp = parallel.dp, parallel.tp
+    sp = max(parallel.sp, 1)
+    assert n % sp == 0, f"{n} devices not divisible by sp={sp}"
+    ns = n // sp
     if tp <= 0 and dp <= 0:
-        dp, tp = 1, n
+        dp, tp = 1, ns
     elif tp <= 0:
-        assert n % dp == 0, f"{n} devices not divisible by dp={dp}"
-        tp = n // dp
+        assert ns % dp == 0, f"{ns} devices/sp not divisible by dp={dp}"
+        tp = ns // dp
     elif dp <= 0:
-        assert n % tp == 0, f"{n} devices not divisible by tp={tp}"
-        dp = n // tp
-    if dp * tp > n:
-        raise ValueError(f"dp*tp = {dp}*{tp} > {n} devices")
-    arr = np.asarray(devices[:dp * tp]).reshape(dp, tp)
-    return Mesh(arr, (parallel.data_axis, parallel.model_axis))
+        assert ns % tp == 0, f"{ns} devices/sp not divisible by tp={tp}"
+        dp = ns // tp
+    if dp * sp * tp > n:
+        raise ValueError(f"dp*sp*tp = {dp}*{sp}*{tp} > {n} devices")
+    arr = np.asarray(devices[:dp * sp * tp]).reshape(dp, sp, tp)
+    if sp == 1:
+        # two-axis mesh when SP is off: every existing (data, model)
+        # program and test keeps its exact mesh shape
+        return Mesh(arr.reshape(dp, tp),
+                    (parallel.data_axis, parallel.model_axis))
+    return Mesh(arr, (parallel.data_axis, parallel.seq_axis,
+                      parallel.model_axis))

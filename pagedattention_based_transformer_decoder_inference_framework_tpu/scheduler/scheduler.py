@@ -41,6 +41,7 @@ from __future__ import annotations
 import dataclasses
 import enum
 import itertools
+import math
 import queue
 import threading
 import time
@@ -395,8 +396,11 @@ class Scheduler:
                 hits.append(page)
         skip = len(hits) * self.page
         pages = hits + alloc.alloc_many(n_pages - len(hits))
+        # page-aligned chunks; under sequence-parallel prefill each
+        # chunk additionally splits into sp equal per-shard slices
+        grain = math.lcm(self.page, eng.sp)
         chunk = cdiv(max(self.config.runtime.prefill_chunk, 1),
-                     self.page) * self.page
+                     grain) * grain
         # bucket padded length to chunk multiples: few compiled shapes
         max_len = cdiv(max(L, 1), chunk) * chunk
 

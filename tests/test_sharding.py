@@ -147,3 +147,51 @@ def test_scheduler_dp2_rejects_swap():
     eng = Engine(cfg, params=params, mesh=build_mesh(cfg.parallel))
     with pytest.raises(ValueError, match="enable_swap"):
         Scheduler(eng)
+
+
+@pytest.mark.parametrize("dp,sp,tp", [(1, 4, 2), (1, 2, 2), (2, 2, 2)])
+def test_sequence_parallel_prefill_matches_single_device(dp, sp, tp):
+    """SURVEY §5.7 stretch goal: blockwise sequence-parallel prefill.
+    Chunk positions split over the 'seq' axis (per-layer K/V
+    all-gathered before the paged append) must reproduce the
+    single-device logit trace; decode afterwards runs seq-replicated
+    off the pool those prefills populated."""
+    assert len(jax.devices()) >= dp * sp * tp
+    cfg = make_config(dp, tp)
+    cfg.parallel.sp = sp
+    # long-ish prompts so chunks actually split (chunk=16, sp slices)
+    prompts = [list(range(1, 38)), list(range(50, 71)),
+               list(range(5, 10)), list(range(80, 113))]
+    forced = [[100 + i, 7 + i, 30 + i, 410 + i] for i in range(4)]
+    params = init_params(cfg.model, jax.random.key(3))
+
+    def trace(engine):
+        state = engine.prefill(prompts)
+        out = [state.prefill_logits]
+        for step in range(4):
+            toks = np.asarray(forced[step], np.int32)
+            out.append(engine.decode_forced(state, toks))
+        engine.free(state)
+        return np.stack(out)
+
+    base = make_config(1, 1)
+    ref = trace(Engine(base, params=params))
+    # Infra-flake retries with a determinism fingerprint: the virtual
+    # CPU client's documented corruption (conftest.py) is heap-history
+    # dependent and ~0.1-magnitude — it does NOT reproduce across a
+    # fresh engine build. A real SP regression is a deterministic
+    # function of the sharded program and yields the SAME wrong trace
+    # every build, which fails here on the second attempt.
+    prev = None
+    for attempt in range(3):
+        mesh = build_mesh(cfg.parallel)
+        assert dict(mesh.shape).get("seq", 1) == sp
+        got = trace(Engine(cfg, params=params, mesh=mesh))
+        if np.allclose(got, ref, atol=2e-4, rtol=2e-4):
+            break
+        assert prev is None or not np.array_equal(got, prev), (
+            f"wrong logit trace reproduced exactly across engine "
+            f"rebuilds (max diff {np.abs(got - ref).max():.2e}) — "
+            "deterministic SP regression, not the infra flake")
+        prev = got
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-4)

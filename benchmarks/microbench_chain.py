@@ -47,7 +47,7 @@ def main():
     ap.add_argument("--model", default="llama3-8b")
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--quant", default="int8-weight",
-                    choices=("none", "int8-weight"))
+                    choices=("none", "int8-weight", "int8"))
     ap.add_argument("--bk", type=int, default=1024)
     ap.add_argument("--bn", type=int, default=2048)
     ap.add_argument("--iters", type=int, default=32)
@@ -96,21 +96,34 @@ def main():
 
     # --- per-op XLA path (mirrors models/model.py:_block post-attn) ---
     from pagedattention_based_transformer_decoder_inference_framework_tpu.ops.common import (
-        rmsnorm)
+        layernorm, rmsnorm)
+
+    w8a8 = cfg.quant == "int8"
+    swiglu = cfg.activation == "swiglu"
+
+    def norm(x, scale, bias):
+        if cfg.norm == "rmsnorm":
+            return rmsnorm(x, scale, cfg.norm_eps)
+        return layernorm(x, scale, bias, cfg.norm_eps)
 
     @jax.jit
     def perop_n(x, ain, n):
         def body(i, c):
             x, ain = c
-            x = x + linear(ain, lp["wo"])
-            h2 = rmsnorm(x, lp["ln2_scale"], cfg.norm_eps)
-            gu = linear(h2, lp["w_gu"])
-            g, u = jnp.split(gu, 2, axis=-1)
-            mid = activation_fn("silu")(g.astype(jnp.float32)
-                                        ).astype(u.dtype) * u
-            x = x + linear(mid, lp["w_down"])
-            h1 = rmsnorm(x, nxt["ln1_scale"], cfg.norm_eps)
-            qkv = linear(h1, nxt["w_qkv"])
+            x = x + linear(ain, lp["wo"], lp.get("bo"), w8a8=w8a8)
+            h2 = norm(x, lp["ln2_scale"], lp.get("ln2_bias"))
+            if swiglu:
+                gu = linear(h2, lp["w_gu"], w8a8=w8a8)
+                g, u = jnp.split(gu, 2, axis=-1)
+                mid = activation_fn("silu")(g.astype(jnp.float32)
+                                            ).astype(u.dtype) * u
+            else:
+                mid = linear(h2, lp["w_up"], lp.get("b_up"),
+                             act=cfg.activation, w8a8=w8a8)
+            x = x + linear(mid, lp["w_down"], lp.get("b_down"),
+                           w8a8=w8a8)
+            h1 = norm(x, nxt["ln1_scale"], nxt.get("ln1_bias"))
+            qkv = linear(h1, nxt["w_qkv"], nxt.get("b_qkv"), w8a8=w8a8)
             return (x * 0.999, ain + qkv[:, :pc.K0] * 1e-6)
 
         return jax.lax.fori_loop(0, n, body, (x, ain))
@@ -143,12 +156,15 @@ def main():
     I = cfg.intermediate_size
     mid0 = jax.random.normal(jax.random.key(4), (R, I), jnp.bfloat16)
 
+    up_ops = (OP_G, OP_U) if swiglu else (OP_U,)
+    w_up = lp["w_gu"] if swiglu else lp["w_up"]
+
     @jax.jit
     def packed_n(x, mid, n):
         def body(i, c):
             x, mid = c
             o = packed_linear(pc, (OP_O,), x, interpret=interp)
-            gu = packed_linear(pc, (OP_G, OP_U), x, interpret=interp)
+            gu = packed_linear(pc, up_ops, x, interpret=interp)
             d = packed_linear(pc, (OP_D,), mid, interpret=interp)
             t = packed_linear(pc, (OP_T,), x, interpret=interp)
             return (x + o * 1e-6 + d * 1e-6 + t[:, :D] * 1e-6,
@@ -163,10 +179,10 @@ def main():
     def xla_prefill_n(x, mid, n):
         def body(i, c):
             x, mid = c
-            o = linear(x, lp["wo"])
-            gu = linear(x, lp["w_gu"])
-            d = linear(mid, lp["w_down"])
-            t = linear(x, nxt["w_qkv"])
+            o = linear(x, lp["wo"], w8a8=w8a8)
+            gu = linear(x, w_up, w8a8=w8a8)
+            d = linear(mid, lp["w_down"], w8a8=w8a8)
+            t = linear(x, nxt["w_qkv"], w8a8=w8a8)
             return (x + o * 1e-6 + d * 1e-6 + t[:, :D] * 1e-6,
                     mid + gu[:, :I] * 1e-6)
 

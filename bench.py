@@ -55,7 +55,12 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--prompt-len", type=int, default=64)
     ap.add_argument("--kv-dtype", default="int8")
-    ap.add_argument("--quant", default="int8-weight",
+    # w8a8 ("int8") is the default headline config: the s8 x s8 -> s32
+    # MXU path streams weights faster than the widen-to-bf16 path (786
+    # vs 737 GB/s microbenched) and measured 345.6 tok/s (0.906 of
+    # roofline) vs 340.6 (0.893) for int8-weight on the same run; PPL
+    # delta is validated in BENCHMARKS.md (+0.03% relative).
+    ap.add_argument("--quant", default="int8",
                     choices=("none", "int8", "int8-weight"))
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--page-size", type=int, default=64)

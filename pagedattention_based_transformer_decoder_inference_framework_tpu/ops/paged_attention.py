@@ -295,3 +295,182 @@ def paged_attention(q: jax.Array, kv_pages: jax.Array,
     out = out[:, :, :T * G, :].reshape(B, KH, T, G, dh)
     out = out.transpose(0, 2, 1, 3, 4).reshape(B, T, H, dh)
     return (out, scores) if return_scores else out
+
+
+def _decode_kernel(bt_ref, sl_ref, l_ref,          # scalar prefetch
+                   q_ref,                          # VMEM [1, KH, rows, dh]
+                   *rest,
+                   page_size: int, scale: float, quantized: bool,
+                   pooled: bool, window: int, softcap: float):
+    rest = list(rest)
+    kv_hbm = rest.pop(0)
+    sc_hbm = rest.pop(0) if quantized else None
+    out_ref = rest.pop(0)
+    kv_buf = rest.pop(0)                           # VMEM [2, 2, KH, pg, dh]
+    sem = rest.pop(0)
+    sc_buf = rest.pop(0) if quantized else None
+    sc_sem = rest.pop(0) if quantized else None
+    b = pl.program_id(0)
+    KH, rows, dh = q_ref.shape[1:]
+
+    seq_len = sl_ref[b]
+    layer = l_ref[0]
+    n_pages = (seq_len + page_size - 1) // page_size
+    if window > 0:
+        # decode q position is seq_len-1: keys > q_pos - window visible
+        lo = jnp.maximum(seq_len - window, 0)
+        first = lo // page_size
+    else:
+        first = jnp.int32(0)
+
+    def kv_dma(slot, i):
+        pid = bt_ref[b, i]
+        src = (kv_hbm.at[layer, :, :, pid] if pooled
+               else kv_hbm.at[:, :, pid])
+        return pltpu.make_async_copy(src, kv_buf.at[slot], sem.at[slot])
+
+    def sc_dma(slot, i):
+        pid = bt_ref[b, i]
+        src = (sc_hbm.at[layer, :, :, pid] if pooled
+               else sc_hbm.at[:, :, pid])
+        return pltpu.make_async_copy(src, sc_buf.at[slot], sc_sem.at[slot])
+
+    def start(slot, i):
+        kv_dma(slot, i).start()
+        if quantized:
+            sc_dma(slot, i).start()
+
+    start(first % 2, first)
+    q = q_ref[0].astype(jnp.float32) * scale       # [KH, rows, dh]
+
+    def body(i, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < n_pages)
+        def _prefetch():
+            start(jax.lax.rem(i + 1, 2), i + 1)
+
+        kv_dma(slot, i).wait()
+        kv = kv_buf[slot].astype(jnp.float32)      # [2, KH, pg, dh]
+        if quantized:
+            sc_dma(slot, i).wait()
+            kv = kv * sc_buf[slot]
+        k, v = kv[0], kv[1]
+
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)    # [KH, rows, pg]
+        if softcap > 0:
+            s = softcap * jnp.tanh(s / softcap)
+        key_idx = i * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, 2)
+        mask = key_idx < seq_len
+        if window > 0:
+            mask &= key_idx >= seq_len - window
+        s = jnp.where(mask, s, -1e30)
+
+        m_blk = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m, m_blk)
+        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+        alpha = jnp.exp(m - m_new)
+        l_new = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)    # [KH, rows, dh]
+        return m_new, l_new, acc * alpha + pv
+
+    m0 = jnp.full((KH, rows, 1), -1e30, jnp.float32)
+    l0 = jnp.zeros((KH, rows, 1), jnp.float32)
+    acc0 = jnp.zeros((KH, rows, dh), jnp.float32)
+    _, l, acc = jax.lax.fori_loop(first, n_pages, body, (m0, l0, acc0))
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    out_ref[0] = (acc / l_safe).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("page_size", "num_q_heads", "window", "softcap",
+                     "scale", "interpret"))
+def paged_attention_decode(q: jax.Array, kv_pages: jax.Array,
+                           block_tables: jax.Array, seq_lens: jax.Array,
+                           kv_scales: Optional[jax.Array] = None,
+                           layer: Optional[jax.Array] = None, *,
+                           page_size: int, num_q_heads: int,
+                           window: int = 0, softcap: float = 0.0,
+                           scale: Optional[float] = None,
+                           interpret: bool = False):
+    """Decode-specialized (T=1) paged attention.
+
+    Same math as :func:`paged_attention` at T=1, but the page loop runs
+    INSIDE the kernel with manually double-buffered ``make_async_copy``
+    DMAs from the HBM pool (grid = ``(B,)``), instead of one pipeline
+    grid program per page. At decode the per-page compute is tiny, so
+    the general kernel's cost is dominated by per-program pipeline
+    bookkeeping (~1 us x B x pages x layers per step — measured 25.6
+    us/layer for GPT-2 B=8 vs ~0.5 us of DMA, BENCHMARKS.md); this
+    variant pays B programs per call and streams pages back-to-back.
+    The q block is the single new token per sequence, so no causal
+    masking is needed beyond ``key < seq_len`` (+ sliding window).
+    """
+    B, T, H, dh = q.shape
+    assert T == 1
+    pooled = kv_pages.ndim == 6
+    if pooled:
+        assert layer is not None
+        KH, P, page_sz = kv_pages.shape[2:5]
+    else:
+        KH, P, page_sz = kv_pages.shape[1:4]
+    assert page_sz == page_size and H == num_q_heads
+    G = H // KH
+    rows = round_up(max(G, 8), 8)
+    quantized = kv_scales is not None
+    if scale is None:
+        scale = 1.0 / math.sqrt(dh)
+
+    # [B, 1, H, dh] -> [B, KH, rows, dh], rows = padded q-head group
+    qr = q.reshape(B, KH, G, dh)
+    if rows != G:
+        qr = jnp.pad(qr, ((0, 0), (0, 0), (0, rows - G), (0, 0)))
+
+    kv_slab = ((2, KH, page_size, dh) if pooled
+               else (2, KH, page_size, dh))
+    in_specs = [
+        pl.BlockSpec((1, KH, rows, dh), lambda b, *_: (b, 0, 0, 0)),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    inputs = [qr, kv_pages]
+    scratch = [pltpu.VMEM((2,) + kv_slab, kv_pages.dtype),
+               pltpu.SemaphoreType.DMA((2,))]
+    if quantized:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        inputs.append(kv_scales)
+        scratch += [pltpu.VMEM((2, 2, KH, page_size, 1), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2,))]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, KH, rows, dh),
+                               lambda b, *_: (b, 0, 0, 0)),
+        scratch_shapes=scratch,
+    )
+    kernel = functools.partial(
+        _decode_kernel, page_size=page_size, scale=scale,
+        quantized=quantized, pooled=pooled, window=window,
+        softcap=softcap)
+    layer_arr = jnp.asarray(
+        [0 if layer is None else layer], jnp.int32).reshape(1)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, KH, rows, dh), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(block_tables.astype(jnp.int32), seq_lens.astype(jnp.int32),
+      layer_arr, *inputs)
+
+    return out[:, :, :G, :].reshape(B, 1, H, dh)

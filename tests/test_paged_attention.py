@@ -296,3 +296,58 @@ def test_score_export_matches_oracle():
     np.testing.assert_allclose(got[live], want[live], atol=2e-4,
                                rtol=2e-4)
     assert (got[~live] < -1e29).all()
+
+
+@pytest.mark.parametrize("int8", [False, True])
+@pytest.mark.parametrize("KH,G", [(2, 1), (2, 3)])
+def test_decode_kernel_matches_general(KH, G, int8):
+    """paged_attention_decode (in-kernel page loop, manual DMA) must be
+    numerically identical to the general kernel at T=1."""
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.ops.paged_attention import (
+        paged_attention_decode)
+
+    rng = np.random.default_rng(23)
+    B, dh = 3, 32
+    H = KH * G
+    seq_lens = [13, PAGE * 4, 1]
+    kv, block_tables, k, v = make_paged_state(rng, B, KH, dh, seq_lens,
+                                              int8=int8)
+    q = jnp.asarray(rng.normal(size=(B, 1, H, dh)), jnp.float32)
+    sl = jnp.asarray(seq_lens, jnp.int32)
+    scales = kv[1] if int8 else None
+
+    ref = paged_attention(q, kv[0], block_tables, sl, sl - 1, scales,
+                          page_size=PAGE, num_q_heads=H, interpret=True)
+    out = paged_attention_decode(q, kv[0], block_tables, sl, scales,
+                                 page_size=PAGE, num_q_heads=H,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-6, rtol=2e-6)
+
+
+def test_decode_kernel_window_softcap_pooled():
+    """Sliding window + logit softcap + pooled [L,...] layout with a
+    traced layer index, vs the general kernel."""
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.ops.paged_attention import (
+        paged_attention_decode)
+
+    rng = np.random.default_rng(5)
+    B, KH, G, dh, w = 2, 2, 2, 32, 12
+    H = KH * G
+    seq_lens = [29, 17]
+    layer0, block_tables, k, v = make_paged_state(rng, B, KH, dh, seq_lens)
+    # fake a 2-layer pool with the data in layer 1
+    pool = jnp.stack([jnp.zeros_like(layer0[0]), layer0[0]])
+    sl = jnp.asarray(seq_lens, jnp.int32)
+    q = jnp.asarray(rng.normal(size=(B, 1, H, dh)), jnp.float32)
+
+    ref = paged_attention(q, pool, block_tables, sl, sl - 1, None,
+                          layer=jnp.asarray(1), page_size=PAGE,
+                          num_q_heads=H, window=w, softcap=30.0,
+                          interpret=True)
+    out = paged_attention_decode(q, pool, block_tables, sl, None,
+                                 layer=jnp.asarray(1), page_size=PAGE,
+                                 num_q_heads=H, window=w, softcap=30.0,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-6, rtol=2e-6)

@@ -79,7 +79,8 @@ class PagedKVBackend:
                 window = self.cfg.sliding_window
             # num_q_heads from q itself: under TP (shard_map) the local
             # head count is num_heads / tp, not cfg.num_heads.
-            if q.shape[1] == 1 and score_sink is None:
+            if (q.shape[1] == 1 and score_sink is None
+                    and q.shape[3] % 128 == 0):
                 # decode fast path: in-kernel page loop with manual
                 # double-buffered DMA (grid (B,) instead of a pipeline
                 # program per page — see paged_attention_decode)

@@ -304,12 +304,13 @@ def _decode_kernel(bt_ref, sl_ref, l_ref,          # scalar prefetch
                    pooled: bool, window: int, softcap: float):
     rest = list(rest)
     kv_hbm = rest.pop(0)
-    sc_hbm = rest.pop(0) if quantized else None
+    # per-sequence gathered scales ride a normal VMEM block (manual HBM
+    # DMA of the scales pool is illegal: its minor dim is 1 < the 128
+    # lane tile); values DMA requires dh % 128 == 0 for the same reason
+    sc_ref = rest.pop(0) if quantized else None    # [1, mp, 2, KH, pg]
     out_ref = rest.pop(0)
     kv_buf = rest.pop(0)                           # VMEM [2, 2, KH, pg, dh]
     sem = rest.pop(0)
-    sc_buf = rest.pop(0) if quantized else None
-    sc_sem = rest.pop(0) if quantized else None
     b = pl.program_id(0)
     KH, rows, dh = q_ref.shape[1:]
 
@@ -329,16 +330,8 @@ def _decode_kernel(bt_ref, sl_ref, l_ref,          # scalar prefetch
                else kv_hbm.at[:, :, pid])
         return pltpu.make_async_copy(src, kv_buf.at[slot], sem.at[slot])
 
-    def sc_dma(slot, i):
-        pid = bt_ref[b, i]
-        src = (sc_hbm.at[layer, :, :, pid] if pooled
-               else sc_hbm.at[:, :, pid])
-        return pltpu.make_async_copy(src, sc_buf.at[slot], sc_sem.at[slot])
-
     def start(slot, i):
         kv_dma(slot, i).start()
-        if quantized:
-            sc_dma(slot, i).start()
 
     start(first % 2, first)
     q = q_ref[0].astype(jnp.float32) * scale       # [KH, rows, dh]
@@ -354,8 +347,7 @@ def _decode_kernel(bt_ref, sl_ref, l_ref,          # scalar prefetch
         kv_dma(slot, i).wait()
         kv = kv_buf[slot].astype(jnp.float32)      # [2, KH, pg, dh]
         if quantized:
-            sc_dma(slot, i).wait()
-            kv = kv * sc_buf[slot]
+            kv = kv * sc_ref[0, i][..., None]
         k, v = kv[0], kv[1]
 
         s = jax.lax.dot_general(
@@ -415,6 +407,7 @@ def paged_attention_decode(q: jax.Array, kv_pages: jax.Array,
     """
     B, T, H, dh = q.shape
     assert T == 1
+    assert dh % 128 == 0, "decode kernel needs lane-aligned head_dim"
     pooled = kv_pages.ndim == 6
     if pooled:
         assert layer is not None
@@ -433,20 +426,25 @@ def paged_attention_decode(q: jax.Array, kv_pages: jax.Array,
     if rows != G:
         qr = jnp.pad(qr, ((0, 0), (0, 0), (0, rows - G), (0, 0)))
 
-    kv_slab = ((2, KH, page_size, dh) if pooled
-               else (2, KH, page_size, dh))
+    mp = block_tables.shape[1]
     in_specs = [
         pl.BlockSpec((1, KH, rows, dh), lambda b, *_: (b, 0, 0, 0)),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
     inputs = [qr, kv_pages]
-    scratch = [pltpu.VMEM((2,) + kv_slab, kv_pages.dtype),
+    scratch = [pltpu.VMEM((2, 2, KH, page_size, dh), kv_pages.dtype),
                pltpu.SemaphoreType.DMA((2,))]
     if quantized:
-        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-        inputs.append(kv_scales)
-        scratch += [pltpu.VMEM((2, 2, KH, page_size, 1), jnp.float32),
-                    pltpu.SemaphoreType.DMA((2,))]
+        # gather each sequence's page scales up front (an XLA gather;
+        # a few KB per sequence) and pipeline them as a VMEM block
+        sc = kv_scales[layer] if pooled else kv_scales
+        g = jnp.take(sc, block_tables.reshape(-1), axis=2,
+                     fill_value=0)                 # [2, KH, B*mp, pg, 1]
+        g = g[..., 0].transpose(2, 0, 1, 3).reshape(B, mp, 2, KH,
+                                                    page_size)
+        in_specs.append(pl.BlockSpec((1, mp, 2, KH, page_size),
+                                     lambda b, *_: (b, 0, 0, 0, 0)))
+        inputs.append(g)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,

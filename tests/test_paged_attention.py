@@ -307,7 +307,7 @@ def test_decode_kernel_matches_general(KH, G, int8):
         paged_attention_decode)
 
     rng = np.random.default_rng(23)
-    B, dh = 3, 32
+    B, dh = 3, 128          # decode kernel requires lane-aligned dh
     H = KH * G
     seq_lens = [13, PAGE * 4, 1]
     kv, block_tables, k, v = make_paged_state(rng, B, KH, dh, seq_lens,
@@ -332,7 +332,7 @@ def test_decode_kernel_window_softcap_pooled():
         paged_attention_decode)
 
     rng = np.random.default_rng(5)
-    B, KH, G, dh, w = 2, 2, 2, 32, 12
+    B, KH, G, dh, w = 2, 2, 2, 128, 12
     H = KH * G
     seq_lens = [29, 17]
     layer0, block_tables, k, v = make_paged_state(rng, B, KH, dh, seq_lens)
@@ -351,3 +351,59 @@ def test_decode_kernel_window_softcap_pooled():
                                  interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-6, rtol=2e-6)
+
+
+@pytest.mark.parametrize("kv_dtype", ["float32", "int8"])
+def test_decode_fastpath_through_backend(kv_dtype):
+    """dh=128 engages paged_attention_decode inside the paged backend's
+    decode step (incl. the real kv_append + scales-gather flow); logits
+    must match the dense backend."""
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.engine.backends import (
+        DenseKVBackend,
+    )
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.engine.paged_backend import (
+        PagedKVBackend,
+    )
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.models.model import (
+        DecoderModel,
+        init_params,
+    )
+
+    cfg = preset("llama-tiny")
+    cfg.hidden_size, cfg.head_dim = 512, 128   # lane-aligned head_dim
+    cfg.num_heads, cfg.num_kv_heads = 4, 2
+    cfg.intermediate_size = 256
+    cfg.dtype = "float32"
+    cache = CacheConfig(page_size=PAGE, num_pages=32, max_pages_per_seq=4,
+                        kv_dtype=kv_dtype)
+    model = DecoderModel(cfg)
+    params = init_params(cfg, jax.random.key(0))
+
+    B, T = 2, 9
+    rng = np.random.default_rng(3)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)))
+    positions = jnp.broadcast_to(jnp.arange(T), (B, T))
+
+    dense = DenseKVBackend(cfg, kv_dtype="float32")
+    _, dkv = model.forward(params, tokens, positions,
+                           dense.init_cache(B, 64), dense.attn_fn)
+
+    paged = PagedKVBackend(cfg, cache, interpret=True)
+    block_tables = jnp.arange(1, B * 4 + 1, dtype=jnp.int32).reshape(B, 4)
+    sl = jnp.full((B,), T, jnp.int32)
+    attn = paged.make_attn_fn(block_tables, sl, jnp.zeros((B,), jnp.int32))
+    plogits, pkv = model.forward(params, tokens, positions,
+                                 paged.init_cache(), attn)
+
+    # two decode steps through the T=1 fast path
+    tok = jnp.argmax(plogits[:, -1:], -1)
+    tol = dict(atol=1e-4, rtol=1e-4) if kv_dtype == "float32" else \
+        dict(atol=2e-2, rtol=2e-2)
+    for step in range(2):
+        pos = jnp.full((B, 1), T + step)
+        dl2, dkv = model.forward(params, tok, pos, dkv, dense.attn_fn)
+        attn2 = paged.make_attn_fn(block_tables, sl + step + 1, sl + step)
+        pl2, pkv = model.forward(params, tok, pos, pkv, attn2)
+        np.testing.assert_allclose(np.asarray(pl2), np.asarray(dl2),
+                                   **tol)
+        tok = jnp.argmax(pl2, -1)

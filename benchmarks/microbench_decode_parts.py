@@ -159,6 +159,37 @@ def main():
         return
     model, backend = eng.model, eng.backend
 
+    # 4a) forward with attention+append stubbed out (attn_fn returns q,
+    # which has the attention output's shape): isolates the matmul/norm/
+    # embed/lm-head/sampler chain. full - this = in-situ attention cost.
+    def stub_attn(q, k, v, kvt, layer, positions):
+        return q, kvt
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def run_step_noattn(tok, kv2, n):
+        def body(i, c):
+            tok, kv2, sl2, rng = c
+            logits, kv2 = model.forward(eng.params, tok[:, None],
+                                        sl2[:, None], kv2, stub_attn)
+            rng, sub = jax.random.split(rng)
+            nxt = jnp.argmax(logits[:, 0, :cfg.model.vocab_size], -1)
+            return (nxt, kv2, sl2 + 1, rng)
+
+        return jax.lax.fori_loop(0, n, body,
+                                 (tok, kv2, sl, jax.random.key(2)))
+
+    kv_na = jax.tree_util.tree_map(jnp.copy, kv)
+    tok_na = jnp.zeros((B,), jnp.int32)
+
+    def step_noattn_n(n):
+        nonlocal kv_na
+        out = run_step_noattn(tok_na, kv_na, n)
+        kv_na = out[1]
+        jax.block_until_ready(kv_na)
+
+    slope("decode step MINUS attention (greedy)", step_noattn_n,
+          args.iters)
+
     @functools.partial(jax.jit, donate_argnums=(1,))
     def run_step(tok, kv, n):
         def body(i, c):
@@ -167,7 +198,9 @@ def main():
             logits, kv = model.forward(eng.params, tok[:, None],
                                        sl2[:, None], kv, attn)
             rng, sub = jax.random.split(rng)
-            nxt = sample(logits[:, 0, :cfg.model.vocab_size], sub, **samp)
+            # greedy, matching the MINUS-attention probe: full - noattn
+            # = in-situ attention + append cost
+            nxt = jnp.argmax(logits[:, 0, :cfg.model.vocab_size], -1)
             return (nxt, kv, sl2 + 1, rng)
 
         return jax.lax.fori_loop(0, n, body, (tok, kv, sl, jax.random.key(2)))
@@ -181,7 +214,8 @@ def main():
         kv_step = out[1]
         jax.block_until_ready(kv_step)
 
-    slope("FULL decode step (fwd+append+attn+sample)", step_n, args.iters)
+    slope("FULL decode step (fwd+append+attn, greedy)", step_n,
+          args.iters)
 
 
 if __name__ == "__main__":

@@ -222,6 +222,11 @@ class RuntimeConfig:
     # bursts amortize the per-dispatch latency (~28 ms through a remote
     # chip); smaller bursts tighten admission/streaming latency.
     decode_burst: int = 8
+    # burst cap when the admission queue is empty (nothing to
+    # interleave): longer device-side bursts amortize host-sync cost at
+    # the price of worst-case admission latency for requests arriving
+    # mid-burst. Set equal to decode_burst to disable the extension.
+    decode_burst_max: int = 64
     # prefill chunks run per scheduler tick (interleaved with decode
     # bursts so running lanes keep emitting during long-prompt prefill)
     prefill_chunks_per_tick: int = 1

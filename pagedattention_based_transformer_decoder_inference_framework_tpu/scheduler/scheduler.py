@@ -723,8 +723,18 @@ class Scheduler:
     def _burst_steps(self, active: List[_Lane]) -> int:
         """Device steps for this burst: enough for the longest-remaining
         lane, capped at ``decode_burst``, rounded up to a power of two
-        so only a handful of program shapes ever compile."""
+        so only a handful of program shapes ever compile.
+
+        When the admission queue is empty the cap relaxes to
+        ``decode_burst_max``: there is nothing to interleave, so longer
+        device-side bursts amortize the host-sync cost (through the
+        driver tunnel a sync costs ~28 ms — BENCHMARKS.md). A request
+        arriving mid-burst waits for the burst to finish, so the knob
+        trades worst-case admission latency for throughput; servers
+        that prioritize TTFT can set it equal to ``decode_burst``."""
         burst = max(1, self.config.runtime.decode_burst)
+        if self.waiting.empty():
+            burst = max(burst, self.config.runtime.decode_burst_max)
         rem = max(l.request.max_new_tokens - len(l.request.tokens)
                   for l in active)
         n = 1

@@ -17,6 +17,10 @@ def make_engine(num_pages=64, max_batch=4, **runtime_kw):
     rt = dict(max_new_tokens=8, max_batch_size=max_batch,
               prefill_chunk=16, temperature=0.0, eos_token_id=-1)
     rt.update(runtime_kw)
+    # tests that pin decode_burst rely on per-tick token granularity:
+    # don't let the idle-queue burst extension change it under them
+    if "decode_burst" in rt and "decode_burst_max" not in rt:
+        rt["decode_burst_max"] = rt["decode_burst"]
     cfg = FrameworkConfig(
         model=preset("llama-tiny"),
         cache=CacheConfig(page_size=8, num_pages=num_pages,
@@ -261,3 +265,24 @@ def test_scheduler_logit_bias():
     sched.run_until_idle()
     assert r1.tokens == [11] * 5
     assert r2.tokens == plain
+
+
+def test_idle_queue_burst_extension():
+    """With an empty admission queue, bursts extend to decode_burst_max
+    (fewer host syncs); outputs are identical to the capped schedule."""
+    out = {}
+    for mx in (2, 16):
+        eng = make_engine(decode_burst=2, decode_burst_max=mx)
+        sched = Scheduler(eng)
+        reqs = [sched.submit([3 + i, 5, 7], max_new_tokens=12,
+                             sampling=GREEDY) for i in range(2)]
+        steps = 0
+        while any(r.state == RequestState.RUNNING for r in reqs) or \
+                not sched.waiting.empty():
+            sched.step()
+            steps += 1
+            assert steps < 100
+        assert all(r.state == RequestState.FINISHED for r in reqs)
+        out[mx] = ([r.tokens for r in reqs], steps)
+    assert out[2][0] == out[16][0]          # identical tokens
+    assert out[16][1] < out[2][1]           # fewer scheduler ticks

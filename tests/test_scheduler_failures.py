@@ -21,6 +21,10 @@ def make_engine(num_pages=64, max_batch=4, max_pages_per_seq=8,
     rt = dict(max_new_tokens=8, max_batch_size=max_batch,
               prefill_chunk=16, temperature=0.0, eos_token_id=-1)
     rt.update(runtime_kw)
+    # tests that pin decode_burst rely on per-tick token granularity:
+    # don't let the idle-queue burst extension change it under them
+    if "decode_burst" in rt and "decode_burst_max" not in rt:
+        rt["decode_burst_max"] = rt["decode_burst"]
     cfg = FrameworkConfig(
         model=preset("llama-tiny"),
         cache=CacheConfig(page_size=8, num_pages=num_pages,
@@ -93,7 +97,7 @@ def test_prefill_error_fails_only_that_request():
 def test_decode_error_resets_and_serving_survives():
     """One decode-burst exception fails the affected requests, resets
     the device pool, and the scheduler keeps serving new requests."""
-    eng = make_engine()
+    eng = make_engine(decode_burst=8)    # pin burst: test needs >1 tick
     sched = Scheduler(eng)
     real_loop = eng._decode_loop_fn
     calls = {"n": 0}

@@ -16,7 +16,9 @@ import jax.numpy as jnp
 from ..config import CacheConfig, ModelConfig
 from ..kvcache.pool import PagePool
 from ..ops.kv_append import kv_append
-from ..ops.paged_attention import paged_attention, paged_attention_decode
+from ..ops.paged_attention import (paged_attention,
+                                   paged_attention_decode,
+                                   paged_attention_decode_grouped)
 from ..utils.platform import default_interpret
 
 
@@ -79,18 +81,24 @@ class PagedKVBackend:
                 window = self.cfg.sliding_window
             # num_q_heads from q itself: under TP (shard_map) the local
             # head count is num_heads / tp, not cfg.num_heads.
-            if (q.shape[1] == 1 and score_sink is None
-                    and q.shape[3] % 128 == 0):
-                # decode fast path: in-kernel page loop with manual
-                # double-buffered DMA (grid (B,) instead of a pipeline
-                # program per page — see paged_attention_decode)
-                out = paged_attention_decode(
-                    q, kv[0], block_tables, seq_lens, scales,
+            if q.shape[1] == 1 and score_sink is None:
+                # decode fast paths (grid programs per page dominate
+                # decode cost — BENCHMARKS.md round 3): lane-aligned
+                # head_dim streams pages via in-kernel manual DMA,
+                # grid (B,); otherwise J block-table pages per program
+                common = dict(
                     layer=layer, page_size=self.cache.page_size,
                     num_q_heads=q.shape[2], window=window,
                     softcap=self.cfg.attn_logit_softcap,
-                    scale=self.cfg.attn_scale,
-                    interpret=self.interpret)
+                    scale=self.cfg.attn_scale, interpret=self.interpret)
+                if q.shape[3] % 128 == 0:
+                    out = paged_attention_decode(
+                        q, kv[0], block_tables, seq_lens, scales,
+                        **common)
+                else:
+                    out = paged_attention_decode_grouped(
+                        q, kv[0], block_tables, seq_lens, scales,
+                        **common)
                 return out, kv
             out = paged_attention(
                 q, kv[0], block_tables, seq_lens,

@@ -297,6 +297,163 @@ def paged_attention(q: jax.Array, kv_pages: jax.Array,
     return (out, scores) if return_scores else out
 
 
+def _decode_grouped_kernel(bt_ref, sl_ref, l_ref,  # scalar prefetch
+                           *refs,
+                           page_size: int, scale: float, J: int,
+                           quantized: bool, pooled: bool, window: int,
+                           softcap: float):
+    refs = list(refs)
+    q_ref = refs.pop(0)
+    kv_refs = [refs.pop(0) for _ in range(J)]
+    sc_refs = [refs.pop(0) for _ in range(J)] if quantized else None
+    out_ref = refs.pop(0)
+    m_scr, l_scr, acc_scr = refs
+    b = pl.program_id(0)
+    g = pl.program_id(1)
+    num_groups = pl.num_programs(1)
+
+    @pl.when(g == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, -1e30)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    seq_len = sl_ref[b]
+    q = q_ref[0].astype(jnp.float32) * scale       # [KH, rows, dh]
+    rows = q.shape[1]
+
+    for j in range(J):                             # static unroll
+        i = g * J + j
+        start = i * page_size
+        live = start < seq_len
+        if window > 0:
+            live &= start + page_size > seq_len - window
+
+        @pl.when(live)
+        def _compute(i=i, j=j, start=start):
+            if pooled:
+                kv = kv_refs[j][0, :, :, 0].astype(jnp.float32)
+                if quantized:
+                    kv = kv * sc_refs[j][0, :, :, 0]
+            else:
+                kv = kv_refs[j][:, :, 0].astype(jnp.float32)
+                if quantized:
+                    kv = kv * sc_refs[j][:, :, 0]
+            key_idx = start + jax.lax.broadcasted_iota(
+                jnp.int32, (rows, page_size), 1)
+            mask = key_idx < seq_len
+            if window > 0:
+                mask &= key_idx >= seq_len - window
+            _attend(q, kv[0], kv[1], m_scr, l_scr, acc_scr,
+                    mask[None], softcap=softcap)
+
+    @pl.when(g == num_groups - 1)
+    def _finalize():
+        l = l_scr[:, :, :1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        out_ref[0] = (acc_scr[:] / l_safe).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("page_size", "num_q_heads", "window", "softcap",
+                     "scale", "group_pages", "interpret"))
+def paged_attention_decode_grouped(
+        q: jax.Array, kv_pages: jax.Array, block_tables: jax.Array,
+        seq_lens: jax.Array, kv_scales: Optional[jax.Array] = None,
+        layer: Optional[jax.Array] = None, *, page_size: int,
+        num_q_heads: int, window: int = 0, softcap: float = 0.0,
+        scale: Optional[float] = None, group_pages: int = 4,
+        interpret: bool = False):
+    """Decode (T=1) paged attention for models whose head_dim is not
+    lane-aligned (dh % 128 != 0 — GPT-2/TinyLlama dh=64, Phi-3 dh=96),
+    where :func:`paged_attention_decode`'s manual DMA is illegal.
+
+    Each grid program covers ``group_pages`` pages through J parallel
+    BlockSpec inputs whose index maps select consecutive block-table
+    entries — J independent pipelined DMA streams per program, so the
+    per-program bookkeeping that dominates decode (BENCHMARKS.md round
+    3) is paid once per J pages instead of per page. Past-the-end
+    entries clamp to the last live page (copy elided) and their compute
+    is skipped."""
+    B, T, H, dh = q.shape
+    assert T == 1
+    pooled = kv_pages.ndim == 6
+    if pooled:
+        assert layer is not None
+        KH, P, page_sz = kv_pages.shape[2:5]
+    else:
+        KH, P, page_sz = kv_pages.shape[1:4]
+    assert page_sz == page_size and H == num_q_heads
+    G_heads = H // KH
+    rows = round_up(max(G_heads, 8), 8)
+    quantized = kv_scales is not None
+    if scale is None:
+        scale = 1.0 / math.sqrt(dh)
+
+    qr = q.reshape(B, KH, G_heads, dh)
+    if rows != G_heads:
+        qr = jnp.pad(qr,
+                     ((0, 0), (0, 0), (0, rows - G_heads), (0, 0)))
+
+    mp = block_tables.shape[1]
+    J = max(1, min(group_pages, mp))
+    n_groups = (mp + J - 1) // J
+
+    def page_of(b, g, j, sl_ref, bt_ref):
+        last = jnp.maximum((sl_ref[b] - 1) // page_size, 0)
+        return bt_ref[b, jnp.minimum(g * J + j, last)]
+
+    def kv_map(j):
+        if pooled:
+            return lambda b, g, bt, sl, l: (
+                l[0], 0, 0, page_of(b, g, j, sl, bt), 0, 0)
+        return lambda b, g, bt, sl, l: (
+            0, 0, page_of(b, g, j, sl, bt), 0, 0)
+
+    kv_block = ((1, 2, KH, 1, page_size, dh) if pooled
+                else (2, KH, 1, page_size, dh))
+    sc_block = ((1, 2, KH, 1, page_size, 1) if pooled
+                else (2, KH, 1, page_size, 1))
+
+    in_specs = [pl.BlockSpec((1, KH, rows, dh),
+                             lambda b, g, *_: (b, 0, 0, 0))]
+    in_specs += [pl.BlockSpec(kv_block, kv_map(j)) for j in range(J)]
+    inputs = [qr] + [kv_pages] * J
+    if quantized:
+        in_specs += [pl.BlockSpec(sc_block, kv_map(j)) for j in range(J)]
+        inputs += [kv_scales] * J
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, n_groups),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, KH, rows, dh),
+                               lambda b, g, *_: (b, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((KH, rows, 128), jnp.float32),
+            pltpu.VMEM((KH, rows, 128), jnp.float32),
+            pltpu.VMEM((KH, rows, dh), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _decode_grouped_kernel, page_size=page_size, scale=scale, J=J,
+        quantized=quantized, pooled=pooled, window=window,
+        softcap=softcap)
+    layer_arr = jnp.asarray(
+        [0 if layer is None else layer], jnp.int32).reshape(1)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, KH, rows, dh), q.dtype),
+        interpret=interpret,
+    )(block_tables.astype(jnp.int32), seq_lens.astype(jnp.int32),
+      layer_arr, *inputs)
+
+    return out[:, :, :G_heads, :].reshape(B, 1, H, dh)
+
+
 def _decode_kernel(bt_ref, sl_ref, l_ref,          # scalar prefetch
                    q_ref,                          # VMEM [1, KH, rows, dh]
                    *rest,

@@ -425,20 +425,38 @@ class Scheduler:
     def _prefill_tick(self) -> None:
         budget = max(1, self.config.runtime.prefill_chunks_per_tick)
         if self.dp == 1:
+            # gang same-chunk-shape pending jobs into ONE [n, chunk]
+            # program per round: admitting B requests costs one prefill
+            # dispatch per chunk round, not B (each dispatch through a
+            # remote chip pays fixed latency; also one program does the
+            # matmuls at batch n instead of n batch-1 streams)
+            for _ in range(budget):
+                pending = [l for l in self.lanes
+                           if l.prefill is not None and not l.prefill.done]
+                if not pending:
+                    break
+                by_chunk: dict = {}
+                for lane in pending:
+                    by_chunk.setdefault(lane.prefill.chunk, []).append(lane)
+                for chunk, group in by_chunk.items():
+                    try:
+                        if len(group) == 1:
+                            self._run_prefill_chunk(group[0],
+                                                    group[0].prefill)
+                        else:
+                            self._run_prefill_gang1(group, chunk)
+                    except Exception as e:
+                        for lane in group:
+                            lane.request.error = f"prefill failed: {e!r}"
+                            self._release(lane, RequestState.FAILED)
             for lane in self.lanes:
                 job = lane.prefill
-                if job is None:
-                    continue
-                try:
-                    for _ in range(budget):
-                        if job.done:
-                            break
-                        self._run_prefill_chunk(lane, job)
-                    if job.done:
+                if job is not None and job.done:
+                    try:
                         self._finish_prefill(lane, job)
-                except Exception as e:
-                    lane.request.error = f"prefill failed: {e!r}"
-                    self._release(lane, RequestState.FAILED)
+                    except Exception as e:
+                        lane.request.error = f"prefill failed: {e!r}"
+                        self._release(lane, RequestState.FAILED)
             return
         # dp>1: the batch axis is sharded, so batch-1 prefill cannot
         # run — gang up to one pending job per data shard into one
@@ -465,6 +483,41 @@ class Scheduler:
                 except Exception as e:
                     lane.request.error = f"prefill failed: {e!r}"
                     self._release(lane, RequestState.FAILED)
+
+    def _run_prefill_gang1(self, group, chunk: int) -> None:
+        """dp=1 twin of :meth:`_run_prefill_gang`: one chunk for EVERY
+        pending lane as a single ``[n, chunk]`` program. ``n`` rounds up
+        to a power of two (few compiled shapes); pad rows are fully
+        invalid (pos=-1 -> dump page, logits discarded)."""
+        eng = self.engine
+        n = 1
+        while n < len(group):
+            n *= 2
+        tokens = np.zeros((n, chunk), np.int32)
+        pos = np.full((n, chunk), -1, np.int32)
+        bt = np.zeros((n, eng.cache.max_pages_per_seq), np.int32)
+        sl = np.ones((n,), np.int32)
+        qo = np.full((n,), chunk, np.int32)
+        plen = np.ones((n,), np.int32)
+        for i, lane in enumerate(group):
+            job = lane.prefill
+            c0 = job.pos
+            c1 = min(c0 + chunk, job.max_len)
+            tokens[i, :c1 - c0] = job.tokens[0, c0:c1]
+            p = c0 + np.arange(chunk)
+            pos[i] = np.where(p < job.L, p, -1)
+            bt[i] = job.bt[0]
+            sl[i] = min(job.L, c0 + chunk)
+            qo[i] = c0
+            plen[i] = job.L
+        logits, self.kv = eng._prefill_fn(
+            eng.params, jnp.asarray(tokens), jnp.asarray(pos), self.kv,
+            jnp.asarray(bt), jnp.asarray(sl), jnp.asarray(qo),
+            jnp.asarray(plen))
+        for i, lane in enumerate(group):
+            job = lane.prefill
+            job.final_logits = job.final_logits + logits[i:i + 1]
+            job.pos = min(job.pos + chunk, job.max_len)
 
     def _run_prefill_gang(self, gang) -> None:
         """One chunk for one lane per data shard as a single [dp, chunk]

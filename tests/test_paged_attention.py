@@ -407,3 +407,55 @@ def test_decode_fastpath_through_backend(kv_dtype):
         np.testing.assert_allclose(np.asarray(pl2), np.asarray(dl2),
                                    **tol)
         tok = jnp.argmax(pl2, -1)
+
+
+@pytest.mark.parametrize("int8", [False, True])
+@pytest.mark.parametrize("J", [1, 2, 4])
+def test_decode_grouped_matches_general(int8, J):
+    """paged_attention_decode_grouped (J block-table pages per grid
+    program) must match the general kernel at T=1 for sub-128 dh."""
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.ops.paged_attention import (
+        paged_attention_decode_grouped)
+
+    rng = np.random.default_rng(31)
+    B, KH, G, dh = 3, 2, 3, 32
+    H = KH * G
+    seq_lens = [13, PAGE * 4, 1]
+    kv, block_tables, k, v = make_paged_state(rng, B, KH, dh, seq_lens,
+                                              int8=int8)
+    q = jnp.asarray(rng.normal(size=(B, 1, H, dh)), jnp.float32)
+    sl = jnp.asarray(seq_lens, jnp.int32)
+    scales = kv[1] if int8 else None
+
+    ref = paged_attention(q, kv[0], block_tables, sl, sl - 1, scales,
+                          page_size=PAGE, num_q_heads=H, interpret=True)
+    out = paged_attention_decode_grouped(
+        q, kv[0], block_tables, sl, scales, page_size=PAGE,
+        num_q_heads=H, group_pages=J, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-6, rtol=2e-6)
+
+
+def test_decode_grouped_window_pooled():
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.ops.paged_attention import (
+        paged_attention_decode_grouped)
+
+    rng = np.random.default_rng(6)
+    B, KH, G, dh, w = 2, 2, 2, 32, 12
+    H = KH * G
+    seq_lens = [29, 17]
+    layer0, block_tables, k, v = make_paged_state(rng, B, KH, dh, seq_lens)
+    pool = jnp.stack([jnp.zeros_like(layer0[0]), layer0[0]])
+    sl = jnp.asarray(seq_lens, jnp.int32)
+    q = jnp.asarray(rng.normal(size=(B, 1, H, dh)), jnp.float32)
+
+    ref = paged_attention(q, pool, block_tables, sl, sl - 1, None,
+                          layer=jnp.asarray(1), page_size=PAGE,
+                          num_q_heads=H, window=w, softcap=20.0,
+                          interpret=True)
+    out = paged_attention_decode_grouped(
+        q, pool, block_tables, sl, None, layer=jnp.asarray(1),
+        page_size=PAGE, num_q_heads=H, window=w, softcap=20.0,
+        group_pages=3, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-6, rtol=2e-6)

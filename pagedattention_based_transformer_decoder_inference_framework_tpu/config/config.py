@@ -227,6 +227,11 @@ class RuntimeConfig:
     # the price of worst-case admission latency for requests arriving
     # mid-burst. Set equal to decode_burst to disable the extension.
     decode_burst_max: int = 64
+    # max prompt tokens ganged into one prefill dispatch (dp=1): caps
+    # how long any one admitted request waits on co-admitted prefills
+    # (prefill is compute-bound, so a gang's TTFT is the whole gang's
+    # work). 0 disables ganging (one dispatch per lane per chunk).
+    prefill_gang_tokens: int = 512
     # prefill chunks run per scheduler tick (interleaved with decode
     # bursts so running lanes keep emitting during long-prompt prefill)
     prefill_chunks_per_tick: int = 1

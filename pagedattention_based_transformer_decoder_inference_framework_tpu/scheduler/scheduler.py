@@ -435,28 +435,39 @@ class Scheduler:
                            if l.prefill is not None and not l.prefill.done]
                 if not pending:
                     break
+                budget_tok = self.config.runtime.prefill_gang_tokens
                 by_chunk: dict = {}
                 for lane in pending:
                     by_chunk.setdefault(lane.prefill.chunk, []).append(lane)
-                for chunk, group in by_chunk.items():
-                    try:
-                        if len(group) == 1:
-                            self._run_prefill_chunk(group[0],
-                                                    group[0].prefill)
-                        else:
-                            self._run_prefill_gang1(group, chunk)
-                    except Exception as e:
-                        for lane in group:
+                for chunk, lanes_ in by_chunk.items():
+                    # cap each gang by the token budget: prefill is
+                    # compute-bound, so everything in a gang waits for
+                    # the whole gang's work (TTFT)
+                    per = max(1, budget_tok // max(chunk, 1))
+                    groups = [lanes_[i:i + per]
+                              for i in range(0, len(lanes_), per)]
+                    for group in groups:
+                        try:
+                            if len(group) == 1:
+                                self._run_prefill_chunk(group[0],
+                                                        group[0].prefill)
+                            else:
+                                self._run_prefill_gang1(group, chunk)
+                        except Exception as e:
+                            for lane in group:
+                                lane.request.error = \
+                                    f"prefill failed: {e!r}"
+                                self._release(lane, RequestState.FAILED)
+            done = [(lane, lane.prefill) for lane in self.lanes
+                    if lane.prefill is not None and lane.prefill.done]
+            if done:
+                try:
+                    self._finish_prefills(done)
+                except Exception as e:
+                    for lane, _ in done:
+                        if lane.request is not None:
                             lane.request.error = f"prefill failed: {e!r}"
                             self._release(lane, RequestState.FAILED)
-            for lane in self.lanes:
-                job = lane.prefill
-                if job is not None and job.done:
-                    try:
-                        self._finish_prefill(lane, job)
-                    except Exception as e:
-                        lane.request.error = f"prefill failed: {e!r}"
-                        self._release(lane, RequestState.FAILED)
             return
         # dp>1: the batch axis is sharded, so batch-1 prefill cannot
         # run — gang up to one pending job per data shard into one
@@ -567,6 +578,61 @@ class Scheduler:
             jnp.asarray([job.L], jnp.int32))
         job.final_logits = job.final_logits + logits
         job.pos = c1
+
+    def _finish_prefills(self, pairs) -> None:
+        """Finish a tick's completed prefills with ONE batched sampling
+        dispatch + ONE device->host read (the per-lane version costs a
+        dispatch-after-D2H per request — through a remote chip that is
+        the dominant share of TTFT when several requests admit
+        together). Per-request determinism holds via ``row_keys``:
+        each row draws with ``request_key(seed, 0)`` regardless of
+        which other lanes share the batch."""
+        from ..engine.sampling import SampleMode
+
+        sample_pairs = []
+        for lane, job in pairs:
+            lane.prefill = None
+            lane.seq_len = job.L
+            if job.resume_token is not None:
+                # preemption resume: the next token to append is the
+                # last one already delivered — nothing is re-sent
+                lane.last_token = job.resume_token
+                self._seed_counts(lane)
+            else:
+                sample_pairs.append((lane, job))
+        if not sample_pairs:
+            return
+        ss = [(l.request.sampling or self._samp)
+              for l, _ in sample_pairs]
+        logits = jnp.concatenate(
+            [j.final_logits for _, j in sample_pairs], axis=0)
+        keys = jnp.stack([request_key(l.request.seed, 0)
+                          for l, _ in sample_pairs])
+        mode = SampleMode(
+            greedy=all(s.temperature <= 0 for s in ss),
+            use_filter=any(s.top_k > 0 or s.top_p < 1.0 for s in ss),
+            use_min_p=any(s.min_p > 0.0 for s in ss),
+            use_eos_threshold=any(
+                s.eos_threshold > 0 and s.eos_token_id >= 0
+                for s in ss),
+            filter_cap=64 if all(0 < s.top_k <= 64 for s in ss) else 0,
+            use_penalties=any(s.has_penalties for s in ss),
+            use_logit_bias=any(s.logit_bias for s in ss))
+        counts = (jnp.stack([self._lane_hist(l.request)
+                             for l, _ in sample_pairs])
+                  if mode.use_penalties else None)
+        rows = [s.as_arrays(1) for s in ss]
+        arrays = {k: jnp.concatenate([r[k] for r in rows], axis=0)
+                  for k in rows[0]}
+        toks = np.asarray(self.engine._sample_fn(
+            logits, None, mode=mode, counts=counts, row_keys=keys,
+            **arrays))
+        now = time.time()
+        for (lane, job), tok in zip(sample_pairs, toks):
+            lane.last_token = int(tok)
+            lane.request.first_token_at = now
+            self._deliver(lane, int(tok))
+            self._seed_counts(lane)
 
     def _finish_prefill(self, lane: _Lane, job: _PrefillJob) -> None:
         req = lane.request

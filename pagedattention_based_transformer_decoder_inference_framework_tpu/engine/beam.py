@@ -44,7 +44,12 @@ class BeamHypothesis:
 
 
 def _copy_pages_fn(engine: Engine):
-    """Jitted device copy of pool pages src[i] -> dst[i] (COW)."""
+    """Jitted device copy of pool pages src[i] -> dst[i] (COW).
+
+    Cached on the engine: a fresh jit per BeamSearcher would recompile
+    per beam request (and per distinct copy count)."""
+    if engine._copy_pages_fn is not None:
+        return engine._copy_pages_fn
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def copy_pages(kv, src, dst):
@@ -64,6 +69,7 @@ def _copy_pages_fn(engine: Engine):
 
         return jax.tree_util.tree_map(copy_leaf, kv)
 
+    engine._copy_pages_fn = copy_pages
     return copy_pages
 
 
@@ -123,6 +129,11 @@ class BeamSearcher:
                 copies_dst.append(excl)
                 ps[-1] = excl
         if copies_src:
+            # pad to W so one program shape serves every step (a no-op
+            # dump-page self-copy fills unused slots)
+            while len(copies_src) < len(new_pages):
+                copies_src.append(0)
+                copies_dst.append(0)
             state.kv = self._copy_pages(
                 state.kv, jnp.asarray(copies_src, jnp.int32),
                 jnp.asarray(copies_dst, jnp.int32))

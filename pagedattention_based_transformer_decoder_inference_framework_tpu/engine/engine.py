@@ -164,6 +164,8 @@ class Engine:
         self._decode_loop_fn = self._build_decode_loop()
         self._generate_fused_fn = self._build_generate_fused()
         self._decode_logits_fn = None     # built lazily (test/debug path)
+        self._decode_beam_fn = None       # built lazily (beam search)
+        self._copy_pages_fn = None        # built lazily (beam COW)
         self._score_fn = None             # built lazily (eval path)
         self._generate_spec_fn = None     # built lazily (speculative path)
         self._decode_spec_loop_fn = None  # built lazily (scheduler spec)
@@ -814,9 +816,15 @@ class Engine:
         self._mark_finished(state, first_np, sampling)
         return state
 
-    def score_nll(self, prompts: Sequence[Sequence[int]]) -> np.ndarray:
-        """Per-sequence mean NLL of ``tokens[1:]`` given prefixes,
-        teacher-forced through the paged chunked-prefill path.
+    def score_nll(self, prompts: Sequence[Sequence[int]],
+                  starts: Optional[Sequence[int]] = None,
+                  mean: bool = True,
+                  allocators: Optional[List] = None) -> np.ndarray:
+        """Per-sequence NLL of ``tokens[start:]`` given their prefixes,
+        teacher-forced through the paged chunked-prefill path
+        (``starts`` defaults to 1 = every target; the reranker scores
+        candidate-given-context by passing ``starts=len(context)``).
+        ``mean=False`` returns the NLL *sum* (un-normalized log-prob).
 
         Unlike :func:`quant.eval.sequence_nll`'s dense oracle this
         scales to real models/eval sets: attention reads the page pool
@@ -826,14 +834,19 @@ class Engine:
             self._score_fn = self._build_score()
         B = len(prompts)
         lens = np.array([len(p) for p in prompts], np.int32)
+        start_arr = (np.ones((B,), np.int32) if starts is None
+                     else np.asarray(list(starts), np.int32))
         assert lens.min() >= 2, "scoring needs at least 2 tokens/seq"
+        assert (start_arr >= 1).all() and (start_arr < lens).all(), (
+            "starts must leave at least one target per sequence")
         assert B % self.dp == 0, f"batch {B} must divide dp={self.dp}"
         page = self.cache.page_size
         chunk = cdiv(max(self.runtime.prefill_chunk, 1), page) * page
         max_len = cdiv(int(lens.max()), page) * page
 
+        allocs = allocators or self.allocators
         pages: List[List[int]] = [
-            self.allocators[self._shard_of(b, B)].alloc_many(
+            allocs[self._shard_of(b, B)].alloc_many(
                 cdiv(int(L), page))
             for b, L in enumerate(lens)
         ]
@@ -854,7 +867,8 @@ class Engine:
                 c1 = min(c0 + chunk, max_len)
                 T = c1 - c0
                 pos = c0 + np.broadcast_to(np.arange(T), (B, T))
-                valid = pos + 1 < lens[:, None]      # target must exist
+                valid = ((pos + 1 < lens[:, None])   # target must exist
+                         & (pos + 1 >= start_arr[:, None]))
                 pos_in = np.where(pos < lens[:, None], pos, -1)
                 sl = jnp.asarray(np.clip(lens, 0, c1))
                 qo = jnp.full((B,), c0, jnp.int32)
@@ -866,9 +880,11 @@ class Engine:
                 cnt += np.asarray(c, np.int64)
         finally:
             for b, ps in enumerate(pages):
-                alloc = self.allocators[self._shard_of(b, B)]
+                alloc = allocs[self._shard_of(b, B)]
                 for p in ps:
                     alloc.free(p)
+        if not mean:
+            return nll_sum.astype(np.float64)
         return (nll_sum / np.maximum(cnt, 1)).astype(np.float64)
 
     def _default_sampling(self) -> SamplingParams:
@@ -997,7 +1013,14 @@ class Engine:
         ``[W, V]`` logits to the host (2 MB/step at a 128k vocab).
         Single-process engines only (the flat cross-row ``top_k`` does
         not shard over a data axis); meshed engines keep the
-        ``decode_forced`` + host-selection path."""
+        ``decode_forced`` + host-selection path.
+
+        The jitted step is cached on the engine: every
+        :class:`~.beam.BeamSearcher` instance must share it, or each
+        beam request would recompile the full step (measured ~3.5 s per
+        step at 8B — BENCHMARKS.md round 3)."""
+        if self._decode_beam_fn is not None:
+            return self._decode_beam_fn
         model, backend = self.model, self.backend
         V = self.cfg.vocab_size
 
@@ -1015,7 +1038,9 @@ class Engine:
             vals, idx = jax.lax.top_k(cand.reshape(-1), 2 * W)
             return idx // V, idx % V, vals, kv
 
-        return functools.partial(jax.jit, donate_argnums=(2,))(step)
+        self._decode_beam_fn = functools.partial(
+            jax.jit, donate_argnums=(2,))(step)
+        return self._decode_beam_fn
 
     def decode_forced(self, state: EngineState,
                       tokens: np.ndarray) -> np.ndarray:
@@ -1095,8 +1120,9 @@ class Engine:
         chunk = cdiv(max(self.runtime.prefill_chunk, 1), page) * page
         max_len = cdiv(int(lens.max()), page) * page
 
+        allocs = self.allocators
         pages: List[List[int]] = [
-            self.allocators[self._shard_of(b, B)].alloc_many(
+            allocs[self._shard_of(b, B)].alloc_many(
                 cdiv(int(L) + max_new, page))
             for b, L in enumerate(lens)
         ]
@@ -1123,7 +1149,7 @@ class Engine:
             return outs
         finally:
             for b, ps in enumerate(pages):
-                alloc = self.allocators[self._shard_of(b, B)]
+                alloc = allocs[self._shard_of(b, B)]
                 for p in ps:
                     alloc.free(p)
 

@@ -42,24 +42,30 @@ class LogProbScorer:
 
     def score(self, context_ids: Sequence[int],
               candidate_ids: Sequence[int]) -> float:
-        if not candidate_ids:
-            return -math.inf
-        eng = self.engine
-        state = eng.prefill([list(context_ids)],
-                            allocators=[self._allocator])
-        try:
-            logits = state.prefill_logits[0]
-            total = 0.0
-            for tok in candidate_ids:
-                lp = _log_softmax(logits)
-                total += float(lp[int(tok)])
-                logits = eng.decode_forced(
-                    state, np.asarray([tok], np.int32))[0]
-            if self.length_normalize:
-                total /= len(candidate_ids)
-            return total
-        finally:
-            eng.free(state)
+        return self.score_batch(context_ids, [candidate_ids])[0]
+
+    def score_batch(self, context_ids: Sequence[int],
+                    candidates: Sequence[Sequence[int]]) -> List[float]:
+        """Score every candidate in ONE teacher-forced pass through the
+        engine's paged scorer (``Engine.score_nll`` with
+        ``starts=len(context)``) — one chunked-prefill program over the
+        whole batch instead of a per-token ``decode_forced`` loop per
+        candidate (which paid a dispatch + device->host read per
+        generated token)."""
+        out = [0.0] * len(candidates)
+        live = [(i, list(c)) for i, c in enumerate(candidates) if c]
+        for i, _ in ((i, c) for i, c in enumerate(candidates) if not c):
+            out[i] = -math.inf
+        if not live:
+            return out
+        ctx = list(context_ids)
+        prompts = [ctx + c for _, c in live]
+        nll = self.engine.score_nll(
+            prompts, starts=[len(ctx)] * len(live),
+            mean=self.length_normalize, allocators=[self._allocator])
+        for (i, _), v in zip(live, nll):
+            out[i] = -float(v)
+        return out
 
 
 class CrossEncoderScorer:
@@ -113,6 +119,8 @@ class Reranker:
 
     def rerank_scores(self, context_ids: Sequence[int],
                       candidates: Sequence[Sequence[int]]) -> List[float]:
+        if hasattr(self.scorer, "score_batch"):
+            return self.scorer.score_batch(context_ids, candidates)
         return [self.scorer.score(context_ids, c) for c in candidates]
 
     def select_best(self, context_ids: Sequence[int],

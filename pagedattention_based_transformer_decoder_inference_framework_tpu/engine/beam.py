@@ -101,7 +101,8 @@ class BeamSearcher:
 
     # -- page bookkeeping ---------------------------------------------------
 
-    def _fork_rows(self, state: EngineState, parents: np.ndarray) -> None:
+    def _fork_rows(self, state: EngineState, parents: np.ndarray,
+                   defer: bool = False):
         """Re-wire each beam row to its parent's pages (shared), making
         the tail page exclusive (device COW copy) so the next append
         cannot clobber a sibling."""
@@ -128,17 +129,22 @@ class BeamSearcher:
                 copies_src.append(tail)
                 copies_dst.append(excl)
                 ps[-1] = excl
-        if copies_src:
-            # pad to W so one program shape serves every step (a no-op
-            # dump-page self-copy fills unused slots)
-            while len(copies_src) < len(new_pages):
-                copies_src.append(0)
-                copies_dst.append(0)
+        # pad to W so one program shape serves every step (a no-op
+        # dump-page self-copy fills unused slots)
+        while len(copies_src) < len(new_pages):
+            copies_src.append(0)
+            copies_dst.append(0)
+        state.pages = new_pages
+        state.block_tables = self.engine._block_tables(new_pages)
+        if defer:
+            # caller folds the copies into its next fused device step
+            return (np.asarray(copies_src, np.int32),
+                    np.asarray(copies_dst, np.int32))
+        if any(copies_src):
             state.kv = self._copy_pages(
                 state.kv, jnp.asarray(copies_src, jnp.int32),
                 jnp.asarray(copies_dst, jnp.int32))
-        state.pages = new_pages
-        state.block_tables = self.engine._block_tables(new_pages)
+        return None
 
     # -- search ---------------------------------------------------------------
 
@@ -158,7 +164,10 @@ class BeamSearcher:
         state.last_tokens = np.zeros((W,), np.int32)
         state.finished = np.zeros((W,), bool)
         parents0 = np.zeros((W,), np.int32)
-        self._fork_rows(state, parents0)   # 1 row -> W refcount-shared rows
+        fused = self._beam_step is not None
+        # 1 row -> W refcount-shared rows; with the fused step the COW
+        # copies ride the next device step instead of their own dispatch
+        pending = self._fork_rows(state, parents0, defer=fused)
 
         logprobs = _log_softmax(logits0)
         top = np.argsort(-logprobs)[:W]
@@ -177,17 +186,23 @@ class BeamSearcher:
             if not alive.any():
                 break
             toks = np.asarray([bt[-1] for bt in beam_tokens], np.int32)
-            if self._beam_step is not None:
-                # fused: selection on device, 3 x 2W scalars D2H
+            if fused:
+                # fused: COW copies + forward + selection in ONE
+                # dispatch; 3 x 2W scalars D2H
                 for b in range(W):
                     eng._alloc_pages(state, b, int(state.seq_lens[b]) + 1)
                 state.block_tables = eng._block_tables(state.pages)
+                if pending is None:
+                    pending = (np.zeros((W,), np.int32),
+                               np.zeros((W,), np.int32))
                 p2, t2, v2, state.kv = self._beam_step(
                     eng.params, jnp.asarray(toks), state.kv,
                     jnp.asarray(state.block_tables),
                     jnp.asarray(state.seq_lens),
                     jnp.asarray(beam_scores, jnp.float32),
-                    jnp.asarray(alive))
+                    jnp.asarray(alive),
+                    jnp.asarray(pending[0]), jnp.asarray(pending[1]))
+                pending = None
                 state.seq_lens += 1
                 cands = zip(np.asarray(p2), np.asarray(t2),
                             np.asarray(v2, np.float64))
@@ -216,7 +231,7 @@ class BeamSearcher:
                                for p, t in zip(parents, tokens)]
             beam_scores = np.asarray(scores, np.float64)
             beam_tokens = new_beam_tokens
-            self._fork_rows(state, parents)
+            pending = self._fork_rows(state, parents, defer=fused)
             state.last_tokens = np.asarray(tokens, np.int32)
             alive = np.ones((W,), bool)
             if eos_token_id >= 0:

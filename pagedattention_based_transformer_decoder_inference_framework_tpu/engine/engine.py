@@ -1025,7 +1025,26 @@ class Engine:
         V = self.cfg.vocab_size
 
         def step(params, tokens, kv, block_tables, seq_lens,
-                 beam_scores, alive):
+                 beam_scores, alive, copies_src, copies_dst):
+            # the previous selection's COW page copies (dump-page
+            # self-copies in unused slots) execute first inside the
+            # same program — one dispatch per beam step, not two
+            def copy_leaf(leaf):
+                ax = leaf.ndim - 3                 # pages axis
+
+                def body(leaf, i):
+                    s, d = copies_src[i], copies_dst[i]
+                    sizes = leaf.shape[:ax] + (1,) + leaf.shape[ax + 1:]
+                    start = (0,) * ax + (s,) + (0,) * (leaf.ndim - ax - 1)
+                    pg = jax.lax.dynamic_slice(leaf, start, sizes)
+                    dst = (0,) * ax + (d,) + (0,) * (leaf.ndim - ax - 1)
+                    return jax.lax.dynamic_update_slice(leaf, pg, dst), None
+
+                leaf, _ = jax.lax.scan(body, leaf,
+                                       jnp.arange(copies_src.shape[0]))
+                return leaf
+
+            kv = jax.tree_util.tree_map(copy_leaf, kv)
             attn = backend.make_attn_fn(block_tables, seq_lens + 1,
                                         seq_lens)
             logits, kv = model.forward(params, tokens[:, None],

@@ -230,8 +230,11 @@ class RuntimeConfig:
     # max prompt tokens ganged into one prefill dispatch (dp=1): caps
     # how long any one admitted request waits on co-admitted prefills
     # (prefill is compute-bound, so a gang's TTFT is the whole gang's
-    # work). 0 disables ganging (one dispatch per lane per chunk).
-    prefill_gang_tokens: int = 512
+    # work). Measured in tokens of the per-request chunk size, so the
+    # gang width is prefill_gang_tokens // chunk — keep it at least
+    # 2 x prefill_chunk or full-size chunks never gang. <= chunk
+    # disables ganging (one dispatch per lane per chunk).
+    prefill_gang_tokens: int = 1024
     # prefill chunks run per scheduler tick (interleaved with decode
     # bursts so running lanes keep emitting during long-prompt prefill)
     prefill_chunks_per_tick: int = 1

@@ -887,6 +887,86 @@ class Engine:
             return nll_sum.astype(np.float64)
         return (nll_sum / np.maximum(cnt, 1)).astype(np.float64)
 
+    def score_candidates_nll(self, context_ids: Sequence[int],
+                             candidates: Sequence[Sequence[int]],
+                             mean: bool = True,
+                             allocators: Optional[List] = None
+                             ) -> np.ndarray:
+        """NLL of each candidate continuation given ONE shared context.
+
+        The context is prefilled once (batch 1); candidate rows then
+        share its full pages by refcount (``PageAllocator.fork`` — the
+        beam-search page-sharing machinery) and only the pages from the
+        last chunk boundary before the context's end are private per
+        row (they straddle context and candidate tokens, so each row
+        re-appends that chunk into its own pages). Versus scoring
+        ``context + candidate`` per row this pays the context prefill
+        ONCE and allocates ``ctx_pages + W x (candidate + 1 chunk)``
+        pages instead of ``W x (ctx + candidate)``."""
+        assert self.dp == 1, "candidate scoring runs per data shard"
+        if self._score_fn is None:
+            self._score_fn = self._build_score()
+        allocs = allocators or self.allocators
+        alloc = allocs[0]
+        W = len(candidates)
+        L = len(context_ids)
+        assert L >= 1 and W >= 1
+        assert all(len(c) >= 1 for c in candidates)
+        page = self.cache.page_size
+        chunk = cdiv(max(self.runtime.prefill_chunk, 1), page) * page
+
+        state = self.prefill([list(context_ids)], allocators=[alloc])
+        kv = state.kv
+        ctx_pages = state.pages[0]
+        c0 = ((L - 1) // chunk) * chunk    # first (re-)scored chunk
+        n_shared = c0 // page              # pages fully below c0
+        lens = np.array([L + len(c) for c in candidates], np.int32)
+        max_len = cdiv(int(lens.max()), page) * page
+        assert cdiv(int(lens.max()), page) <= self.cache.max_pages_per_seq
+
+        rows_pages: List[List[int]] = []
+        for c in candidates:
+            shared = alloc.fork(ctx_pages[:n_shared])
+            fresh = alloc.alloc_many(
+                cdiv(L + len(c), page) - n_shared)
+            rows_pages.append(shared + fresh)
+        for p in ctx_pages:                # release the context row
+            alloc.free(p)
+        bt = jnp.asarray(self._block_tables(rows_pages))
+
+        tokens = np.zeros((W, max_len), np.int32)
+        for i, c in enumerate(candidates):
+            seq = list(context_ids) + list(c)
+            tokens[i, :len(seq)] = np.asarray(seq, np.int32)
+        targets = np.zeros_like(tokens)
+        targets[:, :-1] = tokens[:, 1:]
+
+        nll_sum = np.zeros((W,), np.float64)
+        cnt = np.zeros((W,), np.int64)
+        try:
+            for cs in range(c0, max_len, chunk):
+                ce = min(cs + chunk, max_len)
+                T = ce - cs
+                pos = cs + np.broadcast_to(np.arange(T), (W, T))
+                valid = ((pos + 1 >= L)    # targets = candidate tokens
+                         & (pos + 1 < lens[:, None]))
+                pos_in = np.where(pos < lens[:, None], pos, -1)
+                sl = jnp.asarray(np.clip(lens, 0, ce))
+                qo = jnp.full((W,), cs, jnp.int32)
+                s, c_, kv = self._score_fn(
+                    self.params, jnp.asarray(tokens[:, cs:ce]),
+                    jnp.asarray(targets[:, cs:ce]), jnp.asarray(valid),
+                    jnp.asarray(pos_in), kv, bt, sl, qo)
+                nll_sum += np.asarray(s, np.float64)
+                cnt += np.asarray(c_, np.int64)
+        finally:
+            for ps in rows_pages:
+                for p in ps:
+                    alloc.free(p)
+        if not mean:
+            return nll_sum.astype(np.float64)
+        return (nll_sum / np.maximum(cnt, 1)).astype(np.float64)
+
     def _default_sampling(self) -> SamplingParams:
         r = self.runtime
         return SamplingParams(

@@ -91,7 +91,15 @@ class PagedKVBackend:
                     num_q_heads=q.shape[2], window=window,
                     softcap=self.cfg.attn_logit_softcap,
                     scale=self.cfg.attn_scale, interpret=self.interpret)
-                if q.shape[3] % 128 == 0:
+                # the manual-DMA kernel's int8 path gathers the FULL
+                # block-table width of scales into a VMEM block —
+                # O(max_pages_per_seq) memory per call, fine for serving
+                # windows but not for 128k-context tables. The grouped
+                # kernel streams scales per page, any table width.
+                mp_ok = (scales is None
+                         or block_tables.shape[1] * self.cache.page_size
+                         <= 8192)
+                if q.shape[3] % 128 == 0 and mp_ok:
                     out = paged_attention_decode(
                         q, kv[0], block_tables, seq_lens, scales,
                         **common)

@@ -46,22 +46,18 @@ class LogProbScorer:
 
     def score_batch(self, context_ids: Sequence[int],
                     candidates: Sequence[Sequence[int]]) -> List[float]:
-        """Score every candidate in ONE teacher-forced pass through the
-        engine's paged scorer (``Engine.score_nll`` with
-        ``starts=len(context)``) — one chunked-prefill program over the
-        whole batch instead of a per-token ``decode_forced`` loop per
-        candidate (which paid a dispatch + device->host read per
-        generated token)."""
-        out = [0.0] * len(candidates)
+        """Score every candidate in ONE teacher-forced pass: the
+        context prefills once, candidate rows share its pages by
+        refcount, and one chunked program scores all candidates
+        (``Engine.score_candidates_nll``) — instead of a per-token
+        ``decode_forced`` loop per candidate (a dispatch + host read
+        per generated token)."""
+        out = [-math.inf] * len(candidates)
         live = [(i, list(c)) for i, c in enumerate(candidates) if c]
-        for i, _ in ((i, c) for i, c in enumerate(candidates) if not c):
-            out[i] = -math.inf
         if not live:
             return out
-        ctx = list(context_ids)
-        prompts = [ctx + c for _, c in live]
-        nll = self.engine.score_nll(
-            prompts, starts=[len(ctx)] * len(live),
+        nll = self.engine.score_candidates_nll(
+            list(context_ids), [c for _, c in live],
             mean=self.length_normalize, allocators=[self._allocator])
         for (i, _), v in zip(live, nll):
             out[i] = -float(v)

@@ -53,12 +53,31 @@ import numpy as np
 
 from ..config import FrameworkConfig
 from ..engine.engine import Engine
-from ..engine.sampling import (BIAS_SLOTS, STOP_SLOTS, SamplingParams,
-                               bump_counts, request_key)
+from ..engine.sampling import (BIAS_SLOTS, STOP_SLOTS, SampleMode,
+                               SamplingParams, bump_counts, request_key)
 from ..kvcache.allocator import OutOfPagesError
 from ..kvcache.swap import gather_pages, scatter_pages
 from ..utils.common import cdiv
 from ..utils.logging import log_event
+
+
+def _union_mode(samplings) -> SampleMode:
+    """Compile mode = union of a batch's sampling features, shared by
+    the decode-burst plan and the batched prefill-finish sampler (one
+    definition so new sampler features cannot diverge between them)."""
+    ss = list(samplings)
+    return SampleMode(
+        greedy=all(s.temperature <= 0 for s in ss),
+        use_filter=any(s.top_k > 0 or s.top_p < 1.0 for s in ss),
+        use_min_p=any(s.min_p > 0.0 for s in ss),
+        use_eos_threshold=any(
+            s.eos_threshold > 0 and s.eos_token_id >= 0 for s in ss),
+        # capped candidate set only if EVERY row's k fits it (the
+        # capped filter clips k into [1, cap], which would corrupt
+        # rows running without top-k)
+        filter_cap=64 if all(0 < s.top_k <= 64 for s in ss) else 0,
+        use_penalties=any(s.has_penalties for s in ss),
+        use_logit_bias=any(s.logit_bias for s in ss))
 
 
 class RequestState(enum.Enum):
@@ -453,19 +472,34 @@ class Scheduler:
                                                         group[0].prefill)
                             else:
                                 self._run_prefill_gang1(group, chunk)
-                        except Exception as e:
+                        except Exception:
+                            # isolate the faulty request: a gang error
+                            # must not take down its co-admitted peers
+                            # (the gang mutates nothing until the device
+                            # call succeeds, so per-lane retry is safe)
                             for lane in group:
-                                lane.request.error = \
-                                    f"prefill failed: {e!r}"
-                                self._release(lane, RequestState.FAILED)
+                                try:
+                                    self._run_prefill_chunk(
+                                        lane, lane.prefill)
+                                except Exception as e:
+                                    lane.request.error = \
+                                        f"prefill failed: {e!r}"
+                                    self._release(lane,
+                                                  RequestState.FAILED)
             done = [(lane, lane.prefill) for lane in self.lanes
                     if lane.prefill is not None and lane.prefill.done]
             if done:
                 try:
                     self._finish_prefills(done)
-                except Exception as e:
-                    for lane, _ in done:
-                        if lane.request is not None:
+                except Exception:
+                    # isolate: retry each finish individually so one
+                    # faulty request cannot fail its co-admitted peers
+                    for lane, job in done:
+                        if lane.request is None:
+                            continue
+                        try:
+                            self._finish_prefill(lane, job)
+                        except Exception as e:
                             lane.request.error = f"prefill failed: {e!r}"
                             self._release(lane, RequestState.FAILED)
             return
@@ -587,8 +621,6 @@ class Scheduler:
         together). Per-request determinism holds via ``row_keys``:
         each row draws with ``request_key(seed, 0)`` regardless of
         which other lanes share the batch."""
-        from ..engine.sampling import SampleMode
-
         sample_pairs = []
         for lane, job in pairs:
             lane.prefill = None
@@ -608,16 +640,7 @@ class Scheduler:
             [j.final_logits for _, j in sample_pairs], axis=0)
         keys = jnp.stack([request_key(l.request.seed, 0)
                           for l, _ in sample_pairs])
-        mode = SampleMode(
-            greedy=all(s.temperature <= 0 for s in ss),
-            use_filter=any(s.top_k > 0 or s.top_p < 1.0 for s in ss),
-            use_min_p=any(s.min_p > 0.0 for s in ss),
-            use_eos_threshold=any(
-                s.eos_threshold > 0 and s.eos_token_id >= 0
-                for s in ss),
-            filter_cap=64 if all(0 < s.top_k <= 64 for s in ss) else 0,
-            use_penalties=any(s.has_penalties for s in ss),
-            use_logit_bias=any(s.logit_bias for s in ss))
+        mode = _union_mode(ss)
         counts = (jnp.stack([self._lane_hist(l.request)
                              for l, _ in sample_pairs])
                   if mode.use_penalties else None)
@@ -852,7 +875,11 @@ class Scheduler:
         trades worst-case admission latency for throughput; servers
         that prioritize TTFT can set it equal to ``decode_burst``."""
         burst = max(1, self.config.runtime.decode_burst)
-        if self.waiting.empty():
+        if self.waiting.empty() and not any(l.prefill is not None
+                                            for l in self.lanes):
+            # nothing queued AND nothing mid-prefill: a lane part-way
+            # through a long chunked prefill must keep its interleaving
+            # cadence or its TTFT inflates by burst_max/burst
             burst = max(burst, self.config.runtime.decode_burst_max)
         rem = max(l.request.max_new_tokens - len(l.request.tokens)
                   for l in active)
@@ -908,23 +935,7 @@ class Scheduler:
         samp_arrays["bias_vals"] = jnp.asarray(bias_vals)
         # compile mode = union of the active requests' features (at most
         # a handful of mode combinations ever get compiled)
-        from ..engine.sampling import SampleMode
-
-        active_s = [l.request.sampling or samp for l in active]
-        mode = SampleMode(
-            greedy=all(s.temperature <= 0 for s in active_s),
-            use_filter=any(s.top_k > 0 or s.top_p < 1.0 for s in active_s),
-            use_min_p=any(s.min_p > 0.0 for s in active_s),
-            use_eos_threshold=any(
-                s.eos_threshold > 0 and s.eos_token_id >= 0
-                for s in active_s),
-            # capped candidate set only if EVERY lane's k fits it (the
-            # capped filter clips k into [1, cap], which would corrupt
-            # lanes running without top-k)
-            filter_cap=64 if all(0 < s.top_k <= 64 for s in active_s)
-            else 0,
-            use_penalties=any(s.has_penalties for s in active_s),
-            use_logit_bias=any(s.logit_bias for s in active_s))
+        mode = _union_mode([l.request.sampling or samp for l in active])
         self._samp_cache = (key, samp_arrays, mode)
         return samp_arrays, mode
 

@@ -174,3 +174,36 @@ def test_cross_encoder_scorer_wired_end_to_end(tmp_path):
     # id-path equals text-path (the decode adapter is lossless here)
     direct = scorer.score_text("the quick brown fox", "jumps over")
     assert abs(scores[0] - direct) < 1e-6
+
+
+def test_score_candidates_nll_matches_separate_scoring(engine):
+    """Shared-context candidate scoring (context prefilled once, pages
+    refcount-shared) must equal scoring each context+candidate sequence
+    separately, and must leave no live pages behind."""
+    ctx = [3, 5, 7, 9, 11, 2, 4, 6, 8, 1, 3]      # crosses a page (8)
+    cands = [[7, 7], [1, 2, 3, 4, 5], [9]]
+    free_before = engine.allocator.num_free
+
+    got = engine.score_candidates_nll(ctx, cands, mean=False)
+    want = np.array([
+        engine.score_nll([ctx + c], starts=[len(ctx)], mean=False)[0]
+        for c in cands])
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+    got_m = engine.score_candidates_nll(ctx, cands, mean=True)
+    np.testing.assert_allclose(got_m, want / [len(c) for c in cands],
+                               atol=1e-4, rtol=1e-4)
+    assert engine.allocator.num_free == free_before
+
+
+def test_logprob_scorer_batch_matches_single(engine):
+    """score_batch == per-candidate score (both normalizations), with
+    empty candidates pinned to -inf."""
+    ctx = [2, 4, 6, 8, 10]
+    cands = [[5, 3], [], [1, 1, 1]]
+    for norm in (True, False):
+        s = LogProbScorer(engine, length_normalize=norm)
+        batch = s.score_batch(ctx, cands)
+        assert batch[1] == float("-inf")
+        for i in (0, 2):
+            assert abs(batch[i] - s.score(ctx, cands[i])) < 1e-4

@@ -474,34 +474,41 @@ def _decode_kernel(bt_ref, sl_ref, l_ref,          # scalar prefetch
     seq_len = sl_ref[b]
     layer = l_ref[0]
     n_pages = (seq_len + page_size - 1) // page_size
-    if window > 0:
-        # decode q position is seq_len-1: keys > q_pos - window visible
-        lo = jnp.maximum(seq_len - window, 0)
-        first = lo // page_size
-    else:
-        first = jnp.int32(0)
 
-    def kv_dma(slot, i):
-        pid = bt_ref[b, i]
+    def first_page(sl):
+        if window > 0:
+            # decode q position is sl-1: keys > q_pos - window visible
+            return jnp.maximum(sl - window, 0) // page_size
+        return jnp.int32(0)
+
+    first = first_page(seq_len)
+
+    def kv_dma(slot, b_, i):
+        pid = bt_ref[b_, i]
         src = (kv_hbm.at[layer, :, :, pid] if pooled
                else kv_hbm.at[:, :, pid])
         return pltpu.make_async_copy(src, kv_buf.at[slot], sem.at[slot])
 
-    def start(slot, i):
-        kv_dma(slot, i).start()
+    def start(slot, b_, i):
+        kv_dma(slot, b_, i).start()
 
-    start(first % 2, first)
+    # program b-1 prefetched this program's first page (see the end of
+    # the kernel); only program 0 fetches its own
+    @pl.when(b == 0)
+    def _warmup():
+        start(jax.lax.rem(first, 3), b, first)
+
     q = q_ref[0].astype(jnp.float32) * scale       # [KH, rows, dh]
 
     def body(i, carry):
         m, l, acc = carry
-        slot = jax.lax.rem(i, 2)
+        slot = jax.lax.rem(i, 3)
 
         @pl.when(i + 1 < n_pages)
         def _prefetch():
-            start(jax.lax.rem(i + 1, 2), i + 1)
+            start(jax.lax.rem(i + 1, 3), b, i + 1)
 
-        kv_dma(slot, i).wait()
+        kv_dma(slot, b, i).wait()
         kv = kv_buf[slot].astype(jnp.float32)      # [2, KH, pg, dh]
         if quantized:
             kv = kv * sc_ref[0, i][..., None]
@@ -533,6 +540,18 @@ def _decode_kernel(bt_ref, sl_ref, l_ref,          # scalar prefetch
     l0 = jnp.zeros((KH, rows, 1), jnp.float32)
     acc0 = jnp.zeros((KH, rows, dh), jnp.float32)
     _, l, acc = jax.lax.fori_loop(first, n_pages, body, (m0, l0, acc0))
+
+    # cross-program software pipelining: start the NEXT sequence's
+    # first-page DMA now, so the weight stream never drains between
+    # grid programs. Triple buffering makes the target slot distinct
+    # from the two pages this program may still be holding; every DMA
+    # issued above has already been waited here.
+    @pl.when(b + 1 < pl.num_programs(0))
+    def _prefetch_next_seq():
+        sl_n = sl_ref[b + 1]
+        f_n = first_page(sl_n)
+        start(jax.lax.rem(f_n, 3), b + 1, f_n)
+
     l_safe = jnp.where(l == 0.0, 1.0, l)
     out_ref[0] = (acc / l_safe).astype(out_ref.dtype)
 
@@ -589,8 +608,10 @@ def paged_attention_decode(q: jax.Array, kv_pages: jax.Array,
         pl.BlockSpec(memory_space=pl.ANY),
     ]
     inputs = [qr, kv_pages]
-    scratch = [pltpu.VMEM((2, 2, KH, page_size, dh), kv_pages.dtype),
-               pltpu.SemaphoreType.DMA((2,))]
+    # 3 buffers: double buffering within a sequence + a safe slot for
+    # the cross-program prefetch of the next sequence's first page
+    scratch = [pltpu.VMEM((3, 2, KH, page_size, dh), kv_pages.dtype),
+               pltpu.SemaphoreType.DMA((3,))]
     if quantized:
         # gather each sequence's page scales up front (an XLA gather;
         # a few KB per sequence) and pipeline them as a VMEM block

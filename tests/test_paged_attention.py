@@ -459,3 +459,51 @@ def test_decode_grouped_window_pooled():
         group_pages=3, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-6, rtol=2e-6)
+
+
+def test_decode_fastpath_longcontext_dispatch():
+    """Quantized decode with a >8k-token block table must route to the
+    grouped kernel (the manual-DMA kernel's scales gather is
+    O(max_pages_per_seq) VMEM) and still match the dense oracle."""
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.engine.paged_backend import (
+        PagedKVBackend,
+    )
+
+    cfg = preset("llama-tiny")
+    cfg.hidden_size, cfg.head_dim = 512, 128
+    cfg.num_heads, cfg.num_kv_heads = 4, 2
+    cfg.dtype = "float32"
+    # 256 pages/seq x page 64 = 16k-token tables > the 8k threshold
+    cache = CacheConfig(page_size=64, num_pages=8, max_pages_per_seq=256,
+                        kv_dtype="int8")
+    paged = PagedKVBackend(cfg, cache, interpret=True)
+    kv = paged.init_cache()
+
+    B, T = 1, 33
+    rng = np.random.default_rng(9)
+    k = jnp.asarray(rng.normal(size=(B, T, 2, 128)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, T, 2, 128)), jnp.float32)
+    q = jnp.asarray(rng.normal(size=(B, 1, 4, 128)), jnp.float32)
+
+    bt = np.zeros((B, 256), np.int32)
+    bt[0, :2] = [3, 5]
+    bt = jnp.asarray(bt)
+    pos = jnp.arange(T)[None, :]
+    attn = paged.make_attn_fn(bt, jnp.asarray([T]), jnp.asarray([0]))
+    _, kv = attn(jnp.zeros((B, T, 4, 128), jnp.float32), k, v, kv,
+                 0, pos)
+
+    attn2 = paged.make_attn_fn(bt, jnp.asarray([T + 1]), jnp.asarray([T]))
+    k1 = jnp.asarray(rng.normal(size=(B, 1, 2, 128)), jnp.float32)
+    v1 = jnp.asarray(rng.normal(size=(B, 1, 2, 128)), jnp.float32)
+    out, kv = attn2(q, k1, v1, kv, 0, jnp.asarray([[T]]))
+
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.kvcache.pool import (
+        gather_kv_dense,
+    )
+    layer0 = tuple(x[0] for x in kv)
+    k_d, v_d = gather_kv_dense(layer0, bt, T + 1)
+    ref = dense_attention(q, k_d, v_d, jnp.asarray([[T]]),
+                          jnp.asarray([T + 1]), 1.0 / np.sqrt(128))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-2, rtol=5e-2)

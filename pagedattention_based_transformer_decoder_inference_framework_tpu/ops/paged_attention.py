@@ -458,7 +458,8 @@ def _decode_kernel(bt_ref, sl_ref, l_ref,          # scalar prefetch
                    q_ref,                          # VMEM [1, KH, rows, dh]
                    *rest,
                    page_size: int, scale: float, quantized: bool,
-                   pooled: bool, window: int, softcap: float):
+                   pooled: bool, window: int, softcap: float,
+                   xprefetch: bool = True):
     rest = list(rest)
     kv_hbm = rest.pop(0)
     # per-sequence gathered scales ride a normal VMEM block (manual HBM
@@ -494,7 +495,7 @@ def _decode_kernel(bt_ref, sl_ref, l_ref,          # scalar prefetch
 
     # program b-1 prefetched this program's first page (see the end of
     # the kernel); only program 0 fetches its own
-    @pl.when(b == 0)
+    @pl.when(b == 0 if xprefetch else b >= 0)
     def _warmup():
         start(jax.lax.rem(first, 3), b, first)
 
@@ -546,11 +547,12 @@ def _decode_kernel(bt_ref, sl_ref, l_ref,          # scalar prefetch
     # grid programs. Triple buffering makes the target slot distinct
     # from the two pages this program may still be holding; every DMA
     # issued above has already been waited here.
-    @pl.when(b + 1 < pl.num_programs(0))
-    def _prefetch_next_seq():
-        sl_n = sl_ref[b + 1]
-        f_n = first_page(sl_n)
-        start(jax.lax.rem(f_n, 3), b + 1, f_n)
+    if xprefetch:
+        @pl.when(b + 1 < pl.num_programs(0))
+        def _prefetch_next_seq():
+            sl_n = sl_ref[b + 1]
+            f_n = first_page(sl_n)
+            start(jax.lax.rem(f_n, 3), b + 1, f_n)
 
     l_safe = jnp.where(l == 0.0, 1.0, l)
     out_ref[0] = (acc / l_safe).astype(out_ref.dtype)
@@ -632,10 +634,13 @@ def paged_attention_decode(q: jax.Array, kv_pages: jax.Array,
                                lambda b, *_: (b, 0, 0, 0)),
         scratch_shapes=scratch,
     )
+    import os
+
     kernel = functools.partial(
         _decode_kernel, page_size=page_size, scale=scale,
         quantized=quantized, pooled=pooled, window=window,
-        softcap=softcap)
+        softcap=softcap,
+        xprefetch=os.environ.get("PBT_DECODE_XPREFETCH", "1") == "1")
     layer_arr = jnp.asarray(
         [0 if layer is None else layer], jnp.int32).reshape(1)
 

@@ -640,7 +640,12 @@ def paged_attention_decode(q: jax.Array, kv_pages: jax.Array,
         _decode_kernel, page_size=page_size, scale=scale,
         quantized=quantized, pooled=pooled, window=window,
         softcap=softcap,
-        xprefetch=os.environ.get("PBT_DECODE_XPREFETCH", "1") == "1")
+        # cross-sequence first-page prefetch measured neutral-to-slightly
+        # negative at serving depths (2 pages/seq: A/B 0.899 vs 0.908 of
+        # roofline) — the extra scalar work outweighs the hidden DMA
+        # until sequences span many pages. Off by default; long-context
+        # deployments can flip it.
+        xprefetch=os.environ.get("PBT_DECODE_XPREFETCH", "0") == "1")
     layer_arr = jnp.asarray(
         [0 if layer is None else layer], jnp.int32).reshape(1)
 

@@ -108,6 +108,49 @@ def main():
                   lambda c: w8_matmul(c, wq, ws, bn=2048, bk=512),
                   x, K * N, args.iters)
 
+    # ---- int4 weight candidates (half the bytes of int8) ----
+    try:
+        w4 = jnp.clip(jnp.round(w * 7), -7, 7).astype(jnp.int4)
+        jax.block_until_ready(w4)
+
+        bench_variant("xla w4(int4) widen+dot",
+                      lambda c: jnp.dot(c, w4.astype(jnp.bfloat16),
+                                        preferred_element_type=jnp.float32
+                                        ).astype(jnp.bfloat16),
+                      x, K * N // 2, args.iters)
+
+        def xla_w4a8(c):
+            q = quantize_per_row(c)
+            y = jnp.dot(q.values, w4.astype(jnp.int8),
+                        preferred_element_type=jnp.int32)
+            return (y.astype(jnp.float32) * q.scales * ws
+                    ).astype(jnp.bfloat16)
+
+        bench_variant("xla s8 x s4->s8 dot", xla_w4a8, x, K * N // 2,
+                      args.iters)
+    except Exception as e:
+        print("int4 native unsupported:", repr(e)[:160])
+
+    # packed nibbles in an int8 carrier [K, N//2], unpacked in XLA
+    try:
+        rng4 = np.random.default_rng(4)
+        wpk = jnp.asarray(
+            rng4.integers(-128, 128, (K, N // 2)), jnp.int8)
+
+        def unpack_dot(c):
+            lo4 = (wpk & 0xF) - 8                      # [K, N/2] int8
+            hi4 = ((wpk >> 4) & 0xF) - 8
+            wfull = jnp.stack([lo4, hi4], -1).reshape(
+                K, N).astype(jnp.bfloat16)
+            return jnp.dot(c, wfull,
+                           preferred_element_type=jnp.float32
+                           ).astype(jnp.bfloat16)
+
+        bench_variant("xla packed-s8 nibble unpack+dot", unpack_dot,
+                      x, K * N // 2, args.iters)
+    except Exception as e:
+        print("packed nibble unsupported:", repr(e)[:160])
+
     bench_variant("w8 pallas bn2048 bk1024",
                   lambda c: w8_matmul(c, wq, ws, bn=2048, bk=1024),
                   x, K * N, args.iters)

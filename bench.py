@@ -61,7 +61,7 @@ def main() -> None:
     # roofline) vs 340.6 (0.893) for int8-weight on the same run; PPL
     # delta is validated in BENCHMARKS.md (+0.03% relative).
     ap.add_argument("--quant", default="int8",
-                    choices=("none", "int8", "int8-weight"))
+                    choices=("none", "int8", "int8-weight", "int4"))
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--page-size", type=int, default=64)
     ap.add_argument("--no-fallback", action="store_true")

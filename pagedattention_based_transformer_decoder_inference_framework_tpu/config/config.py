@@ -127,7 +127,7 @@ class ModelConfig:
         assert self.activation in ("gelu", "relu", "swiglu", "silu",
                                    "geglu")
         assert self.position in ("learned", "rope")
-        assert self.quant in ("none", "int8", "int8-weight")
+        assert self.quant in ("none", "int8", "int8-weight", "int4")
         assert self.sliding_window_pattern >= 1
         if self.post_norms:
             assert self.norm == "rmsnorm", "post_norms: rmsnorm only"

@@ -102,18 +102,27 @@ class Engine:
         self.allocator = self.allocators[0]   # dp=1 convenience alias
         if params is not None:
             self.params = params
-        elif self.cfg.quant in ("int8", "int8-weight"):
+        elif self.cfg.quant in ("int8", "int8-weight", "int4"):
             # layerwise quantized init: peak memory = one layer's f32
+            # (int4 starts from the int8 init and repacks post-fusion)
             from ..models.model import init_params_quantized
 
             self.params = init_params_quantized(self.cfg,
                                                 jax.random.key(seed))
         else:
             self.params = init_params(self.cfg, jax.random.key(seed))
-        if self.cfg.quant in ("int8", "int8-weight"):
+        if self.cfg.quant in ("int8", "int8-weight", "int4"):
             from ..models.model import quantize_params
 
             self.params = quantize_params(self.params)  # no-op if already
+        if self.cfg.quant == "int4":
+            assert mesh is None, (
+                "int4 weights are single-device for now (the nibble-"
+                "packed layout is not TP-sharded)")
+            assert not self.runtime.scan_layers, (
+                "int4 repacking needs unrolled layers")
+            assert not self.runtime.megakernel, (
+                "int4 has no chain-megakernel variant")
 
         if mesh is not None:
             # TP layout over the mesh: pad vocab so it divides tp,
@@ -148,6 +157,12 @@ class Engine:
                 self.params = unstack_layers(self.params)
                 if self.runtime.fuse_projections:
                     self.params = fuse_projections(self.params)
+            if self.cfg.quant == "int4":
+                # repack matmul weights to nibble-packed int4 with
+                # group-wise scales (idempotent on re-wrapped params)
+                from ..models.model import quantize_params_int4
+
+                self.params = quantize_params_int4(self.params)
             if self.runtime.megakernel:
                 from ..models.chained import (build_decode_chains,
                                               chains_supported)

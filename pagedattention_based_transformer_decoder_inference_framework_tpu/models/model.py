@@ -32,7 +32,7 @@ from ..config import ModelConfig
 from ..ops.common import activation_fn, layernorm, rmsnorm
 from ..ops.linear import linear
 from ..ops.rope import apply_rope, rope_table
-from ..quant.tensor import QTensor, quantize_per_channel
+from ..quant.tensor import Q4Tensor, QTensor, quantize_per_channel
 from ..utils.common import jnp_dtype
 
 Params = Dict[str, Any]
@@ -324,7 +324,8 @@ def quantize_params(params: Params, lm_head: bool = True) -> Params:
     def quant_dict(layers: Params) -> Params:
         layers = dict(layers)
         for k in quant_keys:
-            if k in layers and not isinstance(layers[k], QTensor):
+            if k in layers and not isinstance(layers[k],
+                                              (QTensor, Q4Tensor)):
                 layers[k] = quantize_per_channel(layers[k])
         return layers
 
@@ -333,8 +334,47 @@ def quantize_params(params: Params, lm_head: bool = True) -> Params:
         out["layers"] = tuple(quant_dict(lp) for lp in params["layers"])
     else:
         out["layers"] = quant_dict(params["layers"])
-    if lm_head and "lm_head" in params and not isinstance(params["lm_head"], QTensor):
+    if lm_head and "lm_head" in params and not isinstance(
+            params["lm_head"], (QTensor, Q4Tensor)):
         out["lm_head"] = quantize_per_channel(params["lm_head"])
+    return out
+
+
+def quantize_params_int4(params: Params, group: int = 128,
+                         lm_head: bool = True) -> Params:
+    """Convert matmul weights to nibble-packed INT4 with group-wise
+    scales (``quant/tensor.py:Q4Tensor``) — HALF the weight bytes of
+    INT8, which is the whole story for HBM-bound decode (BENCHMARKS.md
+    round 3: int8 already streams at the chip's sustained-bandwidth
+    floor). Runs on the engine's unstacked/fused layout, one weight at
+    a time (peak transient = one f32 weight); existing INT8 QTensors
+    are dequantized first (double-rounding int8->int4 costs ~nothing
+    against int4's own step size). Norms/biases/embedding stay float;
+    MoE expert stacks keep INT8 (not wired)."""
+    from ..quant.tensor import dequantize, quantize_int4_groupwise
+
+    keys = set(_QUANT_KEYS) | {"w_qkv", "w_gu"}
+
+    def to4(w):
+        if isinstance(w, Q4Tensor):
+            return w
+        if isinstance(w, QTensor):
+            w = dequantize(w)
+        return quantize_int4_groupwise(w, group=group)
+
+    def conv_dict(lp: Params) -> Params:
+        lp = dict(lp)
+        for k in keys:
+            if k in lp and not str(k).startswith("we_"):
+                lp[k] = to4(lp[k])
+        return lp
+
+    assert isinstance(params["layers"], (tuple, list)), (
+        "int4 conversion runs after unstack_layers")
+    out = dict(params)
+    out["layers"] = tuple(conv_dict(lp) for lp in params["layers"])
+    if lm_head and "lm_head" in params:
+        out["lm_head"] = to4(params["lm_head"])
     return out
 
 

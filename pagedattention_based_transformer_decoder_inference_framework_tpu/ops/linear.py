@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 import os
 
-from ..quant.tensor import QTensor, quantize_per_row
+from ..quant.tensor import Q4Tensor, QTensor, quantize_per_row
 from .common import activation_fn
 
 
@@ -43,6 +43,18 @@ def linear(x: jax.Array, w, bias: Optional[jax.Array] = None,
       semantics, ``attention_cpu/dnnl_matmul_int8.cpp:39-52``).
     """
     out_dtype = x.dtype
+    if isinstance(w, Q4Tensor):
+        # INT4 weights have no XLA path at all on this backend (s4 is
+        # UNIMPLEMENTED): always the Pallas fused unpack+matmul
+        from ..utils.platform import default_interpret
+        from .int4_matmul import w4_matmul
+
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
+        y = w4_matmul(x2, w.packed, w.scales, bias, group=w.group,
+                      bn=w.bn, act=act, out_dtype=out_dtype,
+                      interpret=default_interpret())
+        return y.reshape(*lead, y.shape[-1])
     if isinstance(w, QTensor) and _use_pallas_mm():
         from ..utils.platform import on_tpu
 

@@ -39,7 +39,8 @@ from .common import activation_fn
 
 
 def _w4_kernel(x_ref, w_ref, sc_ref, b_ref, o_ref, acc_scr, *,
-               act: Optional[str], has_bias: bool, group: int):
+               act: Optional[str], has_bias: bool, group: int,
+               mxu_dtype):
     k = pl.program_id(2)
     nk = pl.num_programs(2)
     bk = x_ref.shape[1]
@@ -59,15 +60,19 @@ def _w4_kernel(x_ref, w_ref, sc_ref, b_ref, o_ref, acc_scr, *,
     wf = w_ref[...].astype(jnp.float32)        # [bk, bn/2]
     hi = jnp.floor(wf * (1.0 / 16.0))          # signed high nibble
     lo_u = wf - hi * 16.0                      # low nibble + 8
-    # weights stay f32 (no bf16 round-trip casts): at decode batch the
-    # MXU is idle either way, and two fewer VPU passes over the block
-    # matter — the kernel is VPU-bound, not DMA- or MXU-bound
+    # decode (few rows): operands stay f32 — the MXU is idle either way
+    # and two fewer VPU casts matter (the kernel is VPU-bound, not DMA-
+    # or MXU-bound). Prefill (many rows): bf16 operands, or the f32 MXU
+    # rate dominates.
+    if mxu_dtype != jnp.float32:
+        hi = hi.astype(mxu_dtype)
+        lo_u = lo_u.astype(mxu_dtype)
 
-    x = x_ref[...].astype(jnp.float32)
+    x = x_ref[...].astype(mxu_dtype)
     G = bk // group
     for g in range(G):
         xg = x[:, g * group:(g + 1) * group]
-        rs = jnp.sum(xg, axis=1, keepdims=True)
+        rs = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
         pl_ = jax.lax.dot_general(
             xg, lo_u[g * group:(g + 1) * group],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
@@ -136,10 +141,11 @@ def w4_matmul(x: jax.Array, packed: jax.Array, scales: jax.Array,
         sc = jnp.pad(sc, ((0, 0), (0, R - G), (0, 0)))
     sc = sc.reshape(nk * R, N)
 
+    mxu_dtype = jnp.float32 if M <= 32 else jnp.bfloat16
     grid = (Mp // bm, N // bn, K // bk)
     out = pl.pallas_call(
         functools.partial(_w4_kernel, act=act, has_bias=has_bias,
-                          group=group),
+                          group=group, mxu_dtype=mxu_dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),

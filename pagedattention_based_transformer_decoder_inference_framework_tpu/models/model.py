@@ -360,22 +360,23 @@ def quantize_params_int4(params: Params, group: int = 128,
             return w
         if isinstance(w, QTensor):
             w = dequantize(w)
-        return quantize_int4_groupwise(w, group=group)
-
-    def conv_dict(lp: Params) -> Params:
-        lp = dict(lp)
-        for k in keys:
-            if k in lp and not str(k).startswith("we_"):
-                lp[k] = to4(lp[k])
-        return lp
+        out = quantize_int4_groupwise(w, group=group)
+        jax.block_until_ready(out.packed)
+        return out
 
     assert isinstance(params["layers"], (tuple, list)), (
         "int4 conversion runs after unstack_layers")
-    out = dict(params)
-    out["layers"] = tuple(conv_dict(lp) for lp in params["layers"])
+    # mutate the layer dicts IN PLACE so each int8 original frees as
+    # soon as its int4 replacement exists — a copy-then-replace pass
+    # would hold int8 + int4 + an f32 transient simultaneously, which
+    # OOMs an 8B model on a 16 GB chip
+    for lp in params["layers"]:
+        for k in keys:
+            if k in lp and not str(k).startswith("we_"):
+                lp[k] = to4(lp.pop(k))
     if lm_head and "lm_head" in params:
-        out["lm_head"] = to4(params["lm_head"])
-    return out
+        params["lm_head"] = to4(params.pop("lm_head"))
+    return params
 
 
 @dataclasses.dataclass(frozen=True)

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..quant.tensor import QTensor
+from ..quant.tensor import Q4Tensor, QTensor
 
 try:
     import ml_dtypes
@@ -62,6 +62,11 @@ def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
     if isinstance(tree, QTensor):
         out[prefix + ".qvalues"] = np.asarray(tree.values)
         out[prefix + ".qscales"] = np.asarray(tree.scales)
+    elif isinstance(tree, Q4Tensor):
+        out[prefix + ".q4packed"] = np.asarray(tree.packed)
+        out[prefix + ".q4scales"] = np.asarray(tree.scales)
+        out[prefix + ".q4meta"] = np.asarray([tree.group, tree.bn],
+                                             np.int64)
     elif isinstance(tree, dict):
         for k, v in tree.items():
             out.update(_flatten(v, f"{prefix}{_SEP}{k}" if prefix else k))
@@ -79,15 +84,21 @@ def load_params(path: str, dtype=None) -> Any:
     tree: Dict[str, Any] = {}
     qt: Dict[str, Dict[str, np.ndarray]] = {}
     for key, v in data.items():
-        if key.endswith(".qvalues") or key.endswith(".qscales"):
+        if key.endswith((".qvalues", ".qscales", ".q4packed",
+                         ".q4scales", ".q4meta")):
             base, kind = key.rsplit(".", 1)
             qt.setdefault(base, {})[kind] = v
             continue
         _insert(tree, key.split(_SEP), _cast(v, dtype))
     for base, parts in qt.items():
-        _insert(tree, base.split(_SEP),
-                QTensor(jnp.asarray(parts["qvalues"]),
-                        jnp.asarray(parts["qscales"])))
+        if "q4packed" in parts:
+            group, bn = (int(x) for x in parts["q4meta"])
+            leaf = Q4Tensor(jnp.asarray(parts["q4packed"]),
+                            jnp.asarray(parts["q4scales"]), group, bn)
+        else:
+            leaf = QTensor(jnp.asarray(parts["qvalues"]),
+                           jnp.asarray(parts["qscales"]))
+        _insert(tree, base.split(_SEP), leaf)
     return tree
 
 

@@ -129,3 +129,25 @@ def test_int4_ppl_close_to_fp(tmp_path):
     nll_4 = eng4.score_nll(seqs)
     rel = np.abs(nll_4 - nll_f) / np.abs(nll_f)
     assert (rel < 0.05).all(), (nll_f, nll_4)
+
+
+def test_int4_checkpoint_roundtrip(tmp_path):
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.models.checkpoint import (
+        load_params,
+        save_params,
+    )
+
+    rng = np.random.default_rng(4)
+    w = jnp.asarray(rng.normal(size=(128, 256)), jnp.float32)
+    q4 = quantize_int4_groupwise(w, group=64)
+    params = {"layers": {"w_qkv": q4, "ln1_scale": jnp.ones((8,))}}
+    path = str(tmp_path / "ck.npz")
+    save_params(params, path)
+    back = load_params(path)
+    q = back["layers"]["w_qkv"]
+    assert isinstance(q, Q4Tensor)
+    assert q.group == 64 and q.bn == q4.bn
+    np.testing.assert_array_equal(np.asarray(q.packed),
+                                  np.asarray(q4.packed))
+    np.testing.assert_allclose(np.asarray(q.scales),
+                               np.asarray(q4.scales))

@@ -95,7 +95,12 @@ def ppl_delta_report(cfg: ModelConfig, params: Params,
     report = {"fp": _ppl(fcfg, params)}
     qparams = quantize_params(params)
     for mode in modes:
+        assert mode != "int4" or backend == "paged", (
+            "int4 runs through the engine (paged backend): the dense "
+            "oracle's scanned stacked layers have no nibble layout")
         qcfg = dataclasses.replace(cfg, quant=mode)
+        # int4: the engine repacks the int8 QTensors group-wise at
+        # build (double rounding is ~free against int4's step size)
         report[mode] = _ppl(qcfg, qparams)
         report[f"{mode}_delta"] = report[mode] - report["fp"]
     return report
@@ -152,7 +157,10 @@ def main() -> None:
         rng = np.random.default_rng(args.seed)
         seqs = rng.integers(0, cfg.vocab_size,
                             (args.num_seqs, args.seq_len)).tolist()
-    print(json.dumps(ppl_delta_report(cfg, params, seqs,
+    modes = ("int8", "int8-weight")
+    if args.backend == "paged":
+        modes = modes + ("int4",)
+    print(json.dumps(ppl_delta_report(cfg, params, seqs, modes=modes,
                                       backend=args.backend), indent=2))
 
 

@@ -143,14 +143,17 @@ def quantize_int4_groupwise(w: jax.Array, group: int = 128,
     K, N = w.shape
     group = min(group, K)
     assert K % group == 0, (K, group)
-    if N % 128 == 0:
-        # bn must divide N (block-local packing): largest 128-multiple
-        # divisor under the cap — a 128256-column LM head gets 768
-        bn = max(d for d in range(128, min(N, bn) + 1, 128)
-                 if N % d == 0)
+    # bn must divide N (block-local packing) AND bn/2 must be
+    # lane-aligned (the kernel's carrier block is [bk, bn/2]): largest
+    # 256-multiple divisor under the cap — a 128256-column LM head
+    # gets 768. Fallback: one full-width block (bn = N covers the
+    # whole carrier, which Pallas allows at any width).
+    cands = [d for d in range(256, min(N, bn) + 1, 256) if N % d == 0]
+    if cands:
+        bn = max(cands)
     else:
         assert N % 2 == 0, N
-        bn = N          # tiny/test dims: one full-width block
+        bn = N
     w32 = w.astype(jnp.float32).reshape(K // group, group, N)
     absmax = jnp.max(jnp.abs(w32), axis=1, keepdims=True)
     scale = jnp.maximum(absmax, 1e-8) / 7.0

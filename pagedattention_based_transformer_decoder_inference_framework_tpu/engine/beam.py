@@ -51,23 +51,11 @@ def _copy_pages_fn(engine: Engine):
     if engine._copy_pages_fn is not None:
         return engine._copy_pages_fn
 
+    from ..kvcache.pool import copy_pages_tree
+
     @functools.partial(jax.jit, donate_argnums=(0,))
     def copy_pages(kv, src, dst):
-        def copy_leaf(leaf):
-            ax = leaf.ndim - 3                   # pages axis (PAGES_AXIS)
-
-            def body(leaf, i):
-                s, d = src[i], dst[i]
-                sizes = leaf.shape[:ax] + (1,) + leaf.shape[ax + 1:]
-                start = (0,) * ax + (s,) + (0,) * (leaf.ndim - ax - 1)
-                page = jax.lax.dynamic_slice(leaf, start, sizes)
-                dstart = (0,) * ax + (d,) + (0,) * (leaf.ndim - ax - 1)
-                return jax.lax.dynamic_update_slice(leaf, page, dstart), None
-
-            leaf, _ = jax.lax.scan(body, leaf, jnp.arange(src.shape[0]))
-            return leaf
-
-        return jax.tree_util.tree_map(copy_leaf, kv)
+        return copy_pages_tree(kv, src, dst)
 
     engine._copy_pages_fn = copy_pages
     return copy_pages

@@ -940,11 +940,27 @@ class Engine:
         assert cdiv(int(lens.max()), page) <= self.cache.max_pages_per_seq
 
         rows_pages: List[List[int]] = []
-        for c in candidates:
-            shared = alloc.fork(ctx_pages[:n_shared])
-            fresh = alloc.alloc_many(
-                cdiv(L + len(c), page) - n_shared)
-            rows_pages.append(shared + fresh)
+        try:
+            for c in candidates:
+                shared = alloc.fork(ctx_pages[:n_shared])
+                try:
+                    fresh = alloc.alloc_many(
+                        cdiv(L + len(c), page) - n_shared)
+                except Exception:
+                    for p in shared:
+                        alloc.free(p)
+                    raise
+                rows_pages.append(shared + fresh)
+        except Exception:
+            # release everything acquired so far (incl. the context
+            # row) — a partial failure must not leak pages from the
+            # caller's (possibly private) allocator
+            for ps in rows_pages:
+                for p in ps:
+                    alloc.free(p)
+            for p in ctx_pages:
+                alloc.free(p)
+            raise
         for p in ctx_pages:                # release the context row
             alloc.free(p)
         bt = jnp.asarray(self._block_tables(rows_pages))
@@ -1124,22 +1140,9 @@ class Engine:
             # the previous selection's COW page copies (dump-page
             # self-copies in unused slots) execute first inside the
             # same program — one dispatch per beam step, not two
-            def copy_leaf(leaf):
-                ax = leaf.ndim - 3                 # pages axis
+            from ..kvcache.pool import copy_pages_tree
 
-                def body(leaf, i):
-                    s, d = copies_src[i], copies_dst[i]
-                    sizes = leaf.shape[:ax] + (1,) + leaf.shape[ax + 1:]
-                    start = (0,) * ax + (s,) + (0,) * (leaf.ndim - ax - 1)
-                    pg = jax.lax.dynamic_slice(leaf, start, sizes)
-                    dst = (0,) * ax + (d,) + (0,) * (leaf.ndim - ax - 1)
-                    return jax.lax.dynamic_update_slice(leaf, pg, dst), None
-
-                leaf, _ = jax.lax.scan(body, leaf,
-                                       jnp.arange(copies_src.shape[0]))
-                return leaf
-
-            kv = jax.tree_util.tree_map(copy_leaf, kv)
+            kv = copy_pages_tree(kv, copies_src, copies_dst)
             attn = backend.make_attn_fn(block_tables, seq_lens + 1,
                                         seq_lens)
             logits, kv = model.forward(params, tokens[:, None],

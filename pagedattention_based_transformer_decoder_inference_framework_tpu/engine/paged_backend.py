@@ -81,11 +81,18 @@ class PagedKVBackend:
                 window = self.cfg.sliding_window
             # num_q_heads from q itself: under TP (shard_map) the local
             # head count is num_heads / tp, not cfg.num_heads.
-            if q.shape[1] == 1 and score_sink is None:
+            if (q.shape[1] == 1 and score_sink is None
+                    and gather_axis is None):
                 # decode fast paths (grid programs per page dominate
                 # decode cost — BENCHMARKS.md round 3): lane-aligned
                 # head_dim streams pages via in-kernel manual DMA,
-                # grid (B,); otherwise J block-table pages per program
+                # grid (B,); otherwise J block-table pages per program.
+                # These kernels assume the lone query IS the newest
+                # token (mask = key < seq_len), which holds for every
+                # T=1 caller except sequence-parallel prefill shards
+                # (gather_axis), whose local chunk can be 1 token at an
+                # earlier absolute position — those keep the general
+                # kernel's exact q_offsets masking.
                 common = dict(
                     layer=layer, page_size=self.cache.page_size,
                     num_q_heads=q.shape[2], window=window,

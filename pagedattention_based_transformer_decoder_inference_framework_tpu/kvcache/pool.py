@@ -165,3 +165,27 @@ def gather_kv_dense(kv_layer, block_tables: jax.Array, max_len: int):
     g = g.reshape(2, KH, B, n_pages * page_size, D)[:, :, :, :max_len]
     g = jnp.moveaxis(g, (0, 1, 2, 3), (0, 3, 1, 2))    # [2, B, max_len, KH, D]
     return g[0], g[1]
+
+
+def copy_pages_tree(kv, src, dst):
+    """Device copy of pool pages ``src[i] -> dst[i]`` on every leaf
+    (values + scales) — the beam-search COW primitive, shared by the
+    fused expansion step and the standalone copy program so the pool
+    layout is encoded once."""
+    import jax
+
+    def copy_leaf(leaf):
+        ax = leaf.ndim - 3                    # PAGES_AXIS in leaf terms
+
+        def body(leaf, i):
+            s, d = src[i], dst[i]
+            sizes = leaf.shape[:ax] + (1,) + leaf.shape[ax + 1:]
+            start = (0,) * ax + (s,) + (0,) * (leaf.ndim - ax - 1)
+            page = jax.lax.dynamic_slice(leaf, start, sizes)
+            dstart = (0,) * ax + (d,) + (0,) * (leaf.ndim - ax - 1)
+            return jax.lax.dynamic_update_slice(leaf, page, dstart), None
+
+        leaf, _ = jax.lax.scan(body, leaf, jnp.arange(src.shape[0]))
+        return leaf
+
+    return jax.tree_util.tree_map(copy_leaf, kv)

@@ -41,6 +41,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..utils.common import round_up
 
+import os
+
+# cross-sequence first-page prefetch in the decode kernel: read ONCE at
+# import (the flag reaches the kernel at trace time, so flipping the
+# env var mid-process would be silently ignored by the jit cache —
+# A/B it across processes). Measured neutral at serving depths
+# (BENCHMARKS.md round 3); long-context deployments can enable it.
+_DECODE_XPREFETCH = os.environ.get("PBT_DECODE_XPREFETCH", "0") == "1"
+
+
 
 def _attend(q, k, v, m_scr, l_scr, acc_scr, mask, row_valid=None,
             softcap: float = 0.0):
@@ -634,18 +644,10 @@ def paged_attention_decode(q: jax.Array, kv_pages: jax.Array,
                                lambda b, *_: (b, 0, 0, 0)),
         scratch_shapes=scratch,
     )
-    import os
-
     kernel = functools.partial(
         _decode_kernel, page_size=page_size, scale=scale,
         quantized=quantized, pooled=pooled, window=window,
-        softcap=softcap,
-        # cross-sequence first-page prefetch measured neutral-to-slightly
-        # negative at serving depths (2 pages/seq: A/B 0.899 vs 0.908 of
-        # roofline) — the extra scalar work outweighs the hidden DMA
-        # until sequences span many pages. Off by default; long-context
-        # deployments can flip it.
-        xprefetch=os.environ.get("PBT_DECODE_XPREFETCH", "0") == "1")
+        softcap=softcap, xprefetch=_DECODE_XPREFETCH)
     layer_arr = jnp.asarray(
         [0 if layer is None else layer], jnp.int32).reshape(1)
 

@@ -652,10 +652,17 @@ class Scheduler:
             **arrays))
         now = time.time()
         for (lane, job), tok in zip(sample_pairs, toks):
-            lane.last_token = int(tok)
-            lane.request.first_token_at = now
-            self._deliver(lane, int(tok))
-            self._seed_counts(lane)
+            # per-lane isolation: once tokens exist, a fault in one
+            # lane's delivery must not trigger the caller's batch-wide
+            # retry (which would re-deliver already-sent first tokens)
+            try:
+                lane.last_token = int(tok)
+                lane.request.first_token_at = now
+                self._deliver(lane, int(tok))
+                self._seed_counts(lane)
+            except Exception as e:
+                lane.request.error = f"prefill finish failed: {e!r}"
+                self._release(lane, RequestState.FAILED)
 
     def _finish_prefill(self, lane: _Lane, job: _PrefillJob) -> None:
         req = lane.request

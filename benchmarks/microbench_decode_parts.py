@@ -135,8 +135,12 @@ def main():
 
     slope("paged_attention decode (per layer)", attn_n, args.iters * L)
 
-    # 3) sampler over vocab
-    samp = eng._default_sampling().as_arrays(B)
+    # 3) sampler over vocab — pass the static mode like the engine does
+    # (without it, sample() compiles the everything-on default incl. the
+    # full-vocab sort, ~4x slower than any real serving configuration)
+    sp = eng._default_sampling()
+    samp = sp.as_arrays(B)
+    mode = sp.mode()
     logits0 = jax.random.normal(key, (B, cfg.model.vocab_size), jnp.float32)
 
     @jax.jit
@@ -144,7 +148,7 @@ def main():
         def body(i, c):
             logits, rng = c
             rng, sub = jax.random.split(rng)
-            t = sample(logits, sub, **samp)
+            t = sample(logits, sub, mode=mode, **samp)
             return (logits + t[:, None] * 1e-9, rng)
 
         return jax.lax.fori_loop(0, n, body, (logits, jax.random.key(1)))
@@ -152,7 +156,7 @@ def main():
     def sample_n(n):
         jax.block_until_ready(run_sample(logits0, n))
 
-    slope("sample (temperature/top-k/top-p)", sample_n, args.iters)
+    slope(f"sample (mode={mode})"[:42], sample_n, args.iters)
 
     # 4) full decode step for reference
     if args.skip_full:

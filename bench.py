@@ -274,7 +274,8 @@ def main() -> None:
 
     rec = {
         "metric": f"decode tokens/sec/chip ({args.model}, "
-                  f"{'int8 weights, ' if args.quant == 'int8' else ''}"
+                  f"{'w8a8 int8, ' if args.quant == 'int8' else ''}"
+                  f"{'int8 weights, ' if args.quant == 'int8-weight' else ''}"
                   f"{'int4 weights, ' if args.quant == 'int4' else ''}"
                   f"paged KV {args.kv_dtype}, "
                   f"{'beam' if args.mode == 'beam' else 'batch'} "

@@ -17,24 +17,14 @@ Usage: PYTHONPATH=. python benchmarks/microbench_decode_attn.py \
 from __future__ import annotations
 
 import argparse
-import functools
-import time
 
 import jax
 import jax.numpy as jnp
 
-
-def slope(name, run_n, iters, reps=3):
-    lo = functools.partial(run_n, iters)
-    hi = functools.partial(run_n, iters * 4)
-    lo(), hi()
-    t_lo = t_hi = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter(); lo(); t_lo = min(t_lo, time.perf_counter() - t0)
-        t0 = time.perf_counter(); hi(); t_hi = min(t_hi, time.perf_counter() - t0)
-    per = (t_hi - t_lo) / (iters * 3)
-    print(f"{name:46s} {per*1e6:10.1f} us")
-    return per
+try:
+    from benchmarks._timing import slope
+except ImportError:            # run as benchmarks/<script>.py directly
+    from _timing import slope
 
 
 def main():
@@ -109,7 +99,11 @@ def main():
     run_grouped("1 program/page", 1, B)
     run_grouped("fixed-cost probe", mp, 1)
 
-    # XLA gather + dense decode attention (no pallas)
+    # XLA gather + dense decode attention (no pallas). NB: this baseline
+    # gathers and attends over all mp*page positions (clamped/padded
+    # block-table entries included) in float32, while the pallas kernels
+    # skip dead pages — when max_pages_per_seq exceeds the live length
+    # the comparison is biased *against* XLA by that dead fraction.
     G = H // KH
 
     @jax.jit

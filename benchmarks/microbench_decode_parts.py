@@ -13,26 +13,15 @@ from __future__ import annotations
 
 import argparse
 import functools
-import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-
-def slope(name, run_n, iters, scale=1, reps=3, unit="us"):
-    """run_n(n) must accept a DYNAMIC n (fori_loop trip count) so each
-    variant compiles once; slope of t(4N)-t(N) cancels dispatch cost."""
-    lo = functools.partial(run_n, iters)
-    hi = functools.partial(run_n, iters * 4)
-    lo(), hi()
-    t_lo = t_hi = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter(); lo(); t_lo = min(t_lo, time.perf_counter() - t0)
-        t0 = time.perf_counter(); hi(); t_hi = min(t_hi, time.perf_counter() - t0)
-    per = (t_hi - t_lo) / (iters * 3) * scale
-    print(f"{name:42s} {per*1e6:10.1f} us")
-    return per
+try:
+    from benchmarks._timing import slope
+except ImportError:            # run as benchmarks/<script>.py directly
+    from _timing import slope
 
 
 def main():
@@ -156,7 +145,13 @@ def main():
     def sample_n(n):
         jax.block_until_ready(run_sample(logits0, n))
 
-    slope(f"sample (mode={mode})"[:42], sample_n, args.iters)
+    # compact mode summary: only the enabled flags (the full dataclass
+    # repr truncates unreadably at column width — ADVICE round 3)
+    import dataclasses as _dc
+
+    flags = ",".join(k if v is True else f"{k}={v}"
+                     for k, v in _dc.asdict(mode).items() if v)
+    slope(f"sample ({flags or 'plain'})", sample_n, args.iters)
 
     # 4) full decode step for reference
     if args.skip_full:

@@ -88,6 +88,13 @@ class ModelConfig:
     # stream, bf16 activations)
     quant: str = "none"
 
+    # the tokenizer's EOS id for this model family (-1 = none). The
+    # reference hardcodes GPT-2's 50256 globally
+    # (``config/runtime_config.yaml:11``); here each preset carries its
+    # own and ``RuntimeConfig.eos_token_id = None`` inherits it, so a
+    # Llama preset never silently stops on a GPT-2 id.
+    eos_token_id: int = 50256       # ModelConfig defaults are GPT-2-124M
+
     # derived ---------------------------------------------------------------
     @property
     def q_per_kv(self) -> int:
@@ -198,7 +205,9 @@ class RuntimeConfig:
     presence_penalty: float = 0.0
     frequency_penalty: float = 0.0
     max_new_tokens: int = 64
-    eos_token_id: int = 50256
+    # None = inherit the model preset's eos_token_id
+    # (``FrameworkConfig.eos_token_id`` resolves it); an int overrides.
+    eos_token_id: Optional[int] = None
     eos_threshold: float = 0.0      # if P(eos) >= threshold > 0, force EOS
     stream_delay_ms: int = 0        # artificial pacing knob (ref: 30)
     seed: int = 0
@@ -334,6 +343,14 @@ class FrameworkConfig:
     chat: ChatTemplate = field(default_factory=ChatTemplate)
     weights_path: Optional[str] = None
     tokenizer: str = "byte"         # "byte" | HF tokenizer name/path
+
+    @property
+    def eos_token_id(self) -> int:
+        """Effective EOS id: the runtime override if set, else the
+        model preset's own (-1 = none)."""
+        if self.runtime.eos_token_id is not None:
+            return self.runtime.eos_token_id
+        return self.model.eos_token_id
 
     def validate(self) -> "FrameworkConfig":
         self.model.validate()
@@ -578,6 +595,34 @@ PRESETS: Dict[str, ModelConfig] = {
         use_mlp_bias=False, tie_embeddings=False, rope_theta=500000.0,
     ),
 }
+
+# Per-family EOS ids (HF tokenizer_config eos_token for each family).
+# Tiny/test presets have random vocabularies — no EOS (-1). The
+# ModelConfig default (50256) covers only the GPT-2-124M preset.
+_PRESET_EOS = {
+    "tinyllama-1.1b": 2,            # </s>
+    "llama3-8b": 128001,            # <|end_of_text|>
+    "llama3.1-8b": 128001,
+    "llama3-70b": 128001,
+    "mistral-7b": 2,                # </s>
+    "mixtral-8x7b": 2,
+    "qwen2-7b": 151643,             # <|endoftext|>
+    "gemma2-2b": 1,                 # <eos>
+    "gemma2-9b": 1,
+    "gemma3-1b": 1,
+    "gemma3-4b": 1,
+    "phi3-mini-4k": 32000,          # <|endoftext|>
+    "gpt2-tiny": -1,
+    "mixtral-tiny": -1,
+    "gemma2-tiny": -1,
+    "gemma3-tiny": -1,
+    "llama-tiny": -1,
+    "llama-shard-tiny": -1,
+    "llama70b-shard-tiny": -1,
+}
+for _name, _eos in _PRESET_EOS.items():
+    PRESETS[_name].eos_token_id = _eos
+del _name, _eos
 
 
 def preset(name: str) -> ModelConfig:

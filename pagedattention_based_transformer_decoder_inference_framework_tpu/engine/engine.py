@@ -1005,7 +1005,8 @@ class Engine:
             min_p=r.min_p, repetition_penalty=r.repetition_penalty,
             presence_penalty=r.presence_penalty,
             frequency_penalty=r.frequency_penalty,
-            eos_token_id=r.eos_token_id, eos_threshold=r.eos_threshold)
+            eos_token_id=self.config.eos_token_id,
+            eos_threshold=r.eos_threshold)
 
     def _mark_finished(self, state: EngineState, toks: np.ndarray,
                        sampling: Optional[SamplingParams]) -> None:

@@ -303,7 +303,8 @@ class Scheduler:
             min_p=r.min_p, repetition_penalty=r.repetition_penalty,
             presence_penalty=r.presence_penalty,
             frequency_penalty=r.frequency_penalty,
-            eos_token_id=r.eos_token_id, eos_threshold=r.eos_threshold)
+            eos_token_id=self.config.eos_token_id,
+            eos_threshold=r.eos_threshold)
 
     def _validate(self, req: Request) -> Optional[str]:
         """Reject requests that could never run: empty prompts and page

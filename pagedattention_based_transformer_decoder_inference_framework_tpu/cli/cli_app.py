@@ -245,17 +245,47 @@ def cmd_serve(args) -> int:
         cfg.server.port = args.port
     if args.host:
         cfg.server.host = args.host
+    core = None
+    if getattr(args, "coordinator", None):
+        # multi-host serving (SURVEY §7-M5 / BASELINE config 5): every
+        # process joins one jax.distributed runtime and builds the same
+        # engine over the global mesh; host 0 runs the HTTP frontend and
+        # pumps lockstep rounds on a thread (parallel/multihost.py),
+        # non-primary processes pump rounds forever and never return.
+        #   host0: ... serve --coordinator H:P --num-processes 2 \
+        #              --process-id 0 --dp 2 --tp 8
+        #   host1: same with --process-id 1
+        from ..parallel import build_mesh
+        from ..parallel.mesh import init_distributed
+        from ..parallel.multihost import MultiHostPump, is_primary
+        from ..server.core import ServerCore
+
+        init_distributed(coordinator=args.coordinator,
+                         num_processes=args.num_processes,
+                         process_id=args.process_id)
+        if args.dp:
+            cfg.parallel.dp = args.dp
+        if args.tp:
+            cfg.parallel.tp = args.tp
+        mesh = build_mesh(cfg.parallel)
+        eng = build_engine(cfg, mesh=mesh)
+        pump = MultiHostPump(eng)
+        if not is_primary():
+            pump.run_forever()          # exits on a broadcast stop round
+            return 0
+        core = ServerCore(cfg, engine=eng, pump=pump)
+        pump.start()
     try:
         import uvicorn
 
         from ..server.app import create_app
 
-        uvicorn.run(create_app(cfg), host=cfg.server.host,
+        uvicorn.run(create_app(cfg, core=core), host=cfg.server.host,
                     port=cfg.server.port)
     except ImportError:
         from ..server.basic import BasicServer
 
-        srv = BasicServer(cfg)
+        srv = BasicServer(cfg, core=core)
         print(f"serving (stdlib) on {cfg.server.host}:{srv.port}")
         srv.serve_forever()
     return 0
@@ -312,6 +342,16 @@ def main(argv: Optional[List[str]] = None) -> int:
     add_common(p)
     p.add_argument("--host", default=None)
     p.add_argument("--port", type=int, default=None)
+    # multi-host serving (jax.distributed): run on every host with the
+    # same --coordinator; process 0 serves HTTP, the rest join the mesh
+    p.add_argument("--coordinator", default=None,
+                   help="jax.distributed coordinator address host:port")
+    p.add_argument("--num-processes", type=int, default=1)
+    p.add_argument("--process-id", type=int, default=0)
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel mesh size (0 = from config)")
+    p.add_argument("--tp", type=int, default=0,
+                   help="tensor-parallel mesh size (0 = from config)")
     p.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)

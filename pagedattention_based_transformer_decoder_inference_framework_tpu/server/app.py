@@ -19,11 +19,11 @@ from .schema import (BatchGenerateRequest, BeamStreamRequest,
 
 
 def create_app(config: Optional[FrameworkConfig] = None, engine=None,
-               reranker=None):
+               reranker=None, core: Optional[ServerCore] = None):
     from fastapi import FastAPI
     from fastapi.responses import JSONResponse, StreamingResponse
 
-    core = ServerCore(config, engine=engine, reranker=reranker)
+    core = core or ServerCore(config, engine=engine, reranker=reranker)
     app = FastAPI(title="pagedattention-tpu", version="0.1")
     app.state.core = core
 

@@ -98,8 +98,10 @@ class BasicServer:
 
     def __init__(self, config: Optional[FrameworkConfig] = None,
                  engine=None, reranker=None,
-                 host: Optional[str] = None, port: Optional[int] = None):
-        self.core = ServerCore(config, engine=engine, reranker=reranker)
+                 host: Optional[str] = None, port: Optional[int] = None,
+                 core: Optional[ServerCore] = None):
+        self.core = core or ServerCore(config, engine=engine,
+                                       reranker=reranker)
         cfg = self.core.config
         self.httpd = ThreadingHTTPServer(
             (host or cfg.server.host, port if port is not None

@@ -38,7 +38,7 @@ def ndjson_frame(data: dict) -> str:
 class ServerCore:
     def __init__(self, config: Optional[FrameworkConfig] = None,
                  engine=None, reranker=None,
-                 use_scheduler: bool = True):
+                 use_scheduler: bool = True, pump=None):
         self.config = config or FrameworkConfig()
         setup_logging(self.config.runtime)
         if engine is None:
@@ -61,7 +61,12 @@ class ServerCore:
         self.reranker = reranker
         self.metrics = Metrics()
         self.scheduler = None
-        if use_scheduler and engine.dp == 1:
+        # multi-host serving: requests route through the lockstep pump
+        # (parallel/multihost.py) instead of the single-controller
+        # scheduler — host 0 broadcasts round plans, every process runs
+        # the same fused program (BASELINE config 5 / SURVEY §7-M5)
+        self.pump = pump
+        if pump is None and use_scheduler and engine.dp == 1:
             from ..scheduler import Scheduler
 
             self.scheduler = Scheduler(engine)
@@ -94,6 +99,10 @@ class ServerCore:
         engine stream. Returns ``(iterator, request-or-None)`` — the
         request handle carries failure state (``error``) the endpoints
         surface as error responses/frames (SURVEY.md §5.3)."""
+        if self.pump is not None:
+            req = self.pump.submit(prompt_ids, max_new, sampling,
+                                   seed=seed)
+            return req.stream(), req
         if self.scheduler is not None:
             req = self.scheduler.submit(prompt_ids, max_new, sampling,
                                         seed=seed)
@@ -178,7 +187,13 @@ class ServerCore:
         t0 = time.time()
         idss = [self.tokenizer.encode(p) for p in req.prompts]
         errors: List[Optional[str]] = [None] * len(idss)
-        if self.scheduler is not None:
+        if self.pump is not None:
+            rs = [self.pump.submit(ids, req.max_new_tokens,
+                                   self._sampling(req), seed=req.seed)
+                  for ids in idss]
+            outs = [list(r.stream()) for r in rs]
+            errors = [r.error for r in rs]
+        elif self.scheduler is not None:
             rs = [self.scheduler.submit(ids, req.max_new_tokens,
                                         self._sampling(req), seed=req.seed)
                   for ids in idss]
@@ -223,6 +238,13 @@ class ServerCore:
     def stream_chat_beam(self, req: BeamStreamRequest,
                          sse: bool) -> Iterator[str]:
         from ..engine.beam import BeamSearcher
+
+        if self.pump is not None:
+            # beam search drives the engine directly (per-step device
+            # calls) — on a multi-host mesh that would break the pump's
+            # lockstep rounds; transports map this to a 4xx/5xx
+            raise RuntimeError(
+                "beam search is not available on multi-host serving")
 
         prompt = self.config.chat.render(
             [m.model_dump() for m in req.messages])

@@ -340,8 +340,15 @@ def quantize_params(params: Params, lm_head: bool = True) -> Params:
     return out
 
 
+#: column-parallel int4 weights (TP shards their output dim; packing
+#: must be block-local per shard) vs row-parallel (TP shards their
+#: contraction dim; group-wise scales shard their K-group axis)
+_INT4_COL = {"wq", "wk", "wv", "w_gate", "w_up", "w_qkv", "w_gu"}
+_INT4_ROW = {"wo", "w_down"}
+
+
 def quantize_params_int4(params: Params, group: int = 128,
-                         lm_head: bool = True) -> Params:
+                         lm_head: bool = True, tp: int = 1) -> Params:
     """Convert matmul weights to nibble-packed INT4 with group-wise
     scales (``quant/tensor.py:Q4Tensor``) — HALF the weight bytes of
     INT8, which is the whole story for HBM-bound decode (BENCHMARKS.md
@@ -350,17 +357,34 @@ def quantize_params_int4(params: Params, group: int = 128,
     a time (peak transient = one f32 weight); existing INT8 QTensors
     are dequantized first (double-rounding int8->int4 costs ~nothing
     against int4's own step size). Norms/biases/embedding stay float;
-    MoE expert stacks keep INT8 (not wired)."""
+    MoE expert stacks keep INT8 (not wired).
+
+    ``tp > 1``: respect the Megatron splits — column-parallel weights
+    pack with blocks that never straddle a shard boundary
+    (``col_shards=tp``), row-parallel weights need their K-groups to
+    tile the per-shard contraction dim (asserted) so the ``[K//group,
+    N]`` scales shard cleanly along axis 0."""
     from ..quant.tensor import dequantize, quantize_int4_groupwise
 
-    keys = set(_QUANT_KEYS) | {"w_qkv", "w_gu"}
+    import math as _math
 
-    def to4(w):
+    def to4(w, key):
         if isinstance(w, Q4Tensor):
             return w
         if isinstance(w, QTensor):
             w = dequantize(w)
-        out = quantize_int4_groupwise(w, group=group)
+        g = group
+        if key in _INT4_ROW and tp > 1:
+            # K-groups must tile the per-shard contraction dim so the
+            # [K//g, N] scales shard cleanly; shrink g when K/tp is
+            # small (finer groups only improve quality)
+            K = w.shape[0]
+            assert K % tp == 0, (key, K, tp)
+            g = min(group, K // tp)
+            if (K // tp) % g:
+                g = _math.gcd(K // tp, group)
+        shards = tp if (key in _INT4_COL or key == "lm_head") else 1
+        out = quantize_int4_groupwise(w, group=g, col_shards=shards)
         jax.block_until_ready(out.packed)
         return out
 
@@ -371,11 +395,11 @@ def quantize_params_int4(params: Params, group: int = 128,
     # would hold int8 + int4 + an f32 transient simultaneously, which
     # OOMs an 8B model on a 16 GB chip
     for lp in params["layers"]:
-        for k in keys:
-            if k in lp and not str(k).startswith("we_"):
-                lp[k] = to4(lp.pop(k))
+        for k in tuple(_INT4_COL) + tuple(_INT4_ROW):
+            if k in lp:
+                lp[k] = to4(lp.pop(k), k)
     if lm_head and "lm_head" in params:
-        params["lm_head"] = to4(params.pop("lm_head"))
+        params["lm_head"] = to4(params.pop("lm_head"), "lm_head")
     return params
 
 

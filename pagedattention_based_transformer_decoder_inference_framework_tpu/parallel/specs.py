@@ -23,7 +23,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import ModelConfig, ParallelConfig
-from ..quant.tensor import QTensor
+from ..quant.tensor import Q4Tensor, QTensor
 
 # layer-stacked weights [L, in, out]: shard the named dim over 'model'
 _COL = {"wq", "wk", "wv", "w_gate", "w_up",
@@ -50,11 +50,22 @@ def _layer_spec(name: str, leaf: Any, m: str, stacked: bool = True):
         w = spec(None, m)
         if isinstance(leaf, QTensor):
             return QTensor(w, spec(None, m))       # scales [(L,) 1, out]
+        if isinstance(leaf, Q4Tensor):
+            # carrier [K, N/2] and scales [K/group, N] both shard their
+            # column axis; pack blocks never straddle shards
+            # (quantize_int4_groupwise col_shards)
+            return Q4Tensor(spec(None, m), spec(None, m),
+                            leaf.group, leaf.bn)
         return w
     if name in _ROW:
         w = spec(m, None)
         if isinstance(leaf, QTensor):
             return QTensor(w, P())                 # scales [(L,) 1, D]
+        if isinstance(leaf, Q4Tensor):
+            # K-sharded: carrier rows and the K-group scale axis split
+            # over 'model' (group | K/tp asserted at quantize time)
+            return Q4Tensor(spec(m, None), spec(m, None),
+                            leaf.group, leaf.bn)
         return w
     if name in _COL_BIAS:
         return spec(m)
@@ -77,7 +88,11 @@ def param_pspecs(params: Dict[str, Any], parallel: ParallelConfig):
             specs[k] = P(m, None)                  # vocab rows
         elif k == "lm_head":
             w = P(None, m)                         # vocab cols
-            specs[k] = QTensor(w, P(None, m)) if isinstance(v, QTensor) else w
+            if isinstance(v, QTensor):
+                w = QTensor(w, P(None, m))
+            elif isinstance(v, Q4Tensor):
+                w = Q4Tensor(P(None, m), P(None, m), v.group, v.bn)
+            specs[k] = w
         else:
             specs[k] = P()                         # pos_embedding, final norm
     return specs

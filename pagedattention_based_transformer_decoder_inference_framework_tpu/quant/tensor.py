@@ -134,26 +134,38 @@ def unpack_int4(packed: jax.Array, bn: int) -> jax.Array:
 
 
 def quantize_int4_groupwise(w: jax.Array, group: int = 128,
-                            bn: int = 2048) -> Q4Tensor:
+                            bn: int = 2048,
+                            col_shards: int = 1) -> Q4Tensor:
     """Symmetric absmax INT4, one scale per (K-group, output column).
 
     Group-wise scales are what keep 4-bit usable: a per-column absmax
     over the whole K axis (the int8 scheme) lets one outlier crush 15
-    levels; 128-row groups bound each scale's dynamic range."""
+    levels; 128-row groups bound each scale's dynamic range.
+
+    ``col_shards``: tensor-parallel shard count along N for
+    column-parallel weights. Packing is block-local, so as long as
+    ``bn`` divides the per-shard width ``N // col_shards`` no pack
+    block straddles a shard boundary — the globally-packed carrier
+    sharded along its column axis is bit-identical to packing each
+    shard locally, and inside ``shard_map`` each device sees a valid
+    local ``Q4Tensor`` with the same recorded ``bn``."""
     K, N = w.shape
     group = min(group, K)
     assert K % group == 0, (K, group)
-    # bn must divide N (block-local packing) AND bn/2 must be
-    # lane-aligned (the kernel's carrier block is [bk, bn/2]): largest
-    # 256-multiple divisor under the cap — a 128256-column LM head
-    # gets 768. Fallback: one full-width block (bn = N covers the
-    # whole carrier, which Pallas allows at any width).
-    cands = [d for d in range(256, min(N, bn) + 1, 256) if N % d == 0]
+    assert N % col_shards == 0, (N, col_shards)
+    n_local = N // col_shards
+    # bn must divide the per-shard width (block-local packing) AND bn/2
+    # must be lane-aligned (the kernel's carrier block is [bk, bn/2]):
+    # largest 256-multiple divisor under the cap — a 128256-column LM
+    # head gets 768. Fallback: one shard-wide block (Pallas allows any
+    # width).
+    cands = [d for d in range(256, min(n_local, bn) + 1, 256)
+             if n_local % d == 0]
     if cands:
         bn = max(cands)
     else:
-        assert N % 2 == 0, N
-        bn = N
+        assert n_local % 2 == 0, n_local
+        bn = n_local
     w32 = w.astype(jnp.float32).reshape(K // group, group, N)
     absmax = jnp.max(jnp.abs(w32), axis=1, keepdims=True)
     scale = jnp.maximum(absmax, 1e-8) / 7.0

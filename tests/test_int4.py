@@ -131,6 +131,55 @@ def test_int4_ppl_close_to_fp(tmp_path):
     assert (rel < 0.05).all(), (nll_f, nll_4)
 
 
+def test_int4_outlier_worst_case_nll_bound():
+    """Synthetic worst case for int4 quality (VERDICT r3: pin a bound
+    while real pretrained weights stay unreachable): weights with
+    heavy-tailed OUTLIERS scattered inside columns — the case that
+    inflates a group's absmax and coarsens every other row in it
+    (per-column outliers alone are absorbed by the per-column scale).
+    With 128-row groups the end-to-end NLL delta must stay within a
+    pinned bound; this is the distribution class where group-wise
+    scales earn their keep over per-column int8-style scaling."""
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.engine import (
+        Engine,
+    )
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.models.model import (
+        quantize_params_int4,
+    )
+
+    engf = Engine(_cfg("none"), interpret=True, seed=0)
+    rng = np.random.default_rng(7)
+
+    def inject(tree):
+        # 1% of entries scaled x16: a heavy-tailed (outlier) weight
+        # distribution like real LLM down-projections exhibit
+        if isinstance(tree, jnp.ndarray) and tree.ndim == 2 \
+                and tree.shape[0] >= 32:
+            m = rng.random(tree.shape) < 0.01
+            return jnp.asarray(np.where(m, np.asarray(tree) * 16.0,
+                                        np.asarray(tree)))
+        if isinstance(tree, dict):
+            return {k: inject(v) for k, v in tree.items()}
+        if isinstance(tree, (tuple, list)):
+            return tuple(inject(v) for v in tree)
+        return tree
+
+    pf = {k: (inject(v) if k == "layers" else v)
+          for k, v in engf.params.items()}
+    engf = Engine(_cfg("none"), params=pf, interpret=True, seed=0)
+    seqs = [rng.integers(0, 512, (48,)).tolist() for _ in range(2)]
+    nll_f = engf.score_nll(seqs)
+
+    p4 = quantize_params_int4({k: v for k, v in engf.params.items()})
+    eng4 = Engine(_cfg("int4"), params=p4, interpret=True, seed=0)
+    nll_4 = eng4.score_nll(seqs)
+    rel = np.abs(nll_4 - nll_f) / np.abs(nll_f)
+    # pinned worst-case bound: <= 10% relative NLL delta under 1%
+    # x16-outlier contamination (vanilla random weights sit under 5%,
+    # test_int4_ppl_close_to_fp)
+    assert (rel < 0.10).all(), (nll_f, nll_4)
+
+
 def test_int4_checkpoint_roundtrip(tmp_path):
     from pagedattention_based_transformer_decoder_inference_framework_tpu.models.checkpoint import (
         load_params,

@@ -215,6 +215,12 @@ class RuntimeConfig:
     use_reranker: bool = False
     enable_beam_search: bool = False
     beam_width: int = 4
+    # beam-expansion steps per device dispatch: selection, COW page
+    # sourcing and block-table rewiring run ON DEVICE across the burst
+    # (host replays the page arithmetic afterwards — engine/beam.py).
+    # Each burst pre-allocates beam_burst * beam_width fresh pages
+    # (unused ones return to the pool); 1 = per-step dispatching.
+    beam_burst: int = 16
     # path to a fine-tuned cross-encoder (reranker/finetune.py output);
     # "" = score with the decoder's own log-probs (LogProbScorer)
     reranker_model: str = ""
@@ -267,6 +273,13 @@ class RuntimeConfig:
     # every accepted draft is a free token. Greedy-exact. 0 = off.
     spec_k: int = 0
     spec_ngram: int = 3
+    # sampled (temperature > 0) requests in scheduler spec bursts use
+    # the standard stochastic accept/resample rule: each emitted token
+    # is distributed exactly like a plain draw, but accepted drafts
+    # ride one weight stream (engine/spec.py:stochastic_accept).
+    # Off (default) keeps sampled lanes bit-identical to plain bursts
+    # (one seeded token per iteration, no draft speedup).
+    spec_stochastic: bool = False
 
     # decode megakernel: stream each layer's whole post-attention matmul
     # chain (o-proj -> norm -> gate|up -> down -> next qkv) through ONE

@@ -71,7 +71,8 @@ class BeamSearcher:
     stop the scheduler pump for the whole search)."""
 
     def __init__(self, engine: Engine, beam_width: int = 4,
-                 length_penalty: float = 0.0):
+                 length_penalty: float = 0.0,
+                 burst: Optional[int] = None):
         assert engine.dp == 1, "beam search runs per data shard"
         self.engine = engine
         self.W = beam_width
@@ -86,6 +87,13 @@ class BeamSearcher:
         # dispatch); meshed engines keep decode_forced + host selection
         self._beam_step = (engine._build_decode_beam()
                            if engine.mesh is None else None)
+        # multi-step beam bursts (selection + COW + block-table rewire
+        # on device, host touched once per burst); 1 disables
+        self.burst = (engine.config.runtime.beam_burst
+                      if burst is None else burst)
+        self._beam_burst = (engine._build_decode_beam_burst()
+                            if engine.mesh is None and self.burst > 1
+                            else None)
 
     # -- page bookkeeping ---------------------------------------------------
 
@@ -170,7 +178,142 @@ class BeamSearcher:
                                                    float(beam_scores[i])))
                     alive[i] = False
 
-        for _ in range(max_new_tokens - 1):
+        steps = max_new_tokens - 1
+        if self._beam_burst is not None and steps > 0 and alive.any():
+            (beam_tokens, beam_scores, alive, pending, steps) = \
+                self._search_bursts(state, beam_tokens, beam_scores,
+                                    alive, pending, finished,
+                                    eos_token_id, steps)
+        beam_tokens, beam_scores, alive = self._search_steps(
+            state, beam_tokens, beam_scores, alive, pending, finished,
+            eos_token_id, steps, fused)
+
+        for i in range(W):
+            if alive[i]:
+                finished.append(BeamHypothesis(beam_tokens[i],
+                                               float(beam_scores[i])))
+        eng.free(state)
+
+        def key(h: BeamHypothesis) -> float:
+            if self.length_penalty > 0:
+                return h.score / (len(h.tokens) ** self.length_penalty)
+            return h.score
+
+        finished.sort(key=key, reverse=True)
+        return finished[: num_return or W]
+
+    def _search_bursts(self, state: EngineState, beam_tokens, beam_scores,
+                       alive, pending, finished, eos_token_id: int,
+                       steps: int):
+        """Run beam expansion in device bursts (``Engine.
+        _build_decode_beam_burst``): the host uploads once, the device
+        runs ``burst`` selection+COW+rewire steps, and the host then
+        replays the identical page arithmetic to sync the allocator and
+        reconstructs the hypotheses from the returned traces. Falls
+        back (returning the remaining step budget) when the fresh-page
+        pool for a burst cannot be allocated."""
+        eng, W = self.engine, self.W
+        from ..kvcache.allocator import OutOfPagesError
+
+        K = self.burst
+        if pending is None:
+            pending = (np.zeros((W,), np.int32), np.zeros((W,), np.int32))
+        while steps > 0 and alive.any():
+            try:
+                fresh_flat = self.allocator.alloc_many(K * W)
+            except OutOfPagesError:
+                break                      # per-step path for the rest
+            fresh = np.asarray(fresh_flat, np.int32).reshape(K, W)
+            # cover this burst's first append slot (per-row exclusive
+            # page when L lands on a page boundary)
+            for b in range(W):
+                eng._alloc_pages(state, b, int(state.seq_lens[b]) + 1)
+            state.block_tables = eng._block_tables(state.pages)
+            toks_in = np.asarray([bt[-1] for bt in beam_tokens], np.int32)
+            pars, toks, vals, alives, _, _, csrc, cdst, state.kv = \
+                self._beam_burst(
+                    eng.params, jnp.asarray(toks_in), state.kv,
+                    jnp.asarray(state.block_tables),
+                    jnp.asarray(state.seq_lens),
+                    jnp.asarray(beam_scores, jnp.float32),
+                    jnp.asarray(alive),
+                    jnp.asarray(pending[0]), jnp.asarray(pending[1]),
+                    jnp.asarray(fresh),
+                    jnp.asarray(eos_token_id, jnp.int32), num_steps=K)
+            pars = np.asarray(pars)
+            toks = np.asarray(toks)
+            vals = np.asarray(vals, np.float64)
+            alives = np.asarray(alives)
+            pending = (np.asarray(csrc), np.asarray(cdst))
+            self._replay_burst(state, pars, fresh)
+            for k in range(K):
+                if steps <= 0 or not alive.any():
+                    break                  # overshoot steps are garbage
+                beam_tokens = [beam_tokens[int(p)] + [int(t)]
+                               for p, t in zip(pars[k], toks[k])]
+                beam_scores = vals[k]
+                if eos_token_id >= 0:
+                    for i in range(W):
+                        if (vals[k][i] > -1e29
+                                and int(toks[k][i]) == eos_token_id):
+                            finished.append(BeamHypothesis(
+                                beam_tokens[i], float(vals[k][i])))
+                alive = alives[k].copy()
+                steps -= 1
+        return beam_tokens, beam_scores, alive, pending, steps
+
+    def _replay_burst(self, state: EngineState, pars: np.ndarray,
+                      fresh: np.ndarray) -> None:
+        """Replay the burst's deterministic page arithmetic against the
+        real allocator: per step, each row forks its parent's pages and
+        its next-append page is replaced by the step's fresh page on a
+        page crossing or when the row is not the first chooser of its
+        parent — bitwise the device rule, so the host block tables and
+        refcounts match the device's carried state. Unused fresh pages
+        return to the pool."""
+        alloc = self.allocator
+        page = self.engine.cache.page_size
+        pages = state.pages
+        sl = int(state.seq_lens[0])
+        K, W = pars.shape
+        used = set()
+        for k in range(K):
+            sl1 = sl + 1
+            tidx = sl1 // page
+            crossing = (sl1 % page) == 0
+            newp = [alloc.fork(pages[int(p)]) for p in pars[k]]
+            for ps in pages:
+                for pg in ps:
+                    alloc.free(pg)
+            seen: set = set()
+            for w in range(W):
+                p = int(pars[k][w])
+                taken = p in seen
+                seen.add(p)
+                f = int(fresh[k][w])
+                if crossing:
+                    assert len(newp[w]) == tidx
+                    newp[w].append(f)
+                    used.add(f)
+                elif taken:
+                    alloc.free(newp[w][tidx])
+                    newp[w][tidx] = f
+                    used.add(f)
+            pages = newp
+            sl = sl1
+        for f in fresh.reshape(-1).tolist():
+            if int(f) not in used:
+                alloc.free(int(f))
+        state.pages = pages
+        state.seq_lens = np.full((W,), sl, np.int32)
+        state.block_tables = self.engine._block_tables(pages)
+
+    def _search_steps(self, state: EngineState, beam_tokens, beam_scores,
+                      alive, pending, finished, eos_token_id: int,
+                      steps: int, fused: bool):
+        """Per-step beam expansion (one device dispatch per step)."""
+        eng, W = self.engine, self.W
+        for _ in range(steps):
             if not alive.any():
                 break
             toks = np.asarray([bt[-1] for bt in beam_tokens], np.int32)
@@ -228,20 +371,7 @@ class BeamSearcher:
                         finished.append(BeamHypothesis(
                             beam_tokens[i], float(beam_scores[i])))
                         alive[i] = False
-
-        for i in range(W):
-            if alive[i]:
-                finished.append(BeamHypothesis(beam_tokens[i],
-                                               float(beam_scores[i])))
-        eng.free(state)
-
-        def key(h: BeamHypothesis) -> float:
-            if self.length_penalty > 0:
-                return h.score / (len(h.tokens) ** self.length_penalty)
-            return h.score
-
-        finished.sort(key=key, reverse=True)
-        return finished[: num_return or W]
+        return beam_tokens, beam_scores, alive
 
 
 def _log_softmax(x: np.ndarray) -> np.ndarray:

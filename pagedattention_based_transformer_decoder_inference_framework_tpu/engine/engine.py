@@ -116,9 +116,6 @@ class Engine:
 
             self.params = quantize_params(self.params)  # no-op if already
         if self.cfg.quant == "int4":
-            assert mesh is None, (
-                "int4 weights are single-device for now (the nibble-"
-                "packed layout is not TP-sharded)")
             assert not self.runtime.scan_layers, (
                 "int4 repacking needs unrolled layers")
             assert not self.runtime.megakernel, (
@@ -142,16 +139,29 @@ class Engine:
                 self.params = unstack_layers(self.params)
                 if self.runtime.fuse_projections:
                     self.params = fuse_projections(self.params, tp=tp)
+            if self.cfg.quant == "int4":
+                # repack to nibble-packed int4 AFTER the Megatron split
+                # is fixed: column-parallel weights pack with blocks
+                # that never straddle a shard (col_shards=tp), row-
+                # parallel scales tile the per-shard K (models/model.py
+                # quantize_params_int4); re-sharding then pins the new
+                # packed/scales leaves to their TP layout.
+                from ..models.model import quantize_params_int4
+
+                self.params = quantize_params_int4(self.params, tp=tp)
+                self.params = shard_params(self.params, mesh, pcfg)
             self._param_specs = param_pspecs(self.params, pcfg)
             self._kv_specs = kv_pspec(
                 jax.eval_shape(self.backend.pool.init), pcfg)
             self._data_axis = pcfg.data_axis
             kv_shardings = jax.tree_util.tree_map(
                 lambda s: NamedSharding(mesh, s), self._kv_specs)
+            self._kv_shardings = kv_shardings
             self._init_cache = jax.jit(self.backend.pool.init,
                                        out_shardings=kv_shardings)
         else:
             self.padded_vocab = self.cfg.vocab_size
+            self._kv_shardings = None
             self._init_cache = self.backend.init_cache
             if not self.runtime.scan_layers:
                 self.params = unstack_layers(self.params)
@@ -179,7 +189,10 @@ class Engine:
         self._decode_loop_fn = self._build_decode_loop()
         self._generate_fused_fn = self._build_generate_fused()
         self._decode_logits_fn = None     # built lazily (test/debug path)
+        self._prefill_sample_fn = None    # built lazily (fused sched tick)
+        self._scatter_tokens_fn = None    # built lazily (fused sched tick)
         self._decode_beam_fn = None       # built lazily (beam search)
+        self._decode_beam_burst_fn = None  # built lazily (beam bursts)
         self._copy_pages_fn = None        # built lazily (beam COW)
         self._score_fn = None             # built lazily (eval path)
         self._generate_spec_fn = None     # built lazily (speculative path)
@@ -270,6 +283,59 @@ class Engine:
                       P(d), P(d), P(d), P(d)),
             out_specs=(P(d), self._kv_specs))
         return functools.partial(jax.jit, donate_argnums=(3,))(sharded)
+
+    def _build_prefill_sample(self):
+        """Prefill chunk + first-token sampling in ONE device program —
+        the scheduler's *fused tick* (BASELINE config 3 path).
+
+        The legacy flow pays a separate sampling dispatch after the
+        last prefill chunk, and through a remote chip every dispatch
+        that follows a device->host transfer costs ~28 ms
+        (BENCHMARKS.md). Folding the sample into the chunk program —
+        and chaining the decode burst on its *device* outputs with no
+        intervening host sync — collapses a scheduler tick to one taxed
+        dispatch. Rows sample only where ``sample_mask`` is set AND the
+        last prompt token falls inside this chunk; others return -1.
+        Per-request determinism: row ``i`` draws with
+        ``request_key(seeds[i], 0)``, exactly like the legacy batched
+        finish-sampler. Single-process engines only.
+        """
+        model, backend = self.model, self.backend
+        V = self.cfg.vocab_size
+
+        def chunk_sample(params, tokens, positions, kv, block_tables,
+                         seq_lens, q_offsets, prompt_lens, sample_mask,
+                         seeds, samp, *, mode):
+            attn = backend.make_attn_fn(block_tables, seq_lens, q_offsets)
+            logits, kv = model.forward(params, tokens, positions, kv, attn)
+            logits = logits[..., :V]
+            idx = prompt_lens - 1 - q_offsets
+            T = tokens.shape[1]
+            inside = (idx >= 0) & (idx < T)
+            safe = jnp.clip(idx, 0, T - 1)
+            final = jnp.take_along_axis(
+                logits, safe[:, None, None],
+                axis=1)[:, 0].astype(jnp.float32)
+            keys = jax.vmap(request_key)(seeds, jnp.zeros_like(seeds))
+            tok = sample(final, None, row_keys=keys, mode=mode, **samp)
+            first = jnp.where(sample_mask & inside, tok, -1)
+            return first, kv
+
+        return functools.partial(jax.jit, static_argnames=("mode",),
+                                 donate_argnums=(3,))(chunk_sample)
+
+    def _build_scatter_tokens(self):
+        """Tiny device merge for the fused tick: scatter the gang's
+        sampled first tokens (``first [n]``) into the full-lane burst
+        seed vector at ``rows [n]`` (row >= B drops — used for gang
+        rows that did not sample). Runs between the gang and the burst
+        with no host sync, so the burst consumes the sampled tokens
+        without a device->host round-trip."""
+
+        def scatter(dec_tokens, first, rows):
+            return dec_tokens.at[rows].set(first, mode="drop")
+
+        return jax.jit(scatter)
 
     def _build_score(self):
         """Teacher-forced chunk scorer for perplexity eval: forwards one
@@ -563,12 +629,13 @@ class Engine:
         """
         model, backend = self.model, self.backend
         V = self.cfg.vocab_size
+        from .sampling import prepare_logits
         from .spec import (accept_counts, draft_ngram, gather_rows,
-                           write_rows)
+                           stochastic_accept, write_rows)
 
         def loop(params, hist, kv, block_tables, cur, emitted, budgets,
                  seeds, kv_limits, samp, *, num_iters: int, spec_k: int,
-                 ngram: int, mode):
+                 ngram: int, mode, stochastic: bool = False):
             K = spec_k
             eos = samp["eos_token_id"]
             idxs = jnp.arange(K + 1, dtype=jnp.int32)
@@ -589,13 +656,34 @@ class Engine:
                                             cur - 1)
                 logits, kv = model.forward(params, inp, pos, kv, attn)
                 flat = logits[..., :V].reshape(B * (K + 1), V)
-                keys = jax.vmap(jax.vmap(request_key))(
+                base = jax.vmap(jax.vmap(request_key))(
                     jnp.broadcast_to(seeds[:, None], (B, K + 1)),
                     emitted[:, None] + idxs[None, :])
-                y = sample(flat, None, row_keys=keys.reshape(-1),
+                y = sample(flat, None, row_keys=base.reshape(-1),
                            mode=mode, **samp_rep).reshape(B, K + 1)
                 a = jnp.where(greedy_lane,
                               accept_counts(drafts, y[:, :K]), 0)
+                if stochastic and not mode.greedy:
+                    # sampled lanes accept drafts with the standard
+                    # accept/resample rule (engine/spec.py:
+                    # stochastic_accept) — each emitted token stays
+                    # distributed exactly as a plain draw, but several
+                    # can ride one weight stream
+                    _, scaled = prepare_logits(flat, mode=mode,
+                                               **samp_rep)
+                    scaled = scaled.reshape(B, K + 1, V)
+                    f1 = jax.vmap(jax.vmap(
+                        lambda kk: jax.random.fold_in(kk, 1)))
+                    f2 = jax.vmap(jax.vmap(
+                        lambda kk: jax.random.fold_in(kk, 2)))
+                    a_s, fix = stochastic_accept(
+                        scaled, drafts, f1(base[:, :K]), f2(base))
+                    y_s = jnp.where(
+                        idxs[None, :] < a_s[:, None],
+                        jnp.concatenate([drafts, drafts[:, -1:]], axis=1),
+                        fix[:, None])
+                    a = jnp.where(greedy_lane, a, a_s)
+                    y = jnp.where(greedy_lane[:, None], y, y_s)
                 ok = idxs[None, :] <= a[:, None]
                 ok &= (emitted[:, None] + idxs[None, :]
                        ) < budgets[:, None]
@@ -616,10 +704,36 @@ class Engine:
                 length=num_iters)
             return hist, cur, emitted, kv
 
-        return functools.partial(
-            jax.jit,
-            static_argnames=("num_iters", "spec_k", "ngram", "mode"),
-            donate_argnums=(2,))(loop)
+        if self.mesh is None:
+            return functools.partial(
+                jax.jit,
+                static_argnames=("num_iters", "spec_k", "ngram", "mode",
+                                 "stochastic"),
+                donate_argnums=(2,))(loop)
+
+        d = self._data_axis
+
+        @functools.partial(jax.jit,
+                           static_argnames=("num_iters", "spec_k",
+                                            "ngram", "mode",
+                                            "stochastic"),
+                           donate_argnums=(2,))
+        def sharded(params, hist, kv, block_tables, cur, emitted,
+                    budgets, seeds, kv_limits, samp, *, num_iters: int,
+                    spec_k: int, ngram: int, mode,
+                    stochastic: bool = False):
+            fn = self._shard_step(
+                functools.partial(loop, num_iters=num_iters,
+                                  spec_k=spec_k, ngram=ngram, mode=mode,
+                                  stochastic=stochastic),
+                in_specs=(self._param_specs, P(d), self._kv_specs, P(d),
+                          P(d), P(d), P(d), P(d), P(d),
+                          self._samp_specs()),
+                out_specs=(P(d), P(d), P(d), self._kv_specs))
+            return fn(params, hist, kv, block_tables, cur, emitted,
+                      budgets, seeds, kv_limits, samp)
+
+        return sharded
 
     def _build_generate_spec(self):
         """Whole-request *speculative* generation in ONE device program:
@@ -1159,6 +1273,93 @@ class Engine:
         self._decode_beam_fn = functools.partial(
             jax.jit, donate_argnums=(2,))(step)
         return self._decode_beam_fn
+
+    def _build_decode_beam_burst(self):
+        """``num_steps`` beam-expansion steps entirely ON DEVICE — the
+        beam twin of the scheduler's decode burst. Each scan iteration:
+        apply the previous selection's pending COW page copies, forward
+        one token per beam row, select the top-W (parent, token) pairs
+        by cumulative log-probability, and REWIRE THE BLOCK TABLES ON
+        DEVICE: each row gathers its parent's table; the page that the
+        next append will write gets replaced by a host-preallocated
+        fresh page when (a) the rows cross into a new page, or (b) the
+        row is not the first chooser of its parent (copy-on-write — the
+        data copy of the old tail rides the next iteration's
+        ``copy_pages_tree``). The host replays the identical
+        deterministic page arithmetic afterwards to sync the allocator
+        (``BeamSearcher._replay_burst``).
+
+        Round 3 measured the per-beam-step floor as *host interaction*
+        (block-table rewiring + uploads between steps — BENCHMARKS.md);
+        this program touches the host once per ``num_steps`` instead of
+        once per step. Invariant maintained: after every rewire each
+        row's next-append page is exclusive to that row, so sibling
+        beams never clobber shared pages. Single-process engines only.
+
+        ``fresh [num_steps, W]``: preallocated page ids; row ``w``
+        consumes ``fresh[k, w]`` at step ``k`` iff crossing/COW (the
+        host replay frees unused ones). Dead rows (EOS / all-dead
+        garbage steps) are masked out of the candidate pool exactly
+        like the per-step path. Returns the per-step
+        ``(parents, tokens, scores, alive)`` traces, the final-step
+        carry the next burst resumes from, and the KV state.
+        """
+        if self._decode_beam_burst_fn is not None:
+            return self._decode_beam_burst_fn
+        model, backend = self.model, self.backend
+        V = self.cfg.vocab_size
+        page = self.cache.page_size
+        from ..kvcache.pool import copy_pages_tree
+
+        def loop(params, tokens, kv, bt, seq_lens, scores, alive,
+                 csrc, cdst, fresh, eos, *, num_steps: int):
+            W = tokens.shape[0]
+            tril = jnp.tril(jnp.ones((W, W), bool), k=-1)
+            rows_i = jnp.arange(W, dtype=jnp.int32)
+
+            def body(carry, fresh_k):
+                tokens, kv, bt, sl, scores, alive, csrc, cdst = carry
+                kv = copy_pages_tree(kv, csrc, cdst)
+                attn = backend.make_attn_fn(bt, sl + 1, sl)
+                logits, kv = model.forward(params, tokens[:, None],
+                                           sl[:, None], kv, attn)
+                lp = jax.nn.log_softmax(
+                    logits[:, 0, :V].astype(jnp.float32), axis=-1)
+                lp = jnp.where(alive[:, None], lp, -jnp.inf)
+                cand = scores[:, None] + lp
+                vals, idx = jax.lax.top_k(cand.reshape(-1), W)
+                par = (idx // V).astype(jnp.int32)
+                tok = (idx % V).astype(jnp.int32)
+                new_bt = bt[par]
+                sl1 = sl + 1
+                tidx = sl1[0] // page            # beam rows are uniform
+                crossing = (sl1[0] % page) == 0
+                taken_before = ((par[:, None] == par[None, :])
+                                & tril).any(axis=1)
+                old_tail = new_bt[rows_i, tidx]
+                use_fresh = crossing | taken_before
+                new_bt = new_bt.at[rows_i, tidx].set(
+                    jnp.where(use_fresh, fresh_k, old_tail))
+                # data copy only for COW; crossing pages start empty
+                cow = taken_before & ~crossing
+                csrc2 = jnp.where(cow, old_tail, 0)
+                cdst2 = jnp.where(cow, fresh_k, 0)
+                now_eos = (eos >= 0) & (tok == eos)
+                alive2 = (vals > -1e29) & ~now_eos
+                return ((tok, kv, new_bt, sl1, vals, alive2, csrc2,
+                         cdst2), (par, tok, vals, alive2))
+
+            carry, ys = jax.lax.scan(
+                body, (tokens, kv, bt, seq_lens, scores, alive, csrc,
+                       cdst), fresh, length=num_steps)
+            tokens, kv, bt, sl, scores, alive, csrc, cdst = carry
+            pars, toks, vals, alives = ys
+            return pars, toks, vals, alives, tokens, scores, csrc, cdst, kv
+
+        self._decode_beam_burst_fn = functools.partial(
+            jax.jit, static_argnames=("num_steps",),
+            donate_argnums=(2,))(loop)
+        return self._decode_beam_burst_fn
 
     def decode_forced(self, state: EngineState,
                       tokens: np.ndarray) -> np.ndarray:

@@ -233,6 +233,57 @@ def request_key(seed, index) -> jax.Array:
     return jax.random.fold_in(jax.random.fold_in(base, seed), index)
 
 
+def prepare_logits(logits: jax.Array, *,
+                   temperature: jax.Array, top_k: jax.Array,
+                   top_p: jax.Array,
+                   min_p: Optional[jax.Array] = None,
+                   rep_pen: Optional[jax.Array] = None,
+                   presence_pen: Optional[jax.Array] = None,
+                   freq_pen: Optional[jax.Array] = None,
+                   counts: Optional[jax.Array] = None,
+                   bias_ids: Optional[jax.Array] = None,
+                   bias_vals: Optional[jax.Array] = None,
+                   mode: Optional["SampleMode"] = None, **_ignored):
+    """The distribution machinery shared by :func:`sample` and the
+    speculative stochastic-acceptance path: penalties + logit bias on
+    the raw logits, then temperature / min-p / top-k / top-p masking.
+
+    Returns ``(raw, masked)`` — post-penalty raw logits (greedy picks
+    and the EOS threshold read these) and the masked *scaled* logits
+    whose softmax is exactly the distribution sampling draws from.
+    """
+    mode = mode or SampleMode()
+    B, V = logits.shape
+    logits = logits.astype(jnp.float32)
+    if mode.use_penalties and counts is not None:
+        logits = apply_penalties(logits, counts, rep_pen, presence_pen,
+                                 freq_pen)
+    if mode.use_logit_bias and bias_ids is not None:
+        # sparse per-request additive bias ([B, S] id/value slots,
+        # id < 0 = unused) on raw logits — shifts greedy picks too
+        rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+        idx = jnp.clip(bias_ids, 0, V - 1)
+        vals = jnp.where(bias_ids >= 0, bias_vals, 0.0)
+        logits = logits.at[rows, idx].add(vals)
+    if mode.greedy:
+        return logits, logits
+    temp = jnp.maximum(temperature, 1e-6)[:, None]
+    scaled = logits / temp
+    if mode.use_min_p and min_p is not None:
+        # p_i / p_max = exp(l_i - l_max): the min-p cut is a pure
+        # logit threshold, no softmax needed
+        lmax = jnp.max(scaled, axis=-1, keepdims=True)
+        cut = lmax + jnp.log(jnp.maximum(min_p, 1e-10))[:, None]
+        scaled = jnp.where((min_p[:, None] > 0.0) & (scaled < cut),
+                           -jnp.inf, scaled)
+    if mode.use_filter and mode.filter_cap:
+        scaled = _filter_logits_capped(scaled, top_k, top_p,
+                                       min(mode.filter_cap, V))
+    elif mode.use_filter:
+        scaled = filter_logits(scaled, top_k, top_p)
+    return logits, scaled
+
+
 def sample(logits: jax.Array, rng: Optional[jax.Array], *,
            temperature: jax.Array, top_k: jax.Array, top_p: jax.Array,
            eos_token_id: Optional[jax.Array] = None,
@@ -262,36 +313,16 @@ def sample(logits: jax.Array, rng: Optional[jax.Array], *,
     del stop_ids
     mode = mode or SampleMode()
     B, V = logits.shape
-    logits = logits.astype(jnp.float32)
-    if mode.use_penalties and counts is not None:
-        logits = apply_penalties(logits, counts, rep_pen, presence_pen,
-                                 freq_pen)
-    if mode.use_logit_bias and bias_ids is not None:
-        # sparse per-request additive bias ([B, S] id/value slots,
-        # id < 0 = unused) on raw logits — shifts greedy picks too
-        rows = jnp.arange(B, dtype=jnp.int32)[:, None]
-        idx = jnp.clip(bias_ids, 0, V - 1)
-        vals = jnp.where(bias_ids >= 0, bias_vals, 0.0)
-        logits = logits.at[rows, idx].add(vals)
+    logits, scaled = prepare_logits(
+        logits, temperature=temperature, top_k=top_k, top_p=top_p,
+        min_p=min_p, rep_pen=rep_pen, presence_pen=presence_pen,
+        freq_pen=freq_pen, counts=counts, bias_ids=bias_ids,
+        bias_vals=bias_vals, mode=mode)
     greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     if mode.greedy:
         tok = greedy_tok
     else:
-        temp = jnp.maximum(temperature, 1e-6)[:, None]
-        scaled = logits / temp
-        if mode.use_min_p and min_p is not None:
-            # p_i / p_max = exp(l_i - l_max): the min-p cut is a pure
-            # logit threshold, no softmax needed
-            lmax = jnp.max(scaled, axis=-1, keepdims=True)
-            cut = lmax + jnp.log(jnp.maximum(min_p, 1e-10))[:, None]
-            scaled = jnp.where((min_p[:, None] > 0.0) & (scaled < cut),
-                               -jnp.inf, scaled)
-        if mode.use_filter and mode.filter_cap:
-            scaled = _filter_logits_capped(scaled, top_k, top_p,
-                                           min(mode.filter_cap, V))
-        elif mode.use_filter:
-            scaled = filter_logits(scaled, top_k, top_p)
         if row_keys is not None:
             sampled = jax.vmap(
                 lambda k, row: jax.random.categorical(k, row))(

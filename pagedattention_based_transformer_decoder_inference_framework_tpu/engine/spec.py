@@ -60,6 +60,58 @@ def accept_counts(drafts: jax.Array, targets: jax.Array) -> jax.Array:
     return jnp.cumprod(match, axis=1).sum(axis=1)
 
 
+def stochastic_accept(scaled: jax.Array, drafts: jax.Array,
+                      keys_u: jax.Array, keys_re: jax.Array):
+    """Speculative acceptance for SAMPLED requests (temperature > 0)
+    with a deterministic (prompt-lookup) draft.
+
+    The standard accept/resample rule specialized to a point-mass draft
+    distribution: draft token ``d_i`` is accepted with probability
+    ``p_i(d_i)`` (the target's own probability of the draft), and on
+    the first rejection the replacement is drawn from the renormalized
+    leftover ``p_i`` with ``d_i`` removed — so each emitted token is
+    distributed EXACTLY as a plain draw from ``p`` (the classic
+    speculative-sampling correctness argument with q = delta(d)). If
+    every draft is accepted, the bonus token samples ``p_K`` directly.
+
+    scaled:  ``[B, K+1, V]`` masked scaled logits (the distribution
+             ``sample()`` draws from — :func:`..sampling.prepare_logits`).
+    drafts:  ``[B, K]`` draft tokens.
+    keys_u:  ``[B, K]`` PRNG keys for the accept coin at each position.
+    keys_re: ``[B, K+1]`` PRNG keys for the resample/bonus draw.
+    Returns ``(a [B], fix [B])``: accepted-prefix length and the token
+    emitted at position ``a`` (resample at the first rejection, bonus
+    draw when ``a == K``).
+    """
+    B, K1, V = scaled.shape
+    K = K1 - 1
+    logp = jax.nn.log_softmax(scaled, axis=-1)          # [B, K+1, V]
+    p_draft = jnp.take_along_axis(
+        logp[:, :K], drafts[..., None], axis=-1)[..., 0]   # [B, K] log p(d)
+    u = jax.vmap(jax.vmap(jax.random.uniform))(keys_u)     # [B, K]
+    accept = jnp.log(jnp.maximum(u, 1e-30)) < p_draft
+    a = jnp.cumprod(accept.astype(jnp.int32), axis=1).sum(axis=1)  # [B]
+
+    # distribution at the emit position: position a (clipped); when all
+    # accepted (a == K) the bonus draws the unmodified p_K, otherwise
+    # the rejected draft's mass is removed and the rest renormalized
+    pos = jnp.minimum(a, K)
+    row_logits = jnp.take_along_axis(
+        scaled, pos[:, None, None], axis=1)[:, 0]           # [B, V]
+    rej_draft = jnp.take_along_axis(
+        drafts, jnp.minimum(pos, K - 1)[:, None], axis=1)[:, 0]
+    drop = (pos < K)
+    onehot = jax.nn.one_hot(rej_draft, V, dtype=bool)
+    row_logits = jnp.where(drop[:, None] & onehot, -jnp.inf, row_logits)
+    # gather the emit position's key (typed key arrays don't support
+    # take_along_axis — go through the raw key data)
+    kd = jax.random.key_data(keys_re)                   # [B, K+1, W]
+    sel = jnp.take_along_axis(kd, pos[:, None, None], axis=1)[:, 0]
+    keys_fix = jax.random.wrap_key_data(sel)
+    fix = jax.vmap(jax.random.categorical)(keys_fix, row_logits)
+    return a, fix.astype(jnp.int32)
+
+
 def write_rows(buf: jax.Array, starts: jax.Array,
                vals: jax.Array) -> jax.Array:
     """Per-row dynamic write: ``buf[b, starts[b]:starts[b]+W] = vals[b]``."""

@@ -174,11 +174,9 @@ class Scheduler:
         if self.B % self.dp != 0:
             raise ValueError(
                 f"max_batch_size={self.B} must divide dp={self.dp}")
-        if self.dp > 1 and self.config.cache.enable_swap:
-            # host-RAM swap addresses the pool by global page index;
-            # per-shard sub-pools would need offset translation — until
-            # then dp>1 preemption uses requeue + teacher-forced resume
-            raise ValueError("enable_swap requires dp == 1")
+        # dp > 1: swap translates each lane's shard-local page ids into
+        # global pool indices (_page_base) and re-pins the pool's
+        # sharding after the scatter — see _swap_in/_swap_out
         self.page = engine.cache.page_size
         self.lanes = [_Lane(idx=i) for i in range(self.B)]
         # lane i's pages live in the sub-pool of data shard i*dp//B
@@ -235,10 +233,19 @@ class Scheduler:
 
     def step(self) -> int:
         """One scheduler tick: expire -> admit -> prefill chunk(s) ->
-        decode burst. Returns the number of occupied lanes."""
+        decode burst. Returns the number of occupied lanes.
+
+        When some lanes finish prefill this tick (dp=1, no penalties),
+        the tick runs *fused*: final chunk + first-token sampling +
+        decode burst as chained device dispatches with no intervening
+        host sync — one taxed dispatch per tick instead of three
+        (see :meth:`_fused_tick`)."""
         with self._lock:
             self._expire()
             self._admit()
+            out = self._fused_tick()
+            if out is not None:
+                return out
             self._prefill_tick()
             return self._decode_tick()
 
@@ -273,15 +280,53 @@ class Scheduler:
         """Live-resize the page pool (``KVTileCache::resize``): grow to
         admit more concurrent context, or shrink to release HBM. Live
         pages are never dropped (shrink raises if any would be). The
-        jitted steps recompile for the new pool shape on next use."""
-        from ..kvcache.pool import resize_pool
+        jitted steps recompile for the new pool shape on next use.
 
-        if self.dp > 1:
-            raise ValueError("live resize requires dp == 1 (per-shard "
-                             "sub-pool resize is not wired)")
+        dp > 1: ``new_num_pages`` is the GLOBAL page count; each data
+        shard's sub-pool and allocator resize to its 1/dp share, and
+        shard-local page ids stay valid because the pages axis is
+        resized per shard (grow pads after each shard's pages, shrink
+        truncates each shard's tail)."""
+        from ..kvcache.pool import PAGES_AXIS, resize_pool
+
+        if new_num_pages % self.dp != 0:
+            raise ValueError(
+                f"num_pages={new_num_pages} must divide dp={self.dp}")
         with self._lock:
-            self.engine.allocator.resize(new_num_pages)
-            self.kv = resize_pool(self.kv, new_num_pages)
+            done = []
+            try:
+                for alloc in self.engine.allocators:
+                    alloc.resize(new_num_pages // self.dp)
+                    done.append(alloc)
+            except Exception:
+                old = self.engine.cache.num_pages // self.dp
+                for alloc in done:     # roll back: keep shards uniform
+                    alloc.resize(old)
+                raise
+            if self.dp == 1:
+                self.kv = resize_pool(self.kv, new_num_pages)
+            else:
+                # per-shard resize: split the pages axis into dp shard
+                # segments, resize each, and re-concatenate — local ids
+                # keep addressing the same content per shard
+                old_local = self.engine.cache.num_pages // self.dp
+                new_local = new_num_pages // self.dp
+
+                def one(leaf):
+                    ax = leaf.ndim + PAGES_AXIS
+                    parts = jnp.split(leaf, self.dp, axis=ax)
+                    if new_local > old_local:
+                        pad = [(0, 0)] * leaf.ndim
+                        pad[ax] = (0, new_local - old_local)
+                        parts = [jnp.pad(p, pad) for p in parts]
+                    else:
+                        idx = [slice(None)] * leaf.ndim
+                        idx[ax] = slice(0, new_local)
+                        parts = [p[tuple(idx)] for p in parts]
+                    return jnp.concatenate(parts, axis=ax)
+
+                self.kv = tuple(one(leaf) for leaf in self.kv)
+            self._pin_kv_sharding()
             self.engine.cache.num_pages = new_num_pages
 
     def stop(self) -> None:
@@ -715,6 +760,21 @@ class Scheduler:
 
     # -- preemption / swap -----------------------------------------------------
 
+    def _page_base(self, lane: _Lane) -> int:
+        """Global pool index of this lane's shard's first page (the
+        pool's pages axis is sharded over 'data'; allocators hand out
+        shard-LOCAL ids)."""
+        return (self._lane_shard[lane.idx]
+                * (self.engine.cache.num_pages // self.dp))
+
+    def _pin_kv_sharding(self) -> None:
+        """Re-pin the pool's mesh sharding after a host-side pool
+        mutation (swap-in scatter / live resize) — eager updates on
+        sharded arrays let XLA choose output placement."""
+        sh = getattr(self.engine, "_kv_shardings", None)
+        if sh is not None:
+            self.kv = jax.device_put(self.kv, sh)
+
     def _swap_out(self, lane: _Lane) -> None:
         """Preempt by moving the lane's KV pages to host RAM; the
         request resumes via :meth:`_swap_in` with no re-prefill. Only
@@ -722,8 +782,10 @@ class Scheduler:
         sliding-window reclamation keep their slot positions but cost
         no PCIe traffic and no pages on resume."""
         req = lane.request
+        base = self._page_base(lane)
         live_slots = [j for j, p in enumerate(lane.pages) if p != 0]
-        blobs = gather_pages(self.kv, [lane.pages[j] for j in live_slots])
+        blobs = gather_pages(self.kv,
+                             [base + lane.pages[j] for j in live_slots])
         req.swap = (blobs, live_slots, len(lane.pages), lane.seq_len,
                     lane.last_token)
         for p in lane.pages:
@@ -738,9 +800,12 @@ class Scheduler:
 
     def _swap_in(self, lane: _Lane, req: Request) -> None:
         blobs, live_slots, n_slots, seq_len, last_token = req.swap
-        fresh = self.engine.allocator.alloc_many(len(live_slots))
+        fresh = self._alloc_of(lane).alloc_many(len(live_slots))
         if fresh:
-            self.kv = scatter_pages(self.kv, blobs, fresh)
+            base = self._page_base(lane)
+            self.kv = scatter_pages(self.kv, blobs,
+                                    [base + f for f in fresh])
+            self._pin_kv_sharding()
         pages = [0] * n_slots
         for j, p in zip(live_slots, fresh):
             pages[j] = p
@@ -839,6 +904,22 @@ class Scheduler:
                     self._alloc_of(lane).free(lane.pages[j])
                     lane.pages[j] = 0          # dump-page placeholder
 
+    def _grow_lane(self, lane: _Lane, seq_len: int, emitted: int,
+                   horizon: int, writeahead: int = 0) -> None:
+        """Grow one lane's pages so ``horizon`` more decode steps fit:
+        KV rows land at ``seq_len .. seq_len + live_steps - 1`` where
+        live steps are capped by the request's remaining budget
+        (``max_new_tokens - emitted``); the total is clamped to the
+        request's validated page budget. Raises ``OutOfPagesError`` on
+        pool pressure (callers preempt or fall back)."""
+        req = lane.request
+        steps = min(horizon, req.max_new_tokens - emitted)
+        total = seq_len + max(steps, 1) + writeahead
+        total = min(total, len(req.prompt) + req.max_new_tokens)
+        need = cdiv(max(total, seq_len + 1), self.page)
+        while len(lane.pages) < need:
+            lane.pages.extend(self._alloc_of(lane).alloc_many(1))
+
     def _grow_pages(self, horizon: int, writeahead: int = 0) -> None:
         """Ensure every decoding lane has pages for the next ``horizon``
         tokens; preempt the youngest lane on pool exhaustion (never
@@ -853,15 +934,9 @@ class Scheduler:
             active = [l for l in self.lanes if l.decoding]
             try:
                 for lane in active:
-                    steps = min(horizon, lane.request.max_new_tokens
-                                - len(lane.request.tokens))
-                    total = lane.seq_len + max(steps, 1) + writeahead
-                    total = min(total, len(lane.request.prompt)
-                                + lane.request.max_new_tokens)
-                    need = cdiv(max(total, lane.seq_len + 1), self.page)
-                    while len(lane.pages) < need:
-                        lane.pages.extend(
-                            self._alloc_of(lane).alloc_many(1))
+                    self._grow_lane(lane, lane.seq_len,
+                                    len(lane.request.tokens), horizon,
+                                    writeahead)
                 return
             except OutOfPagesError:
                 victims = [l for l in self.lanes if not l.free]
@@ -947,11 +1022,227 @@ class Scheduler:
         self._samp_cache = (key, samp_arrays, mode)
         return samp_arrays, mode
 
+    def _fused_tick(self) -> Optional[int]:
+        """Fused scheduler tick: the final prefill chunk(s) + first-token
+        sampling + the decode burst as CHAINED device dispatches with no
+        intervening device->host sync.
+
+        The legacy tick pays three taxed dispatches per admission round
+        (prefill gang -> batched finish-sample -> decode burst; through
+        a remote chip each dispatch after a D2H costs ~28 ms,
+        BENCHMARKS.md). Here the gang program samples the first tokens
+        itself (``Engine._build_prefill_sample``), a device scatter
+        merges them with the decoding lanes' seed tokens, and the burst
+        consumes that *device* array — the host fetches the first
+        tokens only after the burst is already dispatched (async), so
+        TTFT still tracks prefill completion while the burst rides
+        directly behind it. Applies when lanes finish prefill this tick
+        (dp == 1, no mesh, no spec, no penalty requests — those take
+        the legacy path). Returns None to fall back.
+        """
+        rt = self.config.runtime
+        eng = self.engine
+        if (self.dp != 1 or eng.mesh is not None or rt.spec_k > 0
+                or rt.prefill_chunks_per_tick > 1):
+            return None
+        pending = [l for l in self.lanes
+                   if l.prefill is not None and not l.prefill.done]
+        if not pending:
+            return None
+        if any(l.prefill is not None and l.prefill.done
+               for l in self.lanes):
+            return None   # a done-but-unfinished job (left by an error
+            # fallback) must go through the legacy finish path first
+        chunk = pending[0].prefill.chunk
+        per = max(1, rt.prefill_gang_tokens // max(chunk, 1))
+        if len(pending) > per:
+            return None                  # would need multiple gangs
+        finishing = [l for l in pending
+                     if l.prefill.pos + chunk >= l.prefill.max_len]
+        if not finishing:
+            return None                  # nothing samples: legacy path
+                                         # already chains gang -> burst
+        decoding = [l for l in self.lanes if l.decoding]
+        post = decoding + finishing      # lanes decoding after the chunk
+        samp_arrays, mode = self._samp_plan(post)
+        if mode.use_penalties:
+            return None                  # counts threading: legacy path
+        fin_idx = {l.idx for l in finishing}
+
+        # burst length: the post-chunk view of _burst_steps
+        burst = max(1, rt.decode_burst)
+        if self.waiting.empty() and len(finishing) == len(pending):
+            burst = max(burst, rt.decode_burst_max)
+        rem = 0
+        for lane in decoding:
+            rem = max(rem, lane.request.max_new_tokens
+                      - len(lane.request.tokens))
+        for lane in finishing:
+            rem = max(rem, lane.request.max_new_tokens
+                      - len(lane.request.tokens) - 1)
+        n_steps = 1
+        while n_steps < min(burst, max(rem, 1)):
+            n_steps *= 2
+        n_steps = min(n_steps, burst)
+
+        # pages for the whole tick BEFORE any dispatch; on pool
+        # pressure fall back — the legacy tick preempts properly
+        self._reclaim_window_pages()
+        try:
+            for lane in decoding:
+                self._grow_lane(lane, lane.seq_len,
+                                len(lane.request.tokens), n_steps)
+            for lane in finishing:
+                # fresh rows count their in-program first token as
+                # emitted; resume rows sample nothing
+                em = len(lane.request.tokens) + (
+                    0 if lane.prefill.resume_token is not None else 1)
+                self._grow_lane(lane, lane.prefill.L, em, n_steps)
+        except OutOfPagesError:
+            return None
+
+        # gang inputs over the pending rows (padded to a power of two)
+        n = 1
+        while n < len(pending):
+            n *= 2
+        mp = eng.cache.max_pages_per_seq
+        tokens = np.zeros((n, chunk), np.int32)
+        pos = np.full((n, chunk), -1, np.int32)
+        gbt = np.zeros((n, mp), np.int32)
+        gsl = np.ones((n,), np.int32)
+        gqo = np.full((n,), chunk, np.int32)
+        gpl = np.ones((n,), np.int32)
+        smask = np.zeros((n,), bool)
+        gseeds = np.zeros((n,), np.int32)
+        rows = np.full((n,), self.B, np.int32)     # B = dropped scatter
+        gs = []
+        for i, lane in enumerate(pending):
+            job = lane.prefill
+            c0 = job.pos
+            c1 = min(c0 + chunk, job.max_len)
+            tokens[i, :c1 - c0] = job.tokens[0, c0:c1]
+            p = c0 + np.arange(chunk)
+            pos[i] = np.where(p < job.L, p, -1)
+            gbt[i] = job.bt[0]
+            gsl[i] = min(job.L, c0 + chunk)
+            gqo[i] = c0
+            gpl[i] = job.L
+            gseeds[i] = lane.request.seed
+            if lane.idx in fin_idx and job.resume_token is None:
+                smask[i] = True
+                rows[i] = lane.idx
+            gs.append(lane.request.sampling or self._samp)
+        while len(gs) < n:
+            gs.append(self._samp)
+        grows = [s.as_arrays(1) for s in gs]
+        gsamp = {k: jnp.concatenate([r[k] for r in grows], axis=0)
+                 for k in grows[0]}
+
+        # burst inputs over all lanes (idle rows frozen via budgets=0)
+        bt = np.zeros((self.B, mp), np.int32)
+        sl = np.zeros((self.B,), np.int32)
+        dec = np.zeros((self.B,), np.int32)
+        emitted = np.zeros((self.B,), np.int32)
+        budgets = np.zeros((self.B,), np.int32)
+        seeds = np.zeros((self.B,), np.int32)
+        for lane in decoding:
+            i = lane.idx
+            bt[i, :len(lane.pages)] = lane.pages
+            sl[i] = lane.seq_len
+            dec[i] = lane.last_token
+            emitted[i] = len(lane.request.tokens)
+            budgets[i] = lane.request.max_new_tokens
+            seeds[i] = lane.request.seed
+        for lane in finishing:
+            i = lane.idx
+            job = lane.prefill
+            bt[i, :len(lane.pages)] = lane.pages
+            sl[i] = job.L
+            if job.resume_token is not None:
+                dec[i] = job.resume_token
+                emitted[i] = len(lane.request.tokens)
+            else:
+                emitted[i] = len(lane.request.tokens) + 1
+            budgets[i] = lane.request.max_new_tokens
+            seeds[i] = lane.request.seed
+
+        if eng._prefill_sample_fn is None:
+            eng._prefill_sample_fn = eng._build_prefill_sample()
+        if eng._scatter_tokens_fn is None:
+            eng._scatter_tokens_fn = eng._build_scatter_tokens()
+        out_dev = None
+        dummy = self._dummy_counts
+        try:
+            first_dev, self.kv = eng._prefill_sample_fn(
+                eng.params, jnp.asarray(tokens), jnp.asarray(pos),
+                self.kv, jnp.asarray(gbt), jnp.asarray(gsl),
+                jnp.asarray(gqo), jnp.asarray(gpl), jnp.asarray(smask),
+                jnp.asarray(gseeds), gsamp, mode=mode)
+        except Exception:
+            # the gang mutates no scheduler state before it succeeds:
+            # fall back to the legacy tick, whose per-lane retry
+            # isolates a faulty request (SURVEY.md §5.3)
+            return None
+        # commit the prefill bookkeeping NOW: a burst fault must then
+        # see the finishing lanes as DECODING, so the device reset
+        # fails them like any decode fault — leaving them mid-prefill
+        # would requeue them into an infinite retry of the same fault
+        deliver = []
+        for i, lane in enumerate(pending):
+            job = lane.prefill
+            job.pos = min(job.pos + chunk, job.max_len)
+            if lane.idx not in fin_idx:
+                continue
+            lane.prefill = None
+            lane.seq_len = job.L
+            if job.resume_token is not None:
+                lane.last_token = job.resume_token
+            else:
+                deliver.append((i, lane))
+        try:
+            start = eng._scatter_tokens_fn(
+                jnp.asarray(dec), first_dev, jnp.asarray(rows))
+            if rem > 0:
+                out_dev, self.kv, dummy = eng._decode_loop_fn(
+                    eng.params, start, self.kv, jnp.asarray(bt),
+                    jnp.asarray(sl), jnp.asarray(emitted),
+                    jnp.asarray(budgets), jnp.asarray(seeds),
+                    samp_arrays, dummy, num_steps=n_steps, mode=mode)
+            # the burst is already dispatched: this D2H taxes nothing
+            first_np = np.asarray(first_dev)
+        except Exception as e:
+            self._reset_device_state(e)
+            return sum(not l.free for l in self.lanes)
+        self._dummy_counts = dummy
+
+        now = time.time()
+        for i, lane in deliver:
+            # per-lane isolation (mirrors _finish_prefills)
+            try:
+                tok = int(first_np[i])
+                lane.last_token = tok
+                lane.request.first_token_at = now
+                self._deliver(lane, tok)
+            except Exception as e:
+                lane.request.error = f"prefill finish failed: {e!r}"
+                self._release(lane, RequestState.FAILED)
+        if out_dev is not None:
+            out_np = np.asarray(out_dev)
+            for i, lane in enumerate(self.lanes):
+                if budgets[i] == 0:
+                    continue
+                for j in range(n_steps):
+                    if not lane.decoding:
+                        break          # released (EOS / budget) earlier
+                    lane.seq_len += 1
+                    lane.last_token = int(out_np[i, j])
+                    self._deliver(lane, lane.last_token)
+        return sum(not l.free for l in self.lanes)
+
     def _decode_tick(self) -> int:
         if not any(l.decoding for l in self.lanes):
             return sum(not l.free for l in self.lanes)
-        if (self.config.runtime.spec_k > 0 and self.dp == 1
-                and self.engine.mesh is None
+        if (self.config.runtime.spec_k > 0
                 # the spec loop neither threads the penalty histogram
                 # nor checks per-lane stop sets nor applies logit bias —
                 # any such lane forces the plain burst this tick
@@ -1075,7 +1366,8 @@ class Scheduler:
                     jnp.asarray(emitted), jnp.asarray(budgets),
                     jnp.asarray(seeds), jnp.asarray(kv_limits),
                     samp_arrays, num_iters=n_iters, spec_k=K,
-                    ngram=ngram, mode=mode)
+                    ngram=ngram, mode=mode,
+                    stochastic=self.config.runtime.spec_stochastic)
             hist_np = np.asarray(hist_out)
             cur_np = np.asarray(cur_out)
         except Exception as e:

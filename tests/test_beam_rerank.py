@@ -109,6 +109,40 @@ def test_beam_eos_finishes(engine):
         assert eos not in b.tokens[:-1]   # eos only ever terminal
 
 
+def test_beam_burst_matches_per_step(engine):
+    """Device beam bursts (selection + COW + block-table rewire on
+    device, host replay of the page arithmetic) must reproduce the
+    per-step path: same hypotheses, same scores, across page-boundary
+    crossings (page_size 8, 12 steps) and partial final bursts."""
+    prompt = [2, 4, 6, 8, 10]
+    per_step = BeamSearcher(engine, beam_width=3, burst=1).search(
+        prompt, 12)
+    for K in (4, 16):                     # 12 steps: 3 bursts / overshoot
+        burst = BeamSearcher(engine, beam_width=3, burst=K).search(
+            prompt, 12)
+        assert [b.tokens for b in burst] == [b.tokens for b in per_step]
+        np.testing.assert_allclose(
+            [b.score for b in burst], [b.score for b in per_step],
+            rtol=1e-5, atol=1e-5)
+
+
+def test_beam_burst_eos_and_pages_freed(engine):
+    """EOS inside a burst records the hypothesis at the right step and
+    the replayed page bookkeeping leaks nothing (unused fresh pages
+    return to the pool)."""
+    prompt = [6, 6, 6]
+    ref = BeamSearcher(engine, beam_width=2, burst=1).search(prompt, 6)
+    eos = ref[0].tokens[1]
+    searcher = BeamSearcher(engine, beam_width=2, burst=4)
+    beams = searcher.search(prompt, 6, eos_token_id=eos)
+    assert searcher.allocator.num_live == 0
+    expect = BeamSearcher(engine, beam_width=2, burst=1).search(
+        prompt, 6, eos_token_id=eos)
+    assert [b.tokens for b in beams] == [b.tokens for b in expect]
+    for b in beams:
+        assert eos not in b.tokens[:-1]
+
+
 def test_logprob_scorer_prefers_model_continuation(engine):
     """The model's own greedy continuation must outscore a random one."""
     prompt = [2, 4, 6, 8]

@@ -79,7 +79,10 @@ def test_prefill_error_fails_only_that_request():
     def boom(*a, **k):
         raise RuntimeError("injected prefill fault")
 
+    # both prefill entry points fault: the fused tick's gang+sample
+    # program and the legacy chunk program it falls back to
     eng._prefill_fn = boom
+    eng._prefill_sample_fn = boom
     bad = sched.submit([1, 2, 3], 4, GREEDY)
     sched.step()
     assert bad.state == RequestState.FAILED
@@ -88,6 +91,7 @@ def test_prefill_error_fails_only_that_request():
     assert eng.allocator.num_live == 0       # its pages were freed
 
     eng._prefill_fn = real_prefill
+    eng._prefill_sample_fn = None            # rebuilt lazily
     ok = sched.submit([1, 2, 3], 4, GREEDY)
     sched.run_until_idle()
     assert ok.state == RequestState.FINISHED

@@ -146,9 +146,15 @@ def main() -> None:
     cfg.model = preset(args.model)
     total_len = args.prompt_len + args.steps + 1
     page = args.page_size
+    # pool size rounded so num_pages * page_size is a multiple of 1024:
+    # the INT8-scales decode append then rides the RMW kernel's
+    # 8-sublane flat slabs (ops/kv_append.py) instead of per-token DUS
+    n_pages = args.batch * cdiv(total_len, page) + 64
+    grain = max(1, 1024 // page)
+    n_pages = cdiv(n_pages, grain) * grain
     cfg.cache = CacheConfig(
         page_size=page,
-        num_pages=args.batch * cdiv(total_len, page) + 64,
+        num_pages=n_pages,
         max_pages_per_seq=cdiv(total_len, page) + 2,
         kv_dtype=args.kv_dtype)
     cfg.runtime.prefill_chunk = 256
@@ -163,6 +169,10 @@ def main() -> None:
         # spec verify appends up to spec_k extra positions per lane
         cfg.cache.max_pages_per_seq += cdiv(args.spec_k, page) + 1
         cfg.cache.num_pages += args.batch * (cdiv(args.spec_k, page) + 1)
+    if args.mode == "beam":
+        # device beam bursts pre-allocate beam_burst * W fresh pages
+        # per dispatch (unused ones return to the pool after replay)
+        cfg.cache.num_pages += cfg.runtime.beam_burst * args.batch
 
     eng = Engine(cfg, seed=0)
     samp = SamplingParams(temperature=0.0, eos_token_id=-1)

@@ -101,7 +101,8 @@ def _tile_rows(dtype) -> int:
 
 
 def _rmw_kernel(pid_ref, slot_ref, layer_ref, *refs, num_pools: int,
-                slabs: Tuple[int, ...], page: int, T: int):
+                slabs: Tuple[int, ...], page: int, T: int,
+                flats: Tuple[bool, ...]):
     # refs: num_pools new blocks (VMEM), num_pools pools (ANY, unused
     # alias donors), num_pools out pools (ANY), then per-pool scratch:
     # num_pools slab buffers + num_pools DMA semaphores.
@@ -109,6 +110,13 @@ def _rmw_kernel(pid_ref, slot_ref, layer_ref, *refs, num_pools: int,
     # sequence (decode: T=1; speculative verify: T=spec_k+1). Tokens are
     # patched one slab RMW at a time; consecutive slots usually share a
     # slab, so the common cost is one slab in+out per crossed slab.
+    #
+    # flats[i]: pool i is the lane-PACKED view [L, 2, KH, S/128, 128] of
+    # a (pages, page, 1) leaf (a free row-major bitcast) — the only way
+    # a lane-1 pool (INT8 scales) admits manual DMA: slice 8 sublane
+    # rows of 128 lanes and patch element (row, lane) of global slot
+    # pid*page + slot. Replaces the per-token dynamic_update_slice
+    # fallback that cost ~2% of the decode roofline (BENCHMARKS.md r4).
     new_refs = refs[:num_pools]
     out_refs = refs[2 * num_pools:3 * num_pools]
     slab_refs = refs[3 * num_pools:4 * num_pools]
@@ -116,30 +124,176 @@ def _rmw_kernel(pid_ref, slot_ref, layer_ref, *refs, num_pools: int,
     b = pl.program_id(0)
     l = layer_ref[0]
 
-    for i in range(num_pools):
+    def src_of(i, t):
         rows = slabs[i]
-        for t in range(T):
-            pid = pid_ref[b, t]
-            slot = slot_ref[b, t]
-            s0 = (slot // rows) * rows
-            src = out_refs[i].at[l, :, :, pid, pl.ds(s0, rows), :]
-            dma_in = pltpu.make_async_copy(src, slab_refs[i], sem_refs[i])
-            dma_in.start()
-            dma_in.wait()
+        pid = pid_ref[b, t]
+        slot = slot_ref[b, t]
+        if flats[i]:
+            g = pid * page + slot
+            grow = g // 128
+            r0 = (grow // rows) * rows
+            return (out_refs[i].at[l, :, :, pl.ds(r0, rows), :],
+                    grow - r0, g % 128)
+        s0 = (slot // rows) * rows
+        return (out_refs[i].at[l, :, :, pid, pl.ds(s0, rows), :],
+                slot - s0, None)
+
+    # per token: the pools' slab DMAs run in PARALLEL (start all, wait
+    # all, patch, write all, wait all) — two serialized in+out round
+    # trips per pool measured ~0.8% of the 8B decode roofline on their
+    # own (BENCHMARKS.md round 4 A/B)
+    for t in range(T):
+        metas = [src_of(i, t) for i in range(num_pools)]
+        for i in range(num_pools):
+            pltpu.make_async_copy(metas[i][0], slab_refs[i],
+                                  sem_refs[i]).start()
+        for i in range(num_pools):
+            pltpu.make_async_copy(metas[i][0], slab_refs[i],
+                                  sem_refs[i]).wait()
+        for i in range(num_pools):
+            src, hit_row, hit_lane = metas[i]
             row = new_refs[i][0, :, :, t, :]          # [2, KH, d]
-            io = jax.lax.broadcasted_iota(
-                jnp.int32, slab_refs[i].shape, 2)      # [2, KH, rows, d]
+            io_r = jax.lax.broadcasted_iota(
+                jnp.int32, slab_refs[i].shape, 2)
+            hit = io_r == hit_row
+            if hit_lane is not None:
+                io_l = jax.lax.broadcasted_iota(
+                    jnp.int32, slab_refs[i].shape, 3)
+                hit = hit & (io_l == hit_lane)
             slab_refs[i][:] = jnp.where(
-                io == slot - s0,
-                row[:, :, None, :].astype(slab_refs[i].dtype),
+                hit, row[:, :, None, :].astype(slab_refs[i].dtype),
                 slab_refs[i][:])
-            dma_out = pltpu.make_async_copy(slab_refs[i], src, sem_refs[i])
-            dma_out.start()
-            dma_out.wait()
+        for i in range(num_pools):
+            pltpu.make_async_copy(slab_refs[i], metas[i][0],
+                                  sem_refs[i]).start()
+        for i in range(num_pools):
+            pltpu.make_async_copy(slab_refs[i], metas[i][0],
+                                  sem_refs[i]).wait()
+
+
+def _rmw_batch_kernel(pid_ref, slot_ref, layer_ref, *refs,
+                      num_pools: int, slabs: Tuple[int, ...], page: int,
+                      B: int, flats: Tuple[bool, ...]):
+    """T=1 decode append as ONE grid program with every sequence's and
+    every pool's slab DMA in flight at once — the grid=(B,) form pays
+    2 serialized DMA round-trips per sequence per pool (the waits chain
+    across sequential grid programs), which dominates the append at 8B
+    (BENCHMARKS.md round 4).
+
+    Overlap hazard: two sequences' slabs may cover the same HBM region
+    (the flat scales view spans many pages per 8-sublane slab; dump-page
+    redirects collide by design). Every slab copy is therefore patched
+    with EVERY token that lands inside it, so duplicate write-backs
+    carry identical bytes and last-writer-wins is benign."""
+    new_refs = refs[:num_pools]
+    out_refs = refs[2 * num_pools:3 * num_pools]
+    slab_refs = refs[3 * num_pools:4 * num_pools]   # [B, 2, KH, rows, d]
+    sem_refs = refs[4 * num_pools:5 * num_pools]    # DMA((B,))
+    l = layer_ref[0]
+
+    def meta(i, b):
+        rows = slabs[i]
+        pid = pid_ref[b, 0]
+        slot = slot_ref[b, 0]
+        if flats[i]:
+            g = pid * page + slot
+            r0 = ((g // 128) // rows) * rows
+            return out_refs[i].at[l, :, :, pl.ds(r0, rows), :], r0, None
+        s0 = (slot // rows) * rows
+        return (out_refs[i].at[l, :, :, pid, pl.ds(s0, rows), :], s0,
+                pid)
+
+    for i in range(num_pools):
+        for b in range(B):
+            src, _, _ = meta(i, b)
+            pltpu.make_async_copy(src, slab_refs[i].at[b],
+                                  sem_refs[i].at[b]).start()
+    for i in range(num_pools):
+        for b in range(B):
+            src, _, _ = meta(i, b)
+            pltpu.make_async_copy(src, slab_refs[i].at[b],
+                                  sem_refs[i].at[b]).wait()
+    for i in range(num_pools):
+        for b in range(B):
+            src, base, pid_b = meta(i, b)
+            acc = slab_refs[i][b]
+            io_r = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 2)
+            io_l = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 3)
+            for b2 in range(B):
+                row = new_refs[i][b2, :, :, 0, :]      # [2, KH, d]
+                if flats[i]:
+                    g2 = pid_ref[b2, 0] * page + slot_ref[b2, 0]
+                    hit = ((io_r == g2 // 128 - base)
+                           & (io_l == g2 % 128))
+                else:
+                    hit = ((io_r == slot_ref[b2, 0] - base)
+                           & jnp.full(acc.shape,
+                                      pid_ref[b2, 0] == pid_b, bool))
+                acc = jnp.where(hit, row[:, :, None, :].astype(acc.dtype),
+                                acc)
+            slab_refs[i][b] = acc
+    for i in range(num_pools):
+        for b in range(B):
+            src, _, _ = meta(i, b)
+            pltpu.make_async_copy(slab_refs[i].at[b], src,
+                                  sem_refs[i].at[b]).start()
+    for i in range(num_pools):
+        for b in range(B):
+            src, _, _ = meta(i, b)
+            pltpu.make_async_copy(slab_refs[i].at[b], src,
+                                  sem_refs[i].at[b]).wait()
+
+
+def _append_tokens_rmw_batch(kv, news, layer_arr, pid, slot, *,
+                             page_size: int, interpret: bool,
+                             flats: Tuple[bool, ...]):
+    """Single-program variant of :func:`_append_tokens_rmw` for T=1."""
+    num_pools = len(kv)
+    B = pid.shape[0]
+    KH, page = kv[0].shape[2], kv[0].shape[4]
+
+    def slab_rows(i, p):
+        t = _tile_rows(p.dtype)
+        if flats[i]:
+            R = p.shape[-2]
+            return t if R % t == 0 and R > t else R
+        return t if page % t == 0 and page > t else page
+
+    slabs = tuple(slab_rows(i, p) for i, p in enumerate(kv))
+    any_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+    in_specs = [
+        pl.BlockSpec((B, 2, KH, 1, p.shape[-1]),
+                     lambda *_: (0, 0, 0, 0, 0))
+        for p in news
+    ] + [any_spec] * num_pools
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(1,),
+        in_specs=in_specs,
+        out_specs=tuple(any_spec for _ in kv),
+        scratch_shapes=[
+            pltpu.VMEM((B, 2, KH, slabs[i], kv[i].shape[-1]),
+                       kv[i].dtype)
+            for i in range(num_pools)
+        ] + [pltpu.SemaphoreType.DMA((B,))] * num_pools,
+    )
+    aliases = {3 + num_pools + i: i for i in range(num_pools)}
+    out = pl.pallas_call(
+        functools.partial(_rmw_batch_kernel, num_pools=num_pools,
+                          slabs=slabs, page=page, B=B, flats=flats),
+        grid_spec=grid_spec,
+        out_shape=tuple(jax.ShapeDtypeStruct(p.shape, p.dtype)
+                        for p in kv),
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(pid, slot, layer_arr, *news, *kv)
+    return tuple(out)
 
 
 def _append_tokens_rmw(kv, news, layer_arr, pid, slot, *, page_size: int,
-                       interpret: bool):
+                       interpret: bool,
+                       flats: Optional[Tuple[bool, ...]] = None):
     """Token append as ONE kernel: per sequence, DMA the tile-sized
     sublane slab holding each token's slot out of HBM, patch the row in
     VMEM, DMA it back. Replaces 2*B*T dynamic_update_slice ops per layer
@@ -156,19 +310,26 @@ def _append_tokens_rmw(kv, news, layer_arr, pid, slot, *, page_size: int,
     cannot be sliced.)
     """
     num_pools = len(kv)
+    flats = flats or (False,) * num_pools
     B, T = pid.shape
     KH, page = kv[0].shape[2], kv[0].shape[4]
-    slabs = tuple(
-        _tile_rows(p.dtype)
-        if page % _tile_rows(p.dtype) == 0 and page > _tile_rows(p.dtype)
-        else page
-        for p in kv)
+    def slab_rows(i, p):
+        if flats[i]:
+            # flat [L, 2, KH, R, 128] view: 8-sublane slabs when they
+            # tile R, else the whole dim (no sublane slicing at all)
+            R = p.shape[-2]
+            t = _tile_rows(p.dtype)
+            return t if R % t == 0 and R > t else R
+        t = _tile_rows(p.dtype)
+        return t if page % t == 0 and page > t else page
+
+    slabs = tuple(slab_rows(i, p) for i, p in enumerate(kv))
 
     any_spec = pl.BlockSpec(memory_space=pltpu.HBM)
     in_specs = [
         pl.BlockSpec((1, 2, KH, T, p.shape[-1]),
                      lambda b, *_: (b, 0, 0, 0, 0))
-        for p in kv
+        for p in news
     ] + [any_spec] * num_pools
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -183,7 +344,7 @@ def _append_tokens_rmw(kv, news, layer_arr, pid, slot, *, page_size: int,
     aliases = {3 + num_pools + i: i for i in range(num_pools)}
     out = pl.pallas_call(
         functools.partial(_rmw_kernel, num_pools=num_pools, slabs=slabs,
-                          page=page, T=T),
+                          page=page, T=T, flats=flats),
         grid_spec=grid_spec,
         out_shape=tuple(jax.ShapeDtypeStruct(p.shape, p.dtype) for p in kv),
         input_output_aliases=aliases,
@@ -260,15 +421,50 @@ def kv_append(kv: Tuple[jax.Array, ...], k_new: jax.Array,
         # verify); the INT8 scales leaf keeps per-token DUS (its lane-1
         # layout cannot be raw-DMA-sliced)
         layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
-        vals = _append_tokens_rmw(
-            (kv[0],), (news[0],), layer_arr,
-            pid.astype(jnp.int32), slot.astype(jnp.int32),
-            page_size=page_size, interpret=interpret)
+        pid32 = pid.astype(jnp.int32)
+        slot32 = slot.astype(jnp.int32)
+
+        def rmw(pools, newss, flats_):
+            # T=1 (decode): one program, every slab DMA in flight at
+            # once; T>1 (speculative verify): sequential per-token RMW
+            if T == 1:
+                return _append_tokens_rmw_batch(
+                    pools, newss, layer_arr, pid32, slot32,
+                    page_size=page_size, interpret=interpret,
+                    flats=flats_)
+            return _append_tokens_rmw(
+                pools, newss, layer_arr, pid32, slot32,
+                page_size=page_size, interpret=interpret, flats=flats_)
+
         if len(kv) == 2:
+            if os.environ.get("PBT_SKIP_SCALE_DUS") == "1":
+                # measurement-only: drops the INT8 scale write (WRONG
+                # numerics) to price the per-token scale write in an
+                # end-to-end A/B
+                vals = rmw((kv[0],), (news[0],), (False,))
+                return (vals[0], kv[1])
+            L2, _, KH2, P2, pg2, _ = kv[1].shape
+            S = P2 * pg2
+            R = S // 128
+            # fast path needs 8-sublane slab tiling of the flat view;
+            # small odd pools take a whole-dim slab (capped — beyond
+            # that the per-token slab traffic stops paying for itself)
+            ok = S % 128 == 0 and (R % 8 == 0 or R <= 32)
+            if ok and os.environ.get("PBT_SCALE_RMW", "1") == "1":
+                # lane-1 scales pools admit no manual DMA directly, but
+                # the row-major (pages, page, 1) tail bitcasts for free
+                # into (S/128, 128) — in THAT view the scale write rides
+                # the same RMW kernel as the values (flat slab [2, KH,
+                # 8, 128]), replacing the per-token DUS that cost ~2%
+                # of the decode roofline (BENCHMARKS.md round 4)
+                sc_flat = kv[1].reshape(L2, 2, KH2, S // 128, 128)
+                vals, sc_out = rmw((kv[0], sc_flat), news,
+                                   (False, True))
+                return (vals, sc_out.reshape(kv[1].shape))
+            vals = rmw((kv[0],), (news[0],), (False,))
             scales = _append_tokens_dus(
-                (kv[1],), (news[1],), layer, pid.astype(jnp.int32),
-                slot.astype(jnp.int32))
+                (kv[1],), (news[1],), layer, pid32, slot32)
             return (vals[0], scales[0])
-        return vals
+        return rmw((kv[0],), (news[0],), (False,))
     return _append_tokens_dus(kv, news, layer, pid.astype(jnp.int32),
                               slot.astype(jnp.int32))

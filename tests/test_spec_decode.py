@@ -172,6 +172,88 @@ def test_rmw_multitoken_append_matches_scatter():
     assert jnp.array_equal(out_rmw, out_dus)
 
 
+def test_rmw_flat_scales_append_matches_scatter():
+    """The INT8 scales pool rides the RMW kernel via its lane-packed
+    (S/128, 128) bitcast view (``flats``); both leaves must equal the
+    functional scatter, across slab and page crossings."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.kvcache.pool import (
+        stack_new_kv,
+    )
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.ops.kv_append import (
+        _append_tokens_dus,
+        _append_tokens_rmw,
+    )
+
+    L, KH, P, page, dh = 2, 2, 4, 32, 128          # S = 128 lanes
+    B, T = 3, 2
+    rng = np.random.default_rng(0)
+    vals = jnp.asarray(rng.integers(-127, 127, (L, 2, KH, P, page, dh)),
+                       jnp.int8)
+    scales = jnp.asarray(rng.random((L, 2, KH, P, page, 1)), jnp.float32)
+    k_new = jnp.asarray(rng.normal(size=(B, T, KH, dh)), jnp.bfloat16)
+    v_new = jnp.asarray(rng.normal(size=(B, T, KH, dh)), jnp.bfloat16)
+    news = stack_new_kv((vals, scales), k_new, v_new)
+    pid = jnp.asarray([[1, 1], [2, 3], [0, 0]], jnp.int32)
+    slot = jnp.asarray([[30, 31], [31, 0], [7, 8]], jnp.int32)
+    layer_arr = jnp.asarray([1], jnp.int32)
+
+    S = P * page
+    sc_flat = scales.reshape(L, 2, KH, S // 128, 128)
+    v_rmw, s_rmw = _append_tokens_rmw(
+        (vals, sc_flat), news, layer_arr, pid, slot, page_size=page,
+        interpret=True, flats=(False, True))
+    s_rmw = s_rmw.reshape(scales.shape)
+    v_dus, s_dus = _append_tokens_dus(
+        (vals, scales), news, jnp.asarray(1), pid, slot)
+    assert jnp.array_equal(v_rmw, v_dus)
+    assert jnp.array_equal(s_rmw, s_dus)
+
+
+def test_rmw_batch_append_matches_scatter():
+    """The single-program T=1 RMW (all sequences' slab DMAs in flight)
+    must equal the scatter — INCLUDING sequences whose flat scale slabs
+    overlap (adjacent pages share an 8-sublane slab; every copy is
+    patch-merged, so duplicate write-backs are identical)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.kvcache.pool import (
+        stack_new_kv,
+    )
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.ops.kv_append import (
+        _append_tokens_dus,
+        _append_tokens_rmw_batch,
+    )
+
+    L, KH, P, page, dh = 2, 2, 8, 32, 128          # flat R = 2 rows
+    B = 4
+    rng = np.random.default_rng(1)
+    vals = jnp.asarray(rng.integers(-127, 127, (L, 2, KH, P, page, dh)),
+                       jnp.int8)
+    scales = jnp.asarray(rng.random((L, 2, KH, P, page, 1)), jnp.float32)
+    k_new = jnp.asarray(rng.normal(size=(B, 1, KH, dh)), jnp.bfloat16)
+    v_new = jnp.asarray(rng.normal(size=(B, 1, KH, dh)), jnp.bfloat16)
+    news = stack_new_kv((vals, scales), k_new, v_new)
+    # pages 1 and 2 share flat slab row 0; pages 4 and 5 share row 1
+    pid = jnp.asarray([[1], [2], [4], [5]], jnp.int32)
+    slot = jnp.asarray([[31], [0], [13], [13]], jnp.int32)
+    layer_arr = jnp.asarray([1], jnp.int32)
+
+    S = P * page
+    sc_flat = scales.reshape(L, 2, KH, S // 128, 128)
+    v_rmw, s_rmw = _append_tokens_rmw_batch(
+        (vals, sc_flat), news, layer_arr, pid, slot, page_size=page,
+        interpret=True, flats=(False, True))
+    s_rmw = s_rmw.reshape(scales.shape)
+    v_dus, s_dus = _append_tokens_dus(
+        (vals, scales), news, jnp.asarray(1), pid, slot)
+    assert jnp.array_equal(v_rmw, v_dus)
+    assert jnp.array_equal(s_rmw, s_dus)
+
+
 # -- scheduler spec bursts -----------------------------------------------------
 
 def _sched_cfg(spec_k=0):
@@ -218,6 +300,71 @@ def test_scheduler_spec_burst_equals_plain():
     spec = _run_sched(3, reqs)
     assert spec == plain
     assert [len(t) for t in spec] == [12, 9, 11]
+
+
+def test_stochastic_accept_preserves_distribution():
+    """The accept/resample rule with a point-mass draft must leave each
+    emitted token distributed EXACTLY as a plain draw from p: accept
+    d with prob p(d), else resample from p with d removed/renormalized.
+    Checked empirically on a fixed 6-token distribution: the marginal
+    of the first emitted token over many keys matches p."""
+    import jax
+
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.engine.spec import (
+        stochastic_accept)
+
+    V, K = 6, 2
+    logits = jnp.log(jnp.asarray([0.35, 0.25, 0.2, 0.1, 0.07, 0.03]))
+    scaled = jnp.broadcast_to(logits, (1, K + 1, V))
+    drafts = jnp.asarray([[2, 4]], jnp.int32)     # p(d0)=0.2: often rejected
+
+    N = 4000
+    counts = np.zeros(V)
+    run = jax.jit(stochastic_accept)
+    for i in range(N):
+        k = jax.random.key(i)
+        ku = jax.random.split(jax.random.fold_in(k, 1), K)[None]
+        kr = jax.random.split(jax.random.fold_in(k, 2), K + 1)[None]
+        a, fix = run(scaled, drafts, ku, kr)
+        first = int(drafts[0, 0]) if int(a[0]) >= 1 else int(fix[0])
+        counts[first] += 1
+    p = np.exp(np.asarray(logits))
+    emp = counts / N
+    # 4000 draws: ~3 sigma on the largest cell is ~0.023
+    np.testing.assert_allclose(emp, p, atol=0.03)
+
+
+def test_scheduler_spec_stochastic_sampled_lanes():
+    """With ``spec_stochastic`` on, sampled (temperature>0) requests run
+    through spec bursts with draft acceptance: requests finish with the
+    exact budget, remain per-seed deterministic, and greedy lanes stay
+    bit-identical to the plain path."""
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.scheduler import (
+        RequestState, Scheduler)
+
+    sampled = SamplingParams(temperature=0.9, top_k=8, eos_token_id=-1)
+    reqs = [
+        ([5, 9, 3, 14, 5, 9, 3, 14, 5, 9], 12, GREEDY, 1),
+        ([4, 4, 2, 4, 4, 2, 4, 4], 11, sampled, 7),
+    ]
+
+    def run():
+        cfg = _sched_cfg(3)
+        cfg.runtime.spec_stochastic = True
+        eng = Engine(cfg, interpret=True)
+        sched = Scheduler(eng)
+        hs = [sched.submit(p, n, s, seed=seed) for (p, n, s, seed) in reqs]
+        sched.run_until_idle()
+        assert all(h.state == RequestState.FINISHED for h in hs), (
+            [h.error for h in hs])
+        return [h.tokens for h in hs]
+
+    out1 = run()
+    out2 = run()
+    assert out1 == out2                       # per-seed deterministic
+    assert [len(t) for t in out1] == [12, 11]
+    plain = _run_sched(0, reqs[:1])
+    assert out1[0] == plain[0]                # greedy lane unchanged
 
 
 def test_scheduler_spec_eos_stops():

@@ -15,14 +15,19 @@ blocks of a split-pool design. Two paths:
   slots past a prompt's end carry garbage the attention mask never
   reads, and chunk pages wholly past the prompt are redirected to the
   reserved dump page 0 (``PageAllocator.DUMP_PAGE``).
-* **single decode tokens** — ONE Pallas RMW kernel for the value pool:
-  per sequence, DMA the tile-height sublane slab holding its slot from
-  HBM (the pool stays an untouched HBM ref — no pipelined-read alias,
-  so no pool copy), patch the row in VMEM, DMA it back. INT8 scale
-  leaves (lane-1 layout, not raw-DMA-sliceable) and ragged prefill
-  tails fall back to per-token ``lax.dynamic_update_slice`` on the
-  donated pool carry. Invalid positions are redirected to the dump
-  page.
+* **single decode tokens** — ONE Pallas RMW program with EVERY
+  sequence's and pool's slab DMA in flight at once
+  (``_rmw_batch_kernel``; the grid=(B,) form serializes two DMA
+  round-trips per sequence per pool): values pools DMA within-page
+  sublane slabs of their NATIVE layout; the lane-1 INT8 scales leaf —
+  which raw manual DMA cannot slice — rides a lane-packed
+  ``(S/128, 128)`` bitcast view (free for the tiny scales leaf;
+  reshaping a VALUES pool, even when layout-free, breaks XLA's
+  in-place aliasing and copies the pool — measured 3x decode slowdown
+  at 8B). Sub-128 head dims (GPT-2/TinyLlama dh=64, Phi-3 dh=96),
+  ragged prefill tails and unsupported geometries fall back to
+  per-token ``lax.dynamic_update_slice`` on the donated pool carry.
+  Invalid positions are redirected to the dump page.
 
 An XLA scatter would be simpler but materializes full pool copies when
 the layer index is traced; a *pipelined* page RMW (page block as read
@@ -34,7 +39,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -312,6 +317,12 @@ def _append_tokens_rmw(kv, news, layer_arr, pid, slot, *, page_size: int,
     num_pools = len(kv)
     flats = flats or (False,) * num_pools
     B, T = pid.shape
+    if T == 1:
+        # unified entry: T=1 decode takes the single-program batch
+        # kernel (every slab DMA in flight at once)
+        return _append_tokens_rmw_batch(
+            kv, news, layer_arr, pid, slot, page_size=page_size,
+            interpret=interpret, flats=flats)
     KH, page = kv[0].shape[2], kv[0].shape[4]
     def slab_rows(i, p):
         if flats[i]:

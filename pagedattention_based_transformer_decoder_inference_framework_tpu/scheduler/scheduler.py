@@ -466,8 +466,19 @@ class Scheduler:
         grain = math.lcm(self.page, eng.sp)
         chunk = cdiv(max(self.config.runtime.prefill_chunk, 1),
                      grain) * grain
-        # bucket padded length to chunk multiples: few compiled shapes
-        max_len = cdiv(max(L, 1), chunk) * chunk
+        # bucket the padded length: chunk multiples above one chunk,
+        # power-of-two grain multiples below it — a 64-token prompt
+        # then prefills a 64-wide program instead of paying a whole
+        # chunk of wasted matmul FLOPs (measured ~60 ms/round of the
+        # scheduler-vs-fused gap at 8B), while the shape count stays
+        # logarithmic
+        if L > chunk:
+            max_len = cdiv(max(L, 1), chunk) * chunk
+        else:
+            max_len = grain
+            while max_len < L:
+                max_len *= 2
+            max_len = min(max_len, chunk)
 
         tokens = np.zeros((1, max_len), np.int32)
         tokens[0, :L] = seq
@@ -584,21 +595,30 @@ class Scheduler:
         n = 1
         while n < len(group):
             n *= 2
-        tokens = np.zeros((n, chunk), np.int32)
-        pos = np.full((n, chunk), -1, np.int32)
+        # gang width: largest pending slice bucketed to a pow2 page
+        # multiple (short prompts prefill short programs; see
+        # _start_prefill's max_len bucketing)
+        wc = self.page
+        need_w = max(min(chunk, l.prefill.max_len - l.prefill.pos)
+                     for l in group)
+        while wc < need_w:
+            wc *= 2
+        wc = min(wc, chunk)
+        tokens = np.zeros((n, wc), np.int32)
+        pos = np.full((n, wc), -1, np.int32)
         bt = np.zeros((n, eng.cache.max_pages_per_seq), np.int32)
         sl = np.ones((n,), np.int32)
-        qo = np.full((n,), chunk, np.int32)
+        qo = np.full((n,), wc, np.int32)
         plen = np.ones((n,), np.int32)
         for i, lane in enumerate(group):
             job = lane.prefill
             c0 = job.pos
-            c1 = min(c0 + chunk, job.max_len)
+            c1 = min(c0 + wc, job.max_len)
             tokens[i, :c1 - c0] = job.tokens[0, c0:c1]
-            p = c0 + np.arange(chunk)
+            p = c0 + np.arange(wc)
             pos[i] = np.where(p < job.L, p, -1)
             bt[i] = job.bt[0]
-            sl[i] = min(job.L, c0 + chunk)
+            sl[i] = min(job.L, c0 + wc)
             qo[i] = c0
             plen[i] = job.L
         logits, self.kv = eng._prefill_fn(
@@ -608,7 +628,7 @@ class Scheduler:
         for i, lane in enumerate(group):
             job = lane.prefill
             job.final_logits = job.final_logits + logits[i:i + 1]
-            job.pos = min(job.pos + chunk, job.max_len)
+            job.pos = min(job.pos + wc, job.max_len)
 
     def _run_prefill_gang(self, gang) -> None:
         """One chunk for one lane per data shard as a single [dp, chunk]
@@ -628,7 +648,10 @@ class Scheduler:
         for s, lane in gang.items():
             job = lane.prefill
             c0 = job.pos
-            tokens[s] = job.tokens[0, c0:c0 + chunk]
+            # job.tokens may be narrower than chunk (short prompts get
+            # pow2-bucketed max_len in _start_prefill)
+            c1 = min(c0 + chunk, job.max_len)
+            tokens[s, :c1 - c0] = job.tokens[0, c0:c1]
             p = c0 + np.arange(chunk)
             pos[s] = np.where(p < job.L, p, -1)
             bt[s] = job.bt[0]
@@ -642,7 +665,7 @@ class Scheduler:
         for s, lane in gang.items():
             job = lane.prefill
             job.final_logits = job.final_logits + logits[s:s + 1]
-            job.pos += chunk
+            job.pos = min(job.pos + chunk, job.max_len)
 
     def _run_prefill_chunk(self, lane: _Lane, job: _PrefillJob) -> None:
         eng = self.engine
@@ -1101,16 +1124,25 @@ class Scheduler:
         except OutOfPagesError:
             return None
 
-        # gang inputs over the pending rows (padded to a power of two)
+        # gang inputs over the pending rows (padded to a power of two);
+        # the gang WIDTH is the largest pending slice bucketed to a
+        # power-of-two page multiple, not the full chunk — short
+        # prompts prefill short programs
         n = 1
         while n < len(pending):
             n *= 2
+        wc = self.page
+        need_w = max(min(chunk, l.prefill.max_len - l.prefill.pos)
+                     for l in pending)
+        while wc < need_w:
+            wc *= 2
+        wc = min(wc, chunk)
         mp = eng.cache.max_pages_per_seq
-        tokens = np.zeros((n, chunk), np.int32)
-        pos = np.full((n, chunk), -1, np.int32)
+        tokens = np.zeros((n, wc), np.int32)
+        pos = np.full((n, wc), -1, np.int32)
         gbt = np.zeros((n, mp), np.int32)
         gsl = np.ones((n,), np.int32)
-        gqo = np.full((n,), chunk, np.int32)
+        gqo = np.full((n,), wc, np.int32)
         gpl = np.ones((n,), np.int32)
         smask = np.zeros((n,), bool)
         gseeds = np.zeros((n,), np.int32)
@@ -1119,12 +1151,12 @@ class Scheduler:
         for i, lane in enumerate(pending):
             job = lane.prefill
             c0 = job.pos
-            c1 = min(c0 + chunk, job.max_len)
+            c1 = min(c0 + wc, job.max_len)
             tokens[i, :c1 - c0] = job.tokens[0, c0:c1]
-            p = c0 + np.arange(chunk)
+            p = c0 + np.arange(wc)
             pos[i] = np.where(p < job.L, p, -1)
             gbt[i] = job.bt[0]
-            gsl[i] = min(job.L, c0 + chunk)
+            gsl[i] = min(job.L, c0 + wc)
             gqo[i] = c0
             gpl[i] = job.L
             gseeds[i] = lane.request.seed
@@ -1178,10 +1210,11 @@ class Scheduler:
                 self.kv, jnp.asarray(gbt), jnp.asarray(gsl),
                 jnp.asarray(gqo), jnp.asarray(gpl), jnp.asarray(smask),
                 jnp.asarray(gseeds), gsamp, mode=mode)
-        except Exception:
+        except Exception as e:
             # the gang mutates no scheduler state before it succeeds:
             # fall back to the legacy tick, whose per-lane retry
             # isolates a faulty request (SURVEY.md §5.3)
+            log_event("fused_tick_gang_fallback", error=repr(e)[:500])
             return None
         # commit the prefill bookkeeping NOW: a burst fault must then
         # see the finishing lanes as DECODING, so the device reset

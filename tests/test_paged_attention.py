@@ -186,7 +186,7 @@ def test_rmw_append_matches_scatter(quantized):
     from pagedattention_based_transformer_decoder_inference_framework_tpu.ops import (
         kv_append as ka)
 
-    L, KH, P, page, d, B = 3, 2, 6, 16, 64, 4
+    L, KH, P, page, d, B = 3, 2, 8, 16, 128, 4
     key = jax.random.key(0)
     if quantized:
         kv = (jax.random.randint(key, (L, 2, KH, P, page, d), -100, 100,
@@ -204,9 +204,20 @@ def test_rmw_append_matches_scatter(quantized):
     news = stack_new_kv(kv, k_new, v_new)
     pid = jnp.take_along_axis(bt, positions // page, axis=1)
     slot = positions % page
+    # values pools ride their NATIVE layout; the lane-1 scales leaf
+    # rides its lane-packed (S/128, 128) bitcast view (flats)
+    if quantized:
+        sc = kv[1]
+        S = P * page
+        ops = (kv[0], sc.reshape(L, 2, KH, S // 128, 128))
+        flats = (False, True)
+    else:
+        ops, flats = kv, (False,)
     out = ka._append_tokens_rmw(
-        kv, news, jnp.asarray([1], jnp.int32), pid.astype(jnp.int32),
-        slot.astype(jnp.int32), page_size=page, interpret=True)
+        ops, news, jnp.asarray([1], jnp.int32), pid.astype(jnp.int32),
+        slot.astype(jnp.int32), page_size=page, flats=flats,
+        interpret=True)
+    out = tuple(o.reshape(p.shape) for o, p in zip(out, kv))
     for a, b in zip(ref, out):
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32))

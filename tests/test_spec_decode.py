@@ -139,10 +139,16 @@ def test_server_core_routes_to_spec():
     assert [r["tokens"] for r in out["results"]] == ref
 
 
+def _flat(pool):
+    L, _, KH, P, page, d = pool.shape
+    return pool.reshape(L, 2, KH, (P * page * d) // 128, 128)
+
+
 def test_rmw_multitoken_append_matches_scatter():
     """The T>1 RMW append kernel (speculative verify path on TPU) must
     equal the functional scatter, including slab- and page-crossing
-    token spans (interpret mode)."""
+    token spans (interpret mode). Values pools ride their NATIVE
+    layout (ops/kv_append.py: reshaping them costs pool copies)."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -165,17 +171,18 @@ def test_rmw_multitoken_append_matches_scatter():
     pid = jnp.asarray([[1, 1, 1], [2, 2, 3], [4, 4, 4]], jnp.int32)
     slot = jnp.asarray([[5, 6, 7], [6, 7, 0], [0, 1, 2]], jnp.int32)
     layer_arr = jnp.asarray([1], jnp.int32)
-    out_rmw = _append_tokens_rmw((pool,), (news[0],), layer_arr, pid, slot,
-                                 page_size=page, interpret=True)[0]
+    out_rmw = _append_tokens_rmw(
+        (pool,), (news[0],), layer_arr, pid, slot,
+        page_size=page, flats=(False,), interpret=True)[0]
     out_dus = _append_tokens_dus((pool,), (news[0],), jnp.asarray(1), pid,
                                  slot)[0]
     assert jnp.array_equal(out_rmw, out_dus)
 
 
 def test_rmw_flat_scales_append_matches_scatter():
-    """The INT8 scales pool rides the RMW kernel via its lane-packed
-    (S/128, 128) bitcast view (``flats``); both leaves must equal the
-    functional scatter, across slab and page crossings."""
+    """INT8 values (native layout) + lane-1 scales (flat bitcast view)
+    both ride the RMW (T>1), equal to the functional scatter across
+    slab and page crossings."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -187,7 +194,7 @@ def test_rmw_flat_scales_append_matches_scatter():
         _append_tokens_rmw,
     )
 
-    L, KH, P, page, dh = 2, 2, 4, 32, 128          # S = 128 lanes
+    L, KH, P, page, dh = 2, 2, 4, 32, 128
     B, T = 3, 2
     rng = np.random.default_rng(0)
     vals = jnp.asarray(rng.integers(-127, 127, (L, 2, KH, P, page, dh)),
@@ -200,11 +207,9 @@ def test_rmw_flat_scales_append_matches_scatter():
     slot = jnp.asarray([[30, 31], [31, 0], [7, 8]], jnp.int32)
     layer_arr = jnp.asarray([1], jnp.int32)
 
-    S = P * page
-    sc_flat = scales.reshape(L, 2, KH, S // 128, 128)
     v_rmw, s_rmw = _append_tokens_rmw(
-        (vals, sc_flat), news, layer_arr, pid, slot, page_size=page,
-        interpret=True, flats=(False, True))
+        (vals, _flat(scales)), news, layer_arr, pid, slot,
+        page_size=page, flats=(False, True), interpret=True)
     s_rmw = s_rmw.reshape(scales.shape)
     v_dus, s_dus = _append_tokens_dus(
         (vals, scales), news, jnp.asarray(1), pid, slot)
@@ -214,8 +219,8 @@ def test_rmw_flat_scales_append_matches_scatter():
 
 def test_rmw_batch_append_matches_scatter():
     """The single-program T=1 RMW (all sequences' slab DMAs in flight)
-    must equal the scatter — INCLUDING sequences whose flat scale slabs
-    overlap (adjacent pages share an 8-sublane slab; every copy is
+    must equal the scatter — INCLUDING sequences whose flat scale
+    slabs overlap (adjacent pages share a slab; every copy is
     patch-merged, so duplicate write-backs are identical)."""
     import jax.numpy as jnp
     import numpy as np
@@ -225,10 +230,10 @@ def test_rmw_batch_append_matches_scatter():
     )
     from pagedattention_based_transformer_decoder_inference_framework_tpu.ops.kv_append import (
         _append_tokens_dus,
-        _append_tokens_rmw_batch,
+        _append_tokens_rmw,
     )
 
-    L, KH, P, page, dh = 2, 2, 8, 32, 128          # flat R = 2 rows
+    L, KH, P, page, dh = 2, 2, 8, 32, 128
     B = 4
     rng = np.random.default_rng(1)
     vals = jnp.asarray(rng.integers(-127, 127, (L, 2, KH, P, page, dh)),
@@ -237,16 +242,14 @@ def test_rmw_batch_append_matches_scatter():
     k_new = jnp.asarray(rng.normal(size=(B, 1, KH, dh)), jnp.bfloat16)
     v_new = jnp.asarray(rng.normal(size=(B, 1, KH, dh)), jnp.bfloat16)
     news = stack_new_kv((vals, scales), k_new, v_new)
-    # pages 1 and 2 share flat slab row 0; pages 4 and 5 share row 1
+    # scale slabs of pages 1/2 and 4/5 overlap (flat R = 2 rows)
     pid = jnp.asarray([[1], [2], [4], [5]], jnp.int32)
     slot = jnp.asarray([[31], [0], [13], [13]], jnp.int32)
     layer_arr = jnp.asarray([1], jnp.int32)
 
-    S = P * page
-    sc_flat = scales.reshape(L, 2, KH, S // 128, 128)
-    v_rmw, s_rmw = _append_tokens_rmw_batch(
-        (vals, sc_flat), news, layer_arr, pid, slot, page_size=page,
-        interpret=True, flats=(False, True))
+    v_rmw, s_rmw = _append_tokens_rmw(
+        (vals, _flat(scales)), news, layer_arr, pid, slot,
+        page_size=page, flats=(False, True), interpret=True)
     s_rmw = s_rmw.reshape(scales.shape)
     v_dus, s_dus = _append_tokens_dus(
         (vals, scales), news, jnp.asarray(1), pid, slot)

@@ -64,6 +64,8 @@ def main() -> None:
                     choices=("none", "int8", "int8-weight", "int4"))
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--page-size", type=int, default=64)
+    # A/B the sub-128 head-dim pool padding (CacheConfig.pad_head_dim)
+    ap.add_argument("--no-pad-head-dim", action="store_true")
     ap.add_argument("--no-fallback", action="store_true")
     # "fused": whole batch as one device program (static batch).
     # "scheduler": the continuous-batching serving path — requests go
@@ -156,7 +158,8 @@ def main() -> None:
         page_size=page,
         num_pages=n_pages,
         max_pages_per_seq=cdiv(total_len, page) + 2,
-        kv_dtype=args.kv_dtype)
+        kv_dtype=args.kv_dtype,
+        pad_head_dim=False if args.no_pad_head_dim else None)
     cfg.runtime.prefill_chunk = 256
     cfg.model.quant = args.quant
     cfg.runtime.max_batch_size = args.batch

@@ -183,6 +183,20 @@ class CacheConfig:
     # preempted requests swap KV pages to host RAM and resume without
     # re-prefill (the reference's CPU-tier capability, scheduler-level)
     enable_swap: bool = False
+    # sub-128 head dims (GPT-2/TinyLlama dh=64, Phi-3 dh=96): store KV
+    # pages lane-padded to the next 128 multiple so the manual-DMA
+    # decode kernel + slab RMW appends apply (the lane-packed layout
+    # admits no free bitcast — two full pool copies per call measured,
+    # BENCHMARKS.md round 4). None = auto (pad iff head_dim % 128).
+    # False trades decode speed for KV memory: the packed parity-class
+    # decode kernel reads the unpadded pool instead.
+    pad_head_dim: Optional[bool] = None
+
+    def pads(self, head_dim: int) -> bool:
+        pad = self.pad_head_dim
+        if pad is None:
+            pad = head_dim % 128 != 0
+        return pad and head_dim % 128 != 0
 
     def validate(self) -> "CacheConfig":
         assert self.page_size > 0 and self.num_pages > 0

@@ -8,6 +8,7 @@ Pallas paged flash-attention kernel over the page pool.
 
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 import jax
@@ -16,9 +17,10 @@ import jax.numpy as jnp
 from ..config import CacheConfig, ModelConfig
 from ..kvcache.pool import PagePool
 from ..ops.kv_append import kv_append
-from ..ops.paged_attention import (paged_attention,
+from ..ops.paged_attention import (packable_decode, paged_attention,
                                    paged_attention_decode,
-                                   paged_attention_decode_grouped)
+                                   paged_attention_decode_grouped,
+                                   paged_attention_decode_packed)
 from ..utils.platform import default_interpret
 
 
@@ -67,10 +69,26 @@ class PagedKVBackend:
                                              axis=1, tiled=True)
             else:
                 app_pos = positions
+            # sub-128 head dims: the pool stores lanes padded to 128
+            # (PagePool.pool_head_dim) so the fast decode/append paths
+            # apply; pad q/k/v here, slice the output back. The zero
+            # lanes cancel in QK and produce zeros in AV; the softmax
+            # scale below pins 1/sqrt(real_dh).
+            dh = q.shape[3]
+            dh_pool = self.pool.pool_head_dim
+            if dh_pool != dh:
+                padw = ((0, 0), (0, 0), (0, 0), (0, dh_pool - dh))
+                q = jnp.pad(q, padw)
+                k = jnp.pad(k, padw)
+                v = jnp.pad(v, padw)
             kv = kv_append(kv, k, v, layer, app_pos, block_tables,
                            page_size=self.cache.page_size,
                            interpret=self.interpret)
             scales = kv[1] if len(kv) == 2 else None
+            # padded pools must NOT rescale by 1/sqrt(dh_pool)
+            eff_scale = self.cfg.attn_scale
+            if eff_scale is None and dh_pool != dh:
+                eff_scale = 1.0 / math.sqrt(dh)
             # per-layer windows (Gemma-2 alternation) need the unrolled
             # layer loop's static layer index
             if isinstance(layer, int):
@@ -97,7 +115,7 @@ class PagedKVBackend:
                     layer=layer, page_size=self.cache.page_size,
                     num_q_heads=q.shape[2], window=window,
                     softcap=self.cfg.attn_logit_softcap,
-                    scale=self.cfg.attn_scale, interpret=self.interpret)
+                    scale=eff_scale, interpret=self.interpret)
                 # the manual-DMA kernel's int8 path gathers the FULL
                 # block-table width of scales into a VMEM block —
                 # O(max_pages_per_seq) memory per call, fine for serving
@@ -106,15 +124,31 @@ class PagedKVBackend:
                 mp_ok = (scales is None
                          or block_tables.shape[1] * self.cache.page_size
                          <= 8192)
+                # NB: paged_attention_decode_batched (whole batch, one
+                # grid program) measured WORSE in context (43.8 vs 26.2
+                # us/call at GPT-2 — per-DMA-descriptor issue cost on
+                # the scalar core exceeds the per-program saving,
+                # BENCHMARKS.md round 4); the per-sequence kernel stays
+                # the dispatch choice.
                 if q.shape[3] % 128 == 0 and mp_ok:
                     out = paged_attention_decode(
+                        q, kv[0], block_tables, seq_lens, scales,
+                        **common)
+                elif packable_decode(self.cache.page_size, q.shape[3]) \
+                        and mp_ok:
+                    # unpadded sub-128 pool (pad_head_dim=False, the
+                    # KV-memory-lean mode): manual DMA of the pool's
+                    # packed (page*dh/128, 128) rows — the grouped
+                    # kernel's per-program pipeline cost measured 64
+                    # us/layer in context (BENCHMARKS.md round 4)
+                    out = paged_attention_decode_packed(
                         q, kv[0], block_tables, seq_lens, scales,
                         **common)
                 else:
                     out = paged_attention_decode_grouped(
                         q, kv[0], block_tables, seq_lens, scales,
                         **common)
-                return out, kv
+                return out[..., :dh], kv
             out = paged_attention(
                 q, kv[0], block_tables, seq_lens,
                 q_offsets, scales, layer=layer,
@@ -122,12 +156,12 @@ class PagedKVBackend:
                 num_q_heads=q.shape[2],
                 window=window,
                 softcap=self.cfg.attn_logit_softcap,
-                scale=self.cfg.attn_scale,
+                scale=eff_scale,
                 return_scores=score_sink is not None,
                 interpret=self.interpret)
             if score_sink is not None:
                 out, scores = out
                 score_sink.append(scores)
-            return out, kv
+            return out[..., :dh], kv
 
         return attn_fn

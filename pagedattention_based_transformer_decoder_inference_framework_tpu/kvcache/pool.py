@@ -48,6 +48,17 @@ class PagePool:
     def num_pages(self) -> int:
         return self.cache.num_pages
 
+    @property
+    def pool_head_dim(self) -> int:
+        """Stored head dim: sub-128 dims lane-pad to the next 128
+        multiple by default (``CacheConfig.pad_head_dim``) so the
+        manual-DMA decode kernel + slab RMW appends apply; the padding
+        lanes are zeros and cancel in every dot."""
+        dh = self.cfg.head_dim
+        if self.cache.pads(dh):
+            return -(-dh // 128) * 128
+        return dh
+
     def init(self, tp: int = 1, dp: int = 1):
         """Return the KV pytree.
 
@@ -58,7 +69,7 @@ class PagePool:
         """
         c, cc = self.cfg, self.cache
         shape = (c.num_layers, 2, c.num_kv_heads // tp,
-                 cc.num_pages // dp, cc.page_size, c.head_dim)
+                 cc.num_pages // dp, cc.page_size, self.pool_head_dim)
         if cc.kv_dtype == "int8":
             return (jnp.zeros(shape, jnp.int8),
                     jnp.zeros(shape[:-1] + (1,), jnp.float32))

@@ -521,13 +521,18 @@ def _decode_kernel(bt_ref, sl_ref, l_ref,          # scalar prefetch
 
         kv_dma(slot, b, i).wait()
         kv = kv_buf[slot].astype(jnp.float32)      # [2, KH, pg, dh]
-        if quantized:
-            kv = kv * sc_ref[0, i][..., None]
         k, v = kv[0], kv[1]
 
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)    # [KH, rows, pg]
+        if quantized:
+            # fold the per-token scales into scores (K) and probs (V)
+            # instead of dequantizing the slab: q.(k*sc) == (q.k)*sc
+            # exactly (int8 dots are f32-exact), and the [.., pg] ->
+            # [.., pg, dh] lane-broadcast relayout this replaces was
+            # ~35% of the kernel at GPT-2 (BENCHMARKS.md round 4)
+            s = s * sc_ref[0, i, 0][:, None, :]
         if softcap > 0:
             s = softcap * jnp.tanh(s / softcap)
         key_idx = i * page_size + jax.lax.broadcasted_iota(
@@ -542,6 +547,8 @@ def _decode_kernel(bt_ref, sl_ref, l_ref,          # scalar prefetch
         p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
         alpha = jnp.exp(m - m_new)
         l_new = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+        if quantized:
+            p = p * sc_ref[0, i, 1][:, None, :]    # V scales into probs
         pv = jax.lax.dot_general(
             p, v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)    # [KH, rows, dh]
@@ -627,6 +634,8 @@ def paged_attention_decode(q: jax.Array, kv_pages: jax.Array,
     if quantized:
         # gather each sequence's page scales up front (an XLA gather;
         # a few KB per sequence) and pipeline them as a VMEM block
+        # (leading-b blocks stay contiguous — a middle-axis-b BlockSpec
+        # made the scale DMA strided and cost ~5% at 8B, BENCHMARKS r4)
         sc = kv_scales[layer] if pooled else kv_scales
         g = jnp.take(sc, block_tables.reshape(-1), axis=2,
                      fill_value=0)                 # [2, KH, B*mp, pg, 1]
@@ -648,6 +657,442 @@ def paged_attention_decode(q: jax.Array, kv_pages: jax.Array,
         _decode_kernel, page_size=page_size, scale=scale,
         quantized=quantized, pooled=pooled, window=window,
         softcap=softcap, xprefetch=_DECODE_XPREFETCH)
+    layer_arr = jnp.asarray(
+        [0 if layer is None else layer], jnp.int32).reshape(1)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, KH, rows, dh), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(block_tables.astype(jnp.int32), seq_lens.astype(jnp.int32),
+      layer_arr, *inputs)
+
+    return out[:, :, :G, :].reshape(B, 1, H, dh)
+
+
+def _decode_batched_kernel(bt_ref, sl_ref, l_ref,  # scalar prefetch
+                           q_ref,                  # [B, KH, rows, dh]
+                           *rest,
+                           page_size: int, scale: float,
+                           quantized: bool, window: int, softcap: float,
+                           B: int, mp: int):
+    """Whole-batch decode attention as ONE grid program: every
+    sequence's live-page DMAs are in flight before any wait, so the
+    per-program DMA latency chain that dominates grid=(B,) decode at
+    small models is paid once per call, not once per sequence
+    (see :func:`paged_attention_decode_batched`)."""
+    rest = list(rest)
+    kv_hbm = rest.pop(0)
+    sc_ref = rest.pop(0) if quantized else None    # [2, KH, B, mp, pg]
+    out_ref = rest.pop(0)                          # [B, KH, rows, dh]
+    kv_buf = rest.pop(0)                           # VMEM [B*mp, 2, KH, pg, dh]
+    sem = rest.pop(0)                              # DMA((B*mp,))
+    layer = l_ref[0]
+    KH, rows, dh = q_ref.shape[1:]
+
+    def n_pages(b):
+        return (sl_ref[b] + page_size - 1) // page_size
+
+    def first_page(b):
+        if window > 0:
+            return jnp.maximum(sl_ref[b] - window, 0) // page_size
+        return jnp.int32(0)
+
+    def kv_dma(b, i):
+        slot = b * mp + i
+        pid = bt_ref[b, i]
+        return pltpu.make_async_copy(
+            kv_hbm.at[layer, :, :, pid], kv_buf.at[slot], sem.at[slot])
+
+    def live(b, i):
+        ok = (i < n_pages(b)) & (jnp.int32(i) >= first_page(b))
+        return ok
+
+    for b in range(B):
+        for i in range(mp):
+            @pl.when(live(b, i))
+            def _start(b=b, i=i):
+                kv_dma(b, i).start()
+    for b in range(B):
+        for i in range(mp):
+            @pl.when(live(b, i))
+            def _wait(b=b, i=i):
+                kv_dma(b, i).wait()
+
+    for b in range(B):
+        q = q_ref[b].astype(jnp.float32) * scale   # [KH, rows, dh]
+        m = jnp.full((KH, rows, 1), -1e30, jnp.float32)
+        l = jnp.zeros((KH, rows, 1), jnp.float32)
+        acc = jnp.zeros((KH, rows, dh), jnp.float32)
+        seq_len = sl_ref[b]
+        for i in range(mp):
+            kv = kv_buf[b * mp + i].astype(jnp.float32)
+            if quantized:
+                kv = kv * sc_ref[:, :, b, i][..., None]
+            k, v = kv[0], kv[1]
+            s = jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)  # [KH, rows, pg]
+            if softcap > 0:
+                s = softcap * jnp.tanh(s / softcap)
+            key_idx = i * page_size + jax.lax.broadcasted_iota(
+                jnp.int32, s.shape, 2)
+            mask = key_idx < seq_len
+            if window > 0:
+                mask &= key_idx >= seq_len - window
+            # dead pages carry stale VMEM: scores mask to -1e30 and V
+            # zeroes per token (0 * garbage-NaN would poison the AV dot
+            # for bf16 pools)
+            s = jnp.where(mask, s, -1e30)
+            tok_idx = i * page_size + jax.lax.broadcasted_iota(
+                jnp.int32, v.shape, 1)                 # [KH, pg, dh]
+            tok_live = tok_idx < seq_len
+            if window > 0:
+                tok_live &= tok_idx >= seq_len - window
+            v = jnp.where(tok_live, v, 0.0)
+            m_blk = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m, m_blk)
+            p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+            alpha = jnp.exp(m - m_new)
+            l = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+            m = m_new
+            pv = jax.lax.dot_general(
+                p, v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            acc = acc * alpha + pv
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        out_ref[b] = (acc / l_safe).astype(out_ref.dtype)
+
+
+#: VMEM budget for the whole-batch decode buffers (bytes)
+_BATCHED_DECODE_VMEM = 8 * 1024 * 1024
+
+
+def batchable_decode(B: int, mp: int, KH: int, page_size: int,
+                     dh_pool: int, itemsize: int) -> bool:
+    """True when every sequence's pages fit the whole-batch decode
+    kernel's VMEM budget (small models / serving windows)."""
+    return (dh_pool % 128 == 0
+            and B * mp * 2 * KH * page_size * dh_pool * itemsize
+            <= _BATCHED_DECODE_VMEM)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("page_size", "num_q_heads", "window", "softcap",
+                     "scale", "interpret"))
+def paged_attention_decode_batched(
+        q: jax.Array, kv_pages: jax.Array, block_tables: jax.Array,
+        seq_lens: jax.Array, kv_scales: Optional[jax.Array] = None,
+        layer: Optional[jax.Array] = None, *, page_size: int,
+        num_q_heads: int, window: int = 0, softcap: float = 0.0,
+        scale: Optional[float] = None, interpret: bool = False):
+    """Decode (T=1) paged attention with the WHOLE batch in one grid
+    program: all ``B x live_pages`` page DMAs issue before any wait.
+
+    The grid=(B,) manual-DMA kernel serializes its per-sequence DMA
+    latency chains across grid programs — measured 26 us/call at GPT-2
+    (B=8, 2 live pages) vs 9.5 us at 8B (B=4), i.e. the cost is program
+    count, not bytes (BENCHMARKS.md round 4). At small models the whole
+    batch's pages fit VMEM (``batchable_decode``), so this kernel pays
+    the latency once. Same math, same masks; requires lane-aligned
+    (possibly padded) head dim."""
+    B, T, H, dh = q.shape
+    assert T == 1
+    assert dh % 128 == 0
+    pooled = kv_pages.ndim == 6
+    if pooled:
+        assert layer is not None
+        KH, P, page_sz = kv_pages.shape[2:5]
+    else:
+        KH, P, page_sz = kv_pages.shape[1:4]
+    assert page_sz == page_size and H == num_q_heads
+    G = H // KH
+    rows = round_up(max(G, 8), 8)
+    quantized = kv_scales is not None
+    if scale is None:
+        scale = 1.0 / math.sqrt(dh)
+    mp = block_tables.shape[1]
+
+    qr = q.reshape(B, KH, G, dh)
+    if rows != G:
+        qr = jnp.pad(qr, ((0, 0), (0, 0), (0, rows - G), (0, 0)))
+
+    in_specs = [
+        pl.BlockSpec((B, KH, rows, dh), lambda *_: (0, 0, 0, 0)),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    inputs = [qr, kv_pages if pooled else kv_pages[None]]
+    scratch = [pltpu.VMEM((B * mp, 2, KH, page_size, dh),
+                          kv_pages.dtype),
+               pltpu.SemaphoreType.DMA((B * mp,))]
+    if quantized:
+        sc = kv_scales[layer] if pooled else kv_scales
+        g = jnp.take(sc, block_tables.reshape(-1), axis=2,
+                     fill_value=0)                 # [2, KH, B*mp, pg, 1]
+        g = g[..., 0].reshape(2, KH, B, mp, page_size)
+        in_specs.append(pl.BlockSpec((2, KH, B, mp, page_size),
+                                     lambda *_: (0, 0, 0, 0, 0)))
+        inputs.append(g)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(1,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((B, KH, rows, dh),
+                               lambda *_: (0, 0, 0, 0)),
+        scratch_shapes=scratch,
+    )
+    kernel = functools.partial(
+        _decode_batched_kernel, page_size=page_size, scale=scale,
+        quantized=quantized, window=window, softcap=softcap, B=B, mp=mp)
+    layer_arr = jnp.asarray(
+        [0 if layer is None else layer], jnp.int32).reshape(1)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, KH, rows, dh), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(block_tables.astype(jnp.int32), seq_lens.astype(jnp.int32),
+      layer_arr, *inputs)
+
+    return out[:, :, :G, :].reshape(B, 1, H, dh)
+
+
+def _decode_packed_kernel(bt_ref, sl_ref, l_ref,   # scalar prefetch
+                          q_ref,                   # [rep, 1, KH, rows, 128]
+                          *rest,
+                          page_size: int, scale: float, quantized: bool,
+                          window: int, softcap: float, dh: int,
+                          xprefetch: bool):
+    """Manual-DMA decode attention for sub-128 head dims, computed
+    ENTIRELY in the pool's packed ``(page*dh/128, 128)`` lane layout —
+    no in-kernel relayouts (see :func:`paged_attention_decode_packed`).
+    """
+    rest = list(rest)
+    kv_hbm = rest.pop(0)           # flat view [L, 2, KH, P, R, 128]
+    sc_ref = rest.pop(0) if quantized else None  # [1, mp, 2, KH, rep, R]
+    out_ref = rest.pop(0)                        # [1, KH, rows, dh]
+    kv_buf = rest.pop(0)                         # VMEM [3, 2, KH, R, 128]
+    sem = rest.pop(0)
+    b = pl.program_id(0)
+    rep = 128 // dh
+    KH, rows = q_ref.shape[2], q_ref.shape[3]
+    R = page_size * dh // 128      # packed rows per page
+
+    seq_len = sl_ref[b]
+    layer = l_ref[0]
+    n_pages = (seq_len + page_size - 1) // page_size
+
+    def first_page(sl):
+        if window > 0:
+            return jnp.maximum(sl - window, 0) // page_size
+        return jnp.int32(0)
+
+    first = first_page(seq_len)
+
+    def kv_dma(slot, b_, i):
+        pid = bt_ref[b_, i]
+        return pltpu.make_async_copy(
+            kv_hbm.at[layer, :, :, pid], kv_buf.at[slot], sem.at[slot])
+
+    def start(slot, b_, i):
+        kv_dma(slot, b_, i).start()
+
+    @pl.when(b == 0 if xprefetch else b >= 0)
+    def _warmup():
+        start(jax.lax.rem(first, 3), b, first)
+
+    # parity-class queries: q_all[c] has q's dh lanes at [c*dh, (c+1)*dh)
+    # and zeros elsewhere, so dot over all 128 lanes contracts exactly
+    # token (row*rep + c)'s dh values
+    q_all = q_ref[:, 0].astype(jnp.float32) * scale  # [rep, KH, rows, 128]
+
+    def body(i, carry):
+        m, l, accs = carry
+        slot = jax.lax.rem(i, 3)
+
+        @pl.when(i + 1 < n_pages)
+        def _prefetch():
+            start(jax.lax.rem(i + 1, 3), b, i + 1)
+
+        kv_dma(slot, b, i).wait()
+        kv = kv_buf[slot].astype(jnp.float32)    # [2, KH, R, 128]
+        k_slab, v_slab = kv[0], kv[1]
+        if quantized:
+            sc_blk = sc_ref[0, i]                # [2, KH, rep, R]
+
+        accs_new = []
+        for c in range(rep):                     # static unroll
+            s = jax.lax.dot_general(
+                q_all[c], k_slab, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)   # [KH, rows, R]
+            p_scale = None
+            if quantized:
+                s = s * sc_blk[0, :, c][:, None, :]
+                p_scale = sc_blk[1, :, c][:, None, :]
+            if softcap > 0:
+                s = softcap * jnp.tanh(s / softcap)
+            key_idx = i * page_size + rep * jax.lax.broadcasted_iota(
+                jnp.int32, s.shape, 2) + c
+            mask = key_idx < seq_len
+            if window > 0:
+                mask &= key_idx >= seq_len - window
+            s = jnp.where(mask, s, -1e30)
+
+            m_blk = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m, m_blk)
+            p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+            alpha = jnp.exp(m - m_new)           # [KH, rows, 1]
+            l = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+            m = m_new
+            if p_scale is not None:              # fold V scales into p
+                p = p * p_scale
+            pv = jax.lax.dot_general(
+                p, v_slab, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)   # [KH, rows, 128]
+            # every class's acc rescales by this block's alpha; only
+            # lanes [c*dh, (c+1)*dh) of pv are class c's true output —
+            # the rest is other-parity garbage sliced away at the end
+            accs = tuple(a * alpha for a in accs)
+            accs = accs[:c] + (accs[c] + pv,) + accs[c + 1:]
+        return m, l, accs
+
+    m0 = jnp.full((KH, rows, 1), -1e30, jnp.float32)
+    l0 = jnp.zeros((KH, rows, 1), jnp.float32)
+    accs0 = tuple(jnp.zeros((KH, rows, 128), jnp.float32)
+                  for _ in range(rep))
+    m, l, accs = jax.lax.fori_loop(first, n_pages, body, (m0, l0, accs0))
+
+    if xprefetch:
+        @pl.when(b + 1 < pl.num_programs(0))
+        def _prefetch_next_seq():
+            sl_n = sl_ref[b + 1]
+            f_n = first_page(sl_n)
+            start(jax.lax.rem(f_n, 3), b + 1, f_n)
+
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    out = accs[0][:, :, :dh]
+    for c in range(1, rep):
+        out = out + accs[c][:, :, c * dh:(c + 1) * dh]
+    out_ref[0] = (out / l_safe).astype(out_ref.dtype)
+
+
+def packable_decode(page_size: int, dh: int) -> bool:
+    """Sub-128 head dims the packed decode kernel covers: ``dh`` must
+    divide the 128-lane row and a page must fill whole packed rows."""
+    return dh < 128 and 128 % dh == 0 and (page_size * dh) % 128 == 0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("page_size", "num_q_heads", "window", "softcap",
+                     "scale", "interpret"))
+def paged_attention_decode_packed(
+        q: jax.Array, kv_pages: jax.Array, block_tables: jax.Array,
+        seq_lens: jax.Array, kv_scales: Optional[jax.Array] = None,
+        layer: Optional[jax.Array] = None, *, page_size: int,
+        num_q_heads: int, window: int = 0, softcap: float = 0.0,
+        scale: Optional[float] = None, interpret: bool = False):
+    """Decode (T=1) paged attention for sub-128 head dims (GPT-2 /
+    TinyLlama dh=64) via in-kernel manual DMA — the fast decode path
+    :func:`paged_attention_decode` cannot take because Mosaic refuses
+    DMA slices whose lane extent is below the 128 tile.
+
+    The trick: a page's ``[page, dh]`` int8/bf16 region is contiguous,
+    so the pool bitcasts for free into ``[L, 2, KH, P, page*dh/128,
+    128]`` whose per-page ``[R, 128]`` slabs ARE manually DMA-able. The
+    kernel then never unpacks: each packed row interleaves ``rep =
+    128/dh`` tokens, so attention runs as ``rep`` parity-class blocks —
+    class ``c`` scores via a query copy whose dh values sit in lanes
+    ``[c*dh, (c+1)*dh)`` (zeros elsewhere; the full-row dot contracts
+    exactly that token's values), online-softmax over the ``[KH, rows,
+    R]`` blocks, V-scales folded into ``p``, and per-class ``[KH, rows,
+    128]`` accumulators whose true lanes are sliced and summed once per
+    sequence. No relayouts inside the page loop; all dots are
+    MXU-shaped (128-lane contractions).
+
+    Replaces the BlockSpec-pipelined grouped kernel on this path, which
+    measured 64 us/layer *in context* at GPT-2 (4x its isolated cost —
+    per-program pipeline bookkeeping dominates when interleaved with
+    the layer's other ops; BENCHMARKS.md round 4). Reference intent:
+    ``attention/paged_flash_attention_kernel_fused.cu`` (one fused
+    kernel per decode step regardless of head size).
+    """
+    B, T, H, dh = q.shape
+    assert T == 1
+    assert packable_decode(page_size, dh)
+    pooled = kv_pages.ndim == 6
+    if pooled:
+        assert layer is not None
+        L, _, KH, P = kv_pages.shape[:4]
+    else:
+        KH, P = kv_pages.shape[1:3]
+    assert H == num_q_heads
+    G = H // KH
+    rows = round_up(max(G, 8), 8)
+    rep = 128 // dh
+    R = page_size * dh // 128
+    quantized = kv_scales is not None
+    if scale is None:
+        scale = 1.0 / math.sqrt(dh)
+
+    # free bitcast: [.., page, dh] -> [.., R, 128] (row-major tail)
+    if pooled:
+        kv_flat = kv_pages.reshape(L, 2, KH, P, R, 128)
+    else:
+        kv_flat = kv_pages.reshape(2, KH, P, R, 128)
+        kv_flat = kv_flat[None]
+        layer = jnp.int32(0)
+
+    qr = q.reshape(B, KH, G, dh)
+    if rows != G:
+        qr = jnp.pad(qr, ((0, 0), (0, 0), (0, rows - G), (0, 0)))
+    # parity-class query copies [rep, B, KH, rows, 128]
+    q_all = jnp.zeros((rep, B, KH, rows, 128), qr.dtype)
+    for c in range(rep):
+        q_all = jax.lax.dynamic_update_slice(
+            q_all, qr[None], (c, 0, 0, 0, c * dh))
+
+    mp = block_tables.shape[1]
+    in_specs = [
+        pl.BlockSpec((rep, 1, KH, rows, 128),
+                     lambda b, *_: (0, b, 0, 0, 0)),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    inputs = [q_all, kv_flat]
+    scratch = [pltpu.VMEM((3, 2, KH, R, 128), kv_pages.dtype),
+               pltpu.SemaphoreType.DMA((3,))]
+    if quantized:
+        # pre-gather each sequence's page scales, parity-split so the
+        # kernel indexes class c's [R] scales contiguously
+        sc = kv_scales[layer] if pooled else kv_scales
+        g = jnp.take(sc, block_tables.reshape(-1), axis=2,
+                     fill_value=0)                 # [2, KH, B*mp, pg, 1]
+        g = g[..., 0].transpose(2, 0, 1, 3)        # [B*mp, 2, KH, pg]
+        g = g.reshape(B, mp, 2, KH, R, rep).transpose(0, 1, 2, 3, 5, 4)
+        in_specs.append(pl.BlockSpec((1, mp, 2, KH, rep, R),
+                                     lambda b, *_: (b, 0, 0, 0, 0, 0)))
+        inputs.append(g)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, KH, rows, dh),
+                               lambda b, *_: (b, 0, 0, 0)),
+        scratch_shapes=scratch,
+    )
+    kernel = functools.partial(
+        _decode_packed_kernel, page_size=page_size, scale=scale,
+        quantized=quantized, window=window, softcap=softcap, dh=dh,
+        xprefetch=_DECODE_XPREFETCH)
     layer_arr = jnp.asarray(
         [0 if layer is None else layer], jnp.int32).reshape(1)
 

@@ -518,3 +518,116 @@ def test_decode_fastpath_longcontext_dispatch():
                           jnp.asarray([T + 1]), 1.0 / np.sqrt(128))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=5e-2, rtol=5e-2)
+
+
+@pytest.mark.parametrize("int8", [False, True])
+@pytest.mark.parametrize("dh", [32, 64])
+def test_decode_packed_matches_general(int8, dh):
+    """paged_attention_decode_packed (manual DMA of the pool's packed
+    (page*dh/128, 128) rows, parity-class blocks) must match the
+    general kernel at T=1 for sub-128 dh."""
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.ops.paged_attention import (
+        packable_decode,
+        paged_attention_decode_packed,
+    )
+
+    rng = np.random.default_rng(47)
+    B, KH, G = 3, 2, 3
+    H = KH * G
+    assert packable_decode(PAGE, dh)
+    seq_lens = [13, PAGE * 4, 1]
+    kv, block_tables, k, v = make_paged_state(rng, B, KH, dh, seq_lens,
+                                              int8=int8)
+    q = jnp.asarray(rng.normal(size=(B, 1, H, dh)), jnp.float32)
+    sl = jnp.asarray(seq_lens, jnp.int32)
+    scales = kv[1] if int8 else None
+
+    ref = paged_attention(q, kv[0], block_tables, sl, sl - 1, scales,
+                          page_size=PAGE, num_q_heads=H, interpret=True)
+    out = paged_attention_decode_packed(
+        q, kv[0], block_tables, sl, scales, page_size=PAGE,
+        num_q_heads=H, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-6, rtol=2e-6)
+
+
+def test_decode_packed_window_softcap_pooled():
+    """Sliding window + softcap + pooled [L,...] layout through the
+    packed decode kernel."""
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.ops.paged_attention import (
+        paged_attention_decode_packed,
+    )
+
+    rng = np.random.default_rng(53)
+    B, KH, G, dh, w = 2, 2, 2, 64, 12
+    H = KH * G
+    seq_lens = [29, 17]
+    layer0, block_tables, k, v = make_paged_state(rng, B, KH, dh, seq_lens)
+    pool = jnp.stack([jnp.zeros_like(layer0[0]), layer0[0]])
+    sl = jnp.asarray(seq_lens, jnp.int32)
+    q = jnp.asarray(rng.normal(size=(B, 1, H, dh)), jnp.float32)
+
+    ref = paged_attention(q, pool, block_tables, sl, sl - 1, None,
+                          layer=jnp.asarray(1), page_size=PAGE,
+                          num_q_heads=H, window=w, softcap=20.0,
+                          interpret=True)
+    out = paged_attention_decode_packed(
+        q, pool, block_tables, sl, None, layer=jnp.asarray(1),
+        page_size=PAGE, num_q_heads=H, window=w, softcap=20.0,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-6, rtol=2e-6)
+
+
+@pytest.mark.parametrize("int8", [False, True])
+@pytest.mark.parametrize("KH,G", [(2, 1), (2, 3)])
+def test_decode_batched_matches_general(int8, KH, G):
+    """paged_attention_decode_batched (whole batch in ONE grid program,
+    every page DMA in flight) must match the general kernel at T=1."""
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.ops.paged_attention import (
+        paged_attention_decode_batched,
+    )
+
+    rng = np.random.default_rng(61)
+    B, dh = 3, 128
+    H = KH * G
+    seq_lens = [13, PAGE * 4, 1]
+    kv, block_tables, k, v = make_paged_state(rng, B, KH, dh, seq_lens,
+                                              int8=int8)
+    q = jnp.asarray(rng.normal(size=(B, 1, H, dh)), jnp.float32)
+    sl = jnp.asarray(seq_lens, jnp.int32)
+    scales = kv[1] if int8 else None
+
+    ref = paged_attention(q, kv[0], block_tables, sl, sl - 1, scales,
+                          page_size=PAGE, num_q_heads=H, interpret=True)
+    out = paged_attention_decode_batched(
+        q, kv[0], block_tables, sl, scales, page_size=PAGE,
+        num_q_heads=H, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-6, rtol=2e-6)
+
+
+def test_decode_batched_window_softcap_pooled():
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.ops.paged_attention import (
+        paged_attention_decode_batched,
+    )
+
+    rng = np.random.default_rng(67)
+    B, KH, G, dh, w = 2, 2, 2, 128, 12
+    H = KH * G
+    seq_lens = [29, 17]
+    layer0, block_tables, k, v = make_paged_state(rng, B, KH, dh, seq_lens)
+    pool = jnp.stack([jnp.zeros_like(layer0[0]), layer0[0]])
+    sl = jnp.asarray(seq_lens, jnp.int32)
+    q = jnp.asarray(rng.normal(size=(B, 1, H, dh)), jnp.float32)
+
+    ref = paged_attention(q, pool, block_tables, sl, sl - 1, None,
+                          layer=jnp.asarray(1), page_size=PAGE,
+                          num_q_heads=H, window=w, softcap=20.0,
+                          interpret=True)
+    out = paged_attention_decode_batched(
+        q, pool, block_tables, sl, None, layer=jnp.asarray(1),
+        page_size=PAGE, num_q_heads=H, window=w, softcap=20.0,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-6, rtol=2e-6)

@@ -179,20 +179,24 @@ class BeamSearcher:
                     alive[i] = False
 
         steps = max_new_tokens - 1
-        if self._beam_burst is not None and steps > 0 and alive.any():
-            (beam_tokens, beam_scores, alive, pending, steps) = \
-                self._search_bursts(state, beam_tokens, beam_scores,
-                                    alive, pending, finished,
-                                    eos_token_id, steps)
-        beam_tokens, beam_scores, alive = self._search_steps(
-            state, beam_tokens, beam_scores, alive, pending, finished,
-            eos_token_id, steps, fused)
+        try:
+            if self._beam_burst is not None and steps > 0 and alive.any():
+                (beam_tokens, beam_scores, alive, pending, steps) = \
+                    self._search_bursts(state, beam_tokens, beam_scores,
+                                        alive, pending, finished,
+                                        eos_token_id, steps)
+            beam_tokens, beam_scores, alive = self._search_steps(
+                state, beam_tokens, beam_scores, alive, pending, finished,
+                eos_token_id, steps, fused)
+        finally:
+            # free on ANY exit so a mid-search error cannot leak the
+            # search's live pages for the server's lifetime (ADVICE r4)
+            eng.free(state)
 
         for i in range(W):
             if alive[i]:
                 finished.append(BeamHypothesis(beam_tokens[i],
                                                float(beam_scores[i])))
-        eng.free(state)
 
         def key(h: BeamHypothesis) -> float:
             if self.length_penalty > 0:
@@ -215,10 +219,23 @@ class BeamSearcher:
         eng, W = self.engine, self.W
         from ..kvcache.allocator import OutOfPagesError
 
-        K = self.burst
+        mp = eng.cache.max_pages_per_seq
+        page = eng.cache.page_size
         if pending is None:
             pending = (np.zeros((W,), np.int32), np.zeros((W,), np.int32))
         while steps > 0 and alive.any():
+            # clamp the burst to the remaining step budget AND the page
+            # budget (the device scan + host replay advance seq_lens for
+            # the full burst — an overshoot near max_pages_per_seq would
+            # push block tables past their width; ADVICE r4). pow2-floor
+            # bounds the compile count to log2(burst) program shapes.
+            budget = min(self.burst, steps,
+                         mp * page - 1 - int(state.seq_lens[0]))
+            if budget < 1:
+                break                      # per-step path for the rest
+            K = 1
+            while K * 2 <= budget:
+                K *= 2
             try:
                 fresh_flat = self.allocator.alloc_many(K * W)
             except OutOfPagesError:

@@ -146,6 +146,12 @@ class MultiHostPump:
         self.max_len = max_prompt_len or max(
             page, cap - rt.max_new_tokens)
         self.queue: "queue.Queue[PumpRequest]" = queue.Queue()
+        # requests deferred by a key mismatch wait here and are consumed
+        # AHEAD of the main queue next round — re-queuing them at the
+        # FIFO tail let a steady stream of one sampling key starve a
+        # different-keyed request indefinitely (ADVICE r4)
+        from collections import deque
+        self._deferred: "deque[PumpRequest]" = deque()
         self._stop = threading.Event()
         self._thread = None
         self.n_rounds = 0
@@ -192,31 +198,52 @@ class MultiHostPump:
 
     # -- lockstep rounds -----------------------------------------------------
 
-    def _samp_key(self, s) -> tuple:
-        return tuple(getattr(s, k) for k in self._SAMP_KEYS)
+    def _samp_key(self, r) -> tuple:
+        s = r.sampling
+        base = tuple(getattr(s, k) for k in self._SAMP_KEYS)
+        # a sampled request's seed is part of the round key: the round
+        # broadcasts ONE seed, so co-batching different explicit seeds
+        # would silently break per-seed reproducibility (ADVICE r4).
+        # greedy requests (temperature == 0) never consume the seed.
+        seed = r.seed if s.temperature > 0 else None
+        return base + (seed,)
 
     def _drain_group(self):
-        """Pull up to ``batch`` queued requests sharing one sampling
-        key (FIFO: the head request defines the round's key; non-
-        matching requests stay queued for a later round)."""
+        """Pull up to ``batch`` requests sharing one sampling key. The
+        OLDEST deferred request defines the round's key (it has waited
+        longest, so a steady stream of another key cannot starve it);
+        non-matching requests wait in the deferred deque, consumed
+        ahead of the main queue next round."""
         import queue as _q
+        from collections import deque
 
         reqs = []
-        pending = []
+        kept_def = []                    # deferred, still key-mismatched
+        kept_q = []                      # fresh from queue, mismatched
         key = None
+        while self._deferred and len(reqs) < self.batch:
+            r = self._deferred.popleft()
+            k = self._samp_key(r)
+            if key is None or k == key:
+                key = k
+                reqs.append(r)
+            else:
+                kept_def.append(r)
         while len(reqs) < self.batch:
             try:
                 r = self.queue.get_nowait()
             except _q.Empty:
                 break
-            k = self._samp_key(r.sampling)
+            k = self._samp_key(r)
             if key is None or k == key:
                 key = k
                 reqs.append(r)
             else:
-                pending.append(r)
-        for r in pending:                 # different key: next round
-            self.queue.put(r)
+                kept_q.append(r)
+        nxt = deque(kept_def)            # oldest first
+        nxt.extend(self._deferred)       # deferred not examined (batch full)
+        nxt.extend(kept_q)
+        self._deferred = nxt
         return reqs
 
     def run_round(self, poll_s: float = 0.005) -> bool:
@@ -233,7 +260,12 @@ class MultiHostPump:
         flag = _IDLE
         tokens = np.zeros((B, M), np.int32)
         lens = np.zeros((B,), np.int32)
-        ctrl = np.zeros((8,), np.float32)   # max_new, seed, samp vector
+        ctrl = np.zeros((8,), np.float32)   # max_new + samp vector
+        # the seed rides its own int64 slot — a float32 ctrl slot would
+        # silently truncate seeds >= 2**24 (ADVICE r4); all requests in
+        # a round share one seed by construction (_samp_key groups
+        # sampled requests on their seed)
+        iseed = np.zeros((1,), np.int64)
         reqs = []
         if is_primary():
             if self._stop.is_set():
@@ -248,12 +280,13 @@ class MultiHostPump:
                         lens[i] = len(r.prompt)
                     s = reqs[0].sampling
                     ctrl[0] = max(r.max_new_tokens for r in reqs)
-                    ctrl[1] = (reqs[0].seed
-                               if reqs[0].seed is not None else
-                               self.engine.runtime.seed)
+                    iseed[0] = (reqs[0].seed
+                                if reqs[0].seed is not None else
+                                self.engine.runtime.seed)
                     ctrl[2:8] = [getattr(s, k) for k in self._SAMP_KEYS]
-        flag, tokens, lens, ctrl = multihost_utils.broadcast_one_to_all(
-            (np.int32(flag), tokens, lens, ctrl))
+        flag, tokens, lens, ctrl, iseed = \
+            multihost_utils.broadcast_one_to_all(
+                (np.int32(flag), tokens, lens, ctrl, iseed))
         flag = int(flag)
         if flag == _STOP:
             return False
@@ -275,7 +308,7 @@ class MultiHostPump:
         try:
             outs = self.engine.generate_batch_fused(
                 prompts, max_new_tokens=max_new, sampling=samp,
-                seed=int(ctrl[1]))
+                seed=int(np.asarray(iseed)[0]))
         except Exception as e:
             # every process raised on the same collective program, so
             # lockstep holds; host 0 fails this round's requests and

@@ -999,10 +999,15 @@ class Scheduler:
         lane occupancy: a burst re-uploads nothing unless some lane's
         request changed since the last one (VERDICT r1 Weak #7 — the
         per-step host rebuild of 5 per-lane vectors)."""
-        # the mode unions over *decoding* lanes, so the key must see a
-        # lane flip from prefilling to decoding, not just request churn
-        key = tuple((l.request.req_id if l.request else 0, l.decoding)
-                    for l in self.lanes)
+        # the mode unions over the *active* lane set, so the key must
+        # see both lane churn AND which lanes this call unions over —
+        # the fused tick passes decoding+finishing lanes while a decode
+        # tick the same scheduler step passed decoding lanes only
+        # (ADVICE r4: a stale decoding-only mode silently dropped a
+        # finishing lane's sampling/penalties)
+        key = (tuple((l.request.req_id if l.request else 0, l.decoding)
+                     for l in self.lanes),
+               frozenset(l.idx for l in active))
         if self._samp_cache is not None and self._samp_cache[0] == key:
             return self._samp_cache[1], self._samp_cache[2]
 

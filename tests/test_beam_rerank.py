@@ -241,3 +241,32 @@ def test_logprob_scorer_batch_matches_single(engine):
         assert batch[1] == float("-inf")
         for i in (0, 2):
             assert abs(batch[i] - s.score(ctx, cands[i])) < 1e-4
+
+
+def test_beam_burst_near_page_capacity(engine):
+    """ADVICE r4 (medium): a request sized near max_pages_per_seq must
+    not overshoot — the burst is clamped to the step/page budget, so
+    replay never pushes block tables past their width and no pages
+    leak."""
+    page = engine.cache.page_size
+    mp = engine.cache.max_pages_per_seq          # 8 pages x 8 = 64 max
+    prompt = list(range(1, 41))                  # 40 tokens
+    steps = mp * page - len(prompt) - 1          # fill to capacity - 1
+    searcher = BeamSearcher(engine, beam_width=2)
+    beams = searcher.search(prompt, steps)
+    assert len(beams[0].tokens) == steps
+    assert searcher.allocator.num_live == 0
+
+
+def test_beam_search_frees_pages_on_error(engine):
+    """ADVICE r4 (medium): an exception mid-search must not leak the
+    search's live pages — search() frees its state on any exit."""
+    searcher = BeamSearcher(engine, beam_width=2)
+
+    def boom(*a, **k):
+        raise RuntimeError("injected")
+
+    searcher._search_steps = boom
+    with pytest.raises(RuntimeError, match="injected"):
+        searcher.search([1, 2, 3], 6)
+    assert searcher.allocator.num_live == 0

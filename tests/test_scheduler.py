@@ -286,3 +286,31 @@ def test_idle_queue_burst_extension():
         out[mx] = ([r.tokens for r in reqs], steps)
     assert out[2][0] == out[16][0]          # identical tokens
     assert out[16][1] < out[2][1]           # fewer scheduler ticks
+
+
+def test_biased_request_joining_mid_decode_keeps_its_bias():
+    """ADVICE r4 (high): a biased request whose multi-chunk prefill
+    finishes while a greedy lane decodes must NOT inherit the greedy
+    lanes' cached sampling mode through the fused tick — the _samp_plan
+    cache key must see which lanes the mode unions over, not only each
+    lane's (req_id, decoding) state. The stale window: r2 is admitted
+    and runs chunk 1 while r1's decode tick caches a greedy-only mode
+    under the final lane-state key; next tick r2's finishing chunk goes
+    through the fused path, whose _samp_plan call hits that entry."""
+    import dataclasses
+
+    eng = make_engine(decode_burst=2)
+    boosted = dataclasses.replace(GREEDY, logit_bias=((11, 1e9),))
+    prompt2 = list(range(1, 21))          # 20 tokens -> 2 prefill chunks
+
+    sched = Scheduler(eng)
+    r1 = sched.submit([3, 5, 7], 30, GREEDY)
+    sched.step()                          # r1 prefills (+ first burst)
+    sched.step()                          # r1 decoding
+    r2 = sched.submit(prompt2, 5, boosted)
+    sched.step()                          # chunk 1 + r1 burst: mode cached
+    assert r1.state == RequestState.RUNNING   # r1 still decoding
+    sched.step()                          # finishing chunk -> fused tick
+    sched.run_until_idle()
+    assert r2.tokens == [11] * 5          # stale greedy mode drops bias
+    assert r1.tokens == eng.generate([3, 5, 7], 30, GREEDY)

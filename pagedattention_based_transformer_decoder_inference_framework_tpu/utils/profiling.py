@@ -32,6 +32,63 @@ def annotate(name: str):
     return jax.named_scope(name)
 
 
+def device_busy_s(log_dir: str) -> Optional[float]:
+    """Device busy time (seconds) in the NEWEST ``*.trace.json.gz``
+    under ``log_dir``: the union of complete-event spans on device
+    pids (process_name contains ``/device:``). Union — not sum — so
+    overlapping derived rows (module spans + per-op rows) are not
+    double-counted.
+
+    This is the tunnel-independent ground truth for benchmarking: a
+    remote chip's wall time = device time + whatever the tunnel takes
+    that hour (measured ±20% intra-day drift, BENCHMARKS.md), so A/B
+    decisions and roofline fractions should quote device time."""
+    import glob
+    import gzip
+    import json
+
+    paths = sorted(glob.glob(f"{log_dir}/**/*.trace.json.gz",
+                             recursive=True))
+    if not paths:
+        return None
+    ev = json.load(gzip.open(paths[-1]))["traceEvents"]
+    names = {e["pid"]: e["args"].get("name", "") for e in ev
+             if e.get("ph") == "M" and e.get("name") == "process_name"}
+    dev = {p for p, n in names.items() if "/device:" in n}
+    if not dev:
+        return None
+    spans = sorted((e["ts"], e["ts"] + e["dur"]) for e in ev
+                   if e.get("ph") == "X" and e["pid"] in dev
+                   and e.get("dur"))
+    total, end = 0.0, float("-inf")
+    for s, t in spans:
+        if s > end:
+            total += t - s
+            end = t
+        elif t > end:
+            total += t - end
+            end = t
+    return total / 1e6 if total else None
+
+
+def traced_device_s(fn, log_dir: Optional[str] = None) -> Optional[float]:
+    """Run ``fn()`` under a profiler trace and return the device busy
+    seconds (None if tracing is unavailable — never raises)."""
+    import shutil
+    import tempfile
+
+    d = log_dir or tempfile.mkdtemp(prefix="devtrace-")
+    try:
+        with trace(d):
+            fn()
+        return device_busy_s(d)
+    except Exception:
+        return None
+    finally:
+        if log_dir is None:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 class StepTimer:
     """Accumulates per-phase wall time; blocking is the caller's job."""
 

@@ -24,6 +24,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 #: stop-token set width: ``stop_token_ids`` pads to this many slots so
@@ -89,6 +90,19 @@ class SamplingParams:
                 jnp.asarray(bias_vals, jnp.float32), (batch, BIAS_SLOTS)),
         }
 
+    def value_key(self) -> tuple:
+        """Hashable tuple of every knob value. The batched sampling
+        arrays are a pure function of the rows' value keys, so callers
+        cache uploaded batches on ``tuple(s.value_key() for s in rows)``
+        — steady-state serving with recurring sampling configs then
+        re-uploads nothing per tick (the per-round eager-op cost
+        through a remote chip was ~30 ms, BENCHMARKS.md round 5)."""
+        return (self.temperature, self.top_k, self.top_p, self.min_p,
+                self.eos_token_id, self.eos_threshold,
+                tuple(self.stop_token_ids), self.repetition_penalty,
+                self.presence_penalty, self.frequency_penalty,
+                tuple(self.logit_bias))
+
     @property
     def has_penalties(self) -> bool:
         return (self.repetition_penalty != 1.0
@@ -109,6 +123,43 @@ class SamplingParams:
             use_penalties=self.has_penalties,
             use_logit_bias=bool(self.logit_bias),
         )
+
+
+def batch_arrays_np(samplings) -> dict:
+    """NumPy layout of per-row sampling knobs for a batch — the same
+    keys/shapes as :meth:`SamplingParams.as_arrays`, but built entirely
+    on the host (zero device dispatches). Callers upload once per
+    distinct ``tuple(s.value_key() for s in samplings)`` and cache."""
+    n = len(samplings)
+    vals = {k: [] for k in ("temperature", "top_k", "top_p", "min_p",
+                            "eos_token_id", "eos_threshold",
+                            "rep_pen", "presence_pen", "freq_pen")}
+    stop_ids = np.full((n, STOP_SLOTS), -1, np.int32)
+    bias_ids = np.full((n, BIAS_SLOTS), -1, np.int32)
+    bias_vals = np.zeros((n, BIAS_SLOTS), np.float32)
+    for i, s in enumerate(samplings):
+        vals["temperature"].append(s.temperature)
+        vals["top_k"].append(s.top_k)
+        vals["top_p"].append(s.top_p)
+        vals["min_p"].append(s.min_p)
+        vals["eos_token_id"].append(s.eos_token_id)
+        vals["eos_threshold"].append(s.eos_threshold)
+        vals["rep_pen"].append(s.repetition_penalty)
+        vals["presence_pen"].append(s.presence_penalty)
+        vals["freq_pen"].append(s.frequency_penalty)
+        sids = tuple(s.stop_token_ids)[:STOP_SLOTS]
+        stop_ids[i, :len(sids)] = sids
+        lb = tuple(s.logit_bias)[:BIAS_SLOTS]
+        if lb:
+            bias_ids[i, :len(lb)] = [t for t, _ in lb]
+            bias_vals[i, :len(lb)] = [v for _, v in lb]
+    ints = {"top_k", "eos_token_id"}
+    out = {k: np.asarray(v, np.int32 if k in ints else np.float32)
+           for k, v in vals.items()}
+    out["stop_ids"] = stop_ids
+    out["bias_ids"] = bias_ids
+    out["bias_vals"] = bias_vals
+    return out
 
 
 @dataclasses.dataclass(frozen=True)

@@ -305,7 +305,7 @@ class Engine:
 
         def chunk_sample(params, tokens, positions, kv, block_tables,
                          seq_lens, q_offsets, prompt_lens, sample_mask,
-                         seeds, samp, *, mode):
+                         seeds, samp, counts, *, mode):
             attn = backend.make_attn_fn(block_tables, seq_lens, q_offsets)
             logits, kv = model.forward(params, tokens, positions, kv, attn)
             logits = logits[..., :V]
@@ -317,7 +317,9 @@ class Engine:
                 logits, safe[:, None, None],
                 axis=1)[:, 0].astype(jnp.float32)
             keys = jax.vmap(request_key)(seeds, jnp.zeros_like(seeds))
-            tok = sample(final, None, row_keys=keys, mode=mode, **samp)
+            tok = sample(final, None, row_keys=keys, mode=mode,
+                         counts=counts if mode.use_penalties else None,
+                         **samp)
             first = jnp.where(sample_mask & inside, tok, -1)
             return first, kv
 
@@ -330,12 +332,21 @@ class Engine:
         seed vector at ``rows [n]`` (row >= B drops — used for gang
         rows that did not sample). Runs between the gang and the burst
         with no host sync, so the burst consumes the sampled tokens
-        without a device->host round-trip."""
+        without a device->host round-trip. With ``bump`` (static), the
+        sampled first tokens are also counted into the penalty
+        histogram rows the burst threads — the host cannot bincount a
+        token it has not fetched."""
 
-        def scatter(dec_tokens, first, rows):
-            return dec_tokens.at[rows].set(first, mode="drop")
+        def scatter(dec_tokens, first, rows, counts, *, bump: bool):
+            out = dec_tokens.at[rows].set(first, mode="drop")
+            if bump:
+                live = (first >= 0).astype(counts.dtype)
+                counts = counts.at[rows, jnp.clip(first, 0)].add(
+                    live, mode="drop")
+            return out, counts
 
-        return jax.jit(scatter)
+        return functools.partial(jax.jit, static_argnames=("bump",),
+                                 donate_argnums=(0, 3))(scatter)
 
     def _build_score(self):
         """Teacher-forced chunk scorer for perplexity eval: forwards one

@@ -723,9 +723,8 @@ class Scheduler:
         counts = (jnp.stack([self._lane_hist(l.request)
                              for l, _ in sample_pairs])
                   if mode.use_penalties else None)
-        rows = [s.as_arrays(1) for s in ss]
-        arrays = {k: jnp.concatenate([r[k] for r in rows], axis=0)
-                  for k in rows[0]}
+        arrays = {k: jnp.asarray(v)
+                  for k, v in batch_arrays_np(ss).items()}
         toks = np.asarray(self.engine._sample_fn(
             logits, None, mode=mode, counts=counts, row_keys=keys,
             **arrays))
@@ -766,15 +765,17 @@ class Scheduler:
         self._deliver(lane, tok)
         self._seed_counts(lane)
 
-    def _lane_hist(self, req: Request) -> jax.Array:
+    def _lane_hist_np(self, req: Request) -> np.ndarray:
         """[V] int32 token histogram of everything the request has in
         context (prompt + already-delivered tokens) — the penalty seed
         for a lane entering decode (fresh, requeued, or swapped in)."""
         V = self.engine.cfg.vocab_size
         ids = np.asarray(req.prompt + req.tokens, np.int64)
-        hist = np.bincount(np.clip(ids, 0, V - 1),
+        return np.bincount(np.clip(ids, 0, V - 1),
                            minlength=V).astype(np.int32)
-        return jnp.asarray(hist)
+
+    def _lane_hist(self, req: Request) -> jax.Array:
+        return jnp.asarray(self._lane_hist_np(req))
 
     def _seed_counts(self, lane: _Lane) -> None:
         """Write the lane's penalty histogram row. When the first
@@ -1048,8 +1049,12 @@ class Scheduler:
         tokens only after the burst is already dispatched (async), so
         TTFT still tracks prefill completion while the burst rides
         directly behind it. Applies when lanes finish prefill this tick
-        (dp == 1, no mesh, no spec, no penalty requests — those take
-        the legacy path). Returns None to fall back.
+        (dp == 1, no mesh, no spec — those take the legacy path). More
+        pending lanes than one gang holds run as CHAINED gang
+        dispatches (still no host sync); penalty-carrying lanes ride
+        the same path — the gang samples against host-seeded prompt
+        histograms and the scatter bumps the sampled first token into
+        the counts the burst threads. Returns None to fall back.
         """
         rt = self.config.runtime
         eng = self.engine
@@ -1066,18 +1071,18 @@ class Scheduler:
             # fallback) must go through the legacy finish path first
         chunk = pending[0].prefill.chunk
         per = max(1, rt.prefill_gang_tokens // max(chunk, 1))
-        if len(pending) > per:
-            return None                  # would need multiple gangs
         finishing = [l for l in pending
                      if l.prefill.pos + chunk >= l.prefill.max_len]
         if not finishing:
             return None                  # nothing samples: legacy path
                                          # already chains gang -> burst
+        # token-budget gangs, chained back-to-back on device (r4 fell
+        # back to the 3-dispatch legacy tick whenever one gang could
+        # not hold every pending lane)
+        groups = [pending[i:i + per] for i in range(0, len(pending), per)]
         decoding = [l for l in self.lanes if l.decoding]
         post = decoding + finishing      # lanes decoding after the chunk
         samp_arrays, mode = self._samp_plan(post)
-        if mode.use_penalties:
-            return None                  # counts threading: legacy path
         fin_idx = {l.idx for l in finishing}
 
         # burst length: the post-chunk view of _burst_steps
@@ -1112,56 +1117,72 @@ class Scheduler:
         except OutOfPagesError:
             return None
 
-        # gang inputs over the pending rows (padded to a power of two);
-        # the gang WIDTH is the largest pending slice bucketed to a
-        # power-of-two page multiple, not the full chunk — short
-        # prompts prefill short programs
-        n = 1
-        while n < len(pending):
-            n *= 2
-        wc = self.page
-        need_w = max(min(chunk, l.prefill.max_len - l.prefill.pos)
-                     for l in pending)
-        while wc < need_w:
-            wc *= 2
-        wc = min(wc, chunk)
         mp = eng.cache.max_pages_per_seq
-        tokens = np.zeros((n, wc), np.int32)
-        pos = np.full((n, wc), -1, np.int32)
-        gbt = np.zeros((n, mp), np.int32)
-        gsl = np.ones((n,), np.int32)
-        gqo = np.full((n,), wc, np.int32)
-        gpl = np.ones((n,), np.int32)
-        smask = np.zeros((n,), bool)
-        gseeds = np.zeros((n,), np.int32)
-        rows = np.full((n,), self.B, np.int32)     # B = dropped scatter
-        gs = []
-        for i, lane in enumerate(pending):
-            job = lane.prefill
-            c0 = job.pos
-            c1 = min(c0 + wc, job.max_len)
-            tokens[i, :c1 - c0] = job.tokens[0, c0:c1]
-            p = c0 + np.arange(wc)
-            pos[i] = np.where(p < job.L, p, -1)
-            gbt[i] = job.bt[0]
-            gsl[i] = min(job.L, c0 + wc)
-            gqo[i] = c0
-            gpl[i] = job.L
-            gseeds[i] = lane.request.seed
-            if lane.idx in fin_idx and job.resume_token is None:
-                smask[i] = True
-                rows[i] = lane.idx
-            gs.append(lane.request.sampling or self._samp)
-        while len(gs) < n:
-            gs.append(self._samp)
-        gkey = tuple(s.value_key() for s in gs)
-        gsamp = self._gsamp_cache.get(gkey)
-        if gsamp is None:
-            gsamp = {k: jnp.asarray(v)
-                     for k, v in batch_arrays_np(gs).items()}
-            if len(self._gsamp_cache) >= 16:
-                self._gsamp_cache.clear()
-            self._gsamp_cache[gkey] = gsamp
+        V = eng.cfg.vocab_size
+
+        def build_gang(g):
+            # gang inputs over this group's rows (padded to a power of
+            # two); the gang WIDTH is the largest pending slice bucketed
+            # to a power-of-two page multiple, not the full chunk —
+            # short prompts prefill short programs
+            n = 1
+            while n < len(g):
+                n *= 2
+            wc = self.page
+            need_w = max(min(chunk, l.prefill.max_len - l.prefill.pos)
+                         for l in g)
+            while wc < need_w:
+                wc *= 2
+            wc = min(wc, chunk)
+            tokens = np.zeros((n, wc), np.int32)
+            pos = np.full((n, wc), -1, np.int32)
+            gbt = np.zeros((n, mp), np.int32)
+            gsl = np.ones((n,), np.int32)
+            gqo = np.full((n,), wc, np.int32)
+            gpl = np.ones((n,), np.int32)
+            smask = np.zeros((n,), bool)
+            gseeds = np.zeros((n,), np.int32)
+            rows = np.full((n,), self.B, np.int32)  # B = dropped scatter
+            gs = []
+            for i, lane in enumerate(g):
+                job = lane.prefill
+                c0 = job.pos
+                c1 = min(c0 + wc, job.max_len)
+                tokens[i, :c1 - c0] = job.tokens[0, c0:c1]
+                p = c0 + np.arange(wc)
+                pos[i] = np.where(p < job.L, p, -1)
+                gbt[i] = job.bt[0]
+                gsl[i] = min(job.L, c0 + wc)
+                gqo[i] = c0
+                gpl[i] = job.L
+                gseeds[i] = lane.request.seed
+                if lane.idx in fin_idx and job.resume_token is None:
+                    smask[i] = True
+                    rows[i] = lane.idx
+                gs.append(lane.request.sampling or self._samp)
+            while len(gs) < n:
+                gs.append(self._samp)
+            gkey = tuple(s.value_key() for s in gs)
+            gsamp = self._gsamp_cache.get(gkey)
+            if gsamp is None:
+                gsamp = {k: jnp.asarray(v)
+                         for k, v in batch_arrays_np(gs).items()}
+                if len(self._gsamp_cache) >= 16:
+                    self._gsamp_cache.clear()
+                self._gsamp_cache[gkey] = gsamp
+            gcounts = None
+            if mode.use_penalties:
+                # prompt histograms seed the in-gang first-token
+                # penalties; rows without penalties sample with
+                # identity knobs, so their zero rows are inert
+                gc = np.zeros((n, V), np.int32)
+                for i, lane in enumerate(g):
+                    if smask[i] and (lane.request.sampling
+                                     or self._samp).has_penalties:
+                        gc[i] = self._lane_hist_np(lane.request)
+                gcounts = jnp.asarray(gc)
+            return (tokens, pos, gbt, gsl, gqo, gpl, smask, gseeds,
+                    gsamp, gcounts, rows)
 
         # burst inputs over all lanes (idle rows frozen via budgets=0)
         bt = np.zeros((self.B, mp), np.int32)
@@ -1196,17 +1217,38 @@ class Scheduler:
         if eng._scatter_tokens_fn is None:
             eng._scatter_tokens_fn = eng._build_scatter_tokens()
         out_dev = None
-        dummy = self._dummy_counts
+        if mode.use_penalties:
+            # host-seed the finishing lanes' histogram rows (prompt +
+            # already-delivered tokens; the in-program first token is
+            # bumped by the scatter below, mirroring the legacy order:
+            # sample-with-prompt-hist, then count the sampled token)
+            if self._counts is None:
+                self._counts = jnp.zeros((self.B, V), jnp.int32)
+            for lane in finishing:
+                s = lane.request.sampling or self._samp
+                if s.has_penalties:
+                    self._counts = self._counts.at[lane.idx].set(
+                        jnp.asarray(self._lane_hist_np(lane.request)))
+            counts = self._counts
+        else:
+            counts = self._dummy_counts
+        firsts = []                      # (first_dev, rows) per gang
         try:
-            first_dev, self.kv = eng._prefill_sample_fn(
-                eng.params, jnp.asarray(tokens), jnp.asarray(pos),
-                self.kv, jnp.asarray(gbt), jnp.asarray(gsl),
-                jnp.asarray(gqo), jnp.asarray(gpl), jnp.asarray(smask),
-                jnp.asarray(gseeds), gsamp, mode=mode)
+            for g in groups:
+                (tokens, pos, gbt, gsl, gqo, gpl, smask, gseeds, gsamp,
+                 gcounts, rows) = build_gang(g)
+                first_dev, self.kv = eng._prefill_sample_fn(
+                    eng.params, jnp.asarray(tokens), jnp.asarray(pos),
+                    self.kv, jnp.asarray(gbt), jnp.asarray(gsl),
+                    jnp.asarray(gqo), jnp.asarray(gpl),
+                    jnp.asarray(smask), jnp.asarray(gseeds), gsamp,
+                    gcounts, mode=mode)
+                firsts.append((first_dev, rows))
         except Exception as e:
-            # the gang mutates no scheduler state before it succeeds:
-            # fall back to the legacy tick, whose per-lane retry
-            # isolates a faulty request (SURVEY.md §5.3)
+            # the gangs mutate no scheduler state before they succeed
+            # (re-running a chunk re-writes the same KV pages): fall
+            # back to the legacy tick, whose per-lane retry isolates a
+            # faulty request (SURVEY.md §5.3)
             log_event("fused_tick_gang_fallback", error=repr(e)[:500])
             return None
         # commit the prefill bookkeeping NOW: a burst fault must then
@@ -1214,38 +1256,45 @@ class Scheduler:
         # fails them like any decode fault — leaving them mid-prefill
         # would requeue them into an infinite retry of the same fault
         deliver = []
-        for i, lane in enumerate(pending):
-            job = lane.prefill
-            job.pos = min(job.pos + chunk, job.max_len)
-            if lane.idx not in fin_idx:
-                continue
-            lane.prefill = None
-            lane.seq_len = job.L
-            if job.resume_token is not None:
-                lane.last_token = job.resume_token
-            else:
-                deliver.append((i, lane))
+        for gidx, g in enumerate(groups):
+            for i, lane in enumerate(g):
+                job = lane.prefill
+                job.pos = min(job.pos + chunk, job.max_len)
+                if lane.idx not in fin_idx:
+                    continue
+                lane.prefill = None
+                lane.seq_len = job.L
+                if job.resume_token is not None:
+                    lane.last_token = job.resume_token
+                else:
+                    deliver.append((gidx, i, lane))
         try:
-            start = eng._scatter_tokens_fn(
-                jnp.asarray(dec), first_dev, jnp.asarray(rows))
+            start = jnp.asarray(dec)
+            for first_dev, rows in firsts:
+                start, counts = eng._scatter_tokens_fn(
+                    start, first_dev, jnp.asarray(rows), counts,
+                    bump=mode.use_penalties)
             if rem > 0:
-                out_dev, self.kv, dummy = eng._decode_loop_fn(
+                out_dev, self.kv, counts = eng._decode_loop_fn(
                     eng.params, start, self.kv, jnp.asarray(bt),
                     jnp.asarray(sl), jnp.asarray(emitted),
                     jnp.asarray(budgets), jnp.asarray(seeds),
-                    samp_arrays, dummy, num_steps=n_steps, mode=mode)
-            # the burst is already dispatched: this D2H taxes nothing
-            first_np = np.asarray(first_dev)
+                    samp_arrays, counts, num_steps=n_steps, mode=mode)
+            # the burst is already dispatched: these D2H taxes nothing
+            first_nps = [np.asarray(f) for f, _ in firsts]
         except Exception as e:
             self._reset_device_state(e)
             return sum(not l.free for l in self.lanes)
-        self._dummy_counts = dummy
+        if mode.use_penalties:
+            self._counts = counts
+        else:
+            self._dummy_counts = counts
 
         now = time.time()
-        for i, lane in deliver:
+        for gidx, i, lane in deliver:
             # per-lane isolation (mirrors _finish_prefills)
             try:
-                tok = int(first_np[i])
+                tok = int(first_nps[gidx][i])
                 lane.last_token = tok
                 lane.request.first_token_at = now
                 self._deliver(lane, tok)

@@ -314,3 +314,72 @@ def test_biased_request_joining_mid_decode_keeps_its_bias():
     sched.run_until_idle()
     assert r2.tokens == [11] * 5          # stale greedy mode drops bias
     assert r1.tokens == eng.generate([3, 5, 7], 30, GREEDY)
+
+
+def test_fused_tick_multi_gang_chain():
+    """More pending lanes than one gang's token budget holds must run
+    as CHAINED gang dispatches inside the fused tick (round-4 fell back
+    to the legacy 3-dispatch path). prefill_gang_tokens=16 with
+    chunk=16 gives a 1-lane gang, so 4 simultaneous admissions need 4
+    chained gangs."""
+    eng = make_engine(prefill_gang_tokens=16)
+    prompts = [[3, 5, 7], [9, 8, 7, 6], [1, 2], [4, 4, 4, 4, 4]]
+    want = {tuple(p): eng.generate(p, 6, GREEDY) for p in prompts}
+
+    sched = Scheduler(eng)
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.scheduler.scheduler import (
+        Scheduler as S)
+    fused_ran = []
+    orig = S._fused_tick
+
+    def spy(self):
+        out = orig(self)
+        fused_ran.append(out is not None)
+        return out
+
+    S._fused_tick = spy
+    try:
+        reqs = [sched.submit(p, 6, GREEDY) for p in prompts]
+        sched.run_until_idle()
+    finally:
+        S._fused_tick = orig
+    assert any(fused_ran), "fused tick never fired"
+    for p, r in zip(prompts, reqs):
+        assert r.tokens == want[tuple(p)]
+
+
+def test_fused_tick_penalties_exact():
+    """Penalty-carrying lanes ride the fused tick (gang samples against
+    host-seeded prompt histograms; the scatter bumps the sampled first
+    token into the counts the burst threads) — output must equal the
+    engine's stepwise path exactly."""
+    import dataclasses
+
+    eng = make_engine()
+    pen = dataclasses.replace(GREEDY, repetition_penalty=1.7,
+                              frequency_penalty=0.2)
+    p1, p2 = [3, 5, 7, 9], [1, 2, 3]
+    want_pen = eng.generate(p1, 6, pen)
+    want_plain = eng.generate(p2, 6, GREEDY)
+
+    sched = Scheduler(eng)
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.scheduler.scheduler import (
+        Scheduler as S)
+    fused_ran = []
+    orig = S._fused_tick
+
+    def spy(self):
+        out = orig(self)
+        fused_ran.append(out is not None)
+        return out
+
+    S._fused_tick = spy
+    try:
+        r1 = sched.submit(p1, 6, pen)
+        r2 = sched.submit(p2, 6, GREEDY)
+        sched.run_until_idle()
+    finally:
+        S._fused_tick = orig
+    assert any(fused_ran), "fused tick never fired (penalties fell back)"
+    assert r1.tokens == want_pen
+    assert r2.tokens == want_plain

@@ -35,6 +35,15 @@ def build_engine(config: FrameworkConfig, params=None, mesh=None,
     if backend == "tpu" and not on_tpu():
         raise RuntimeError("backend 'tpu' requested but no TPU attached")
     interpret = backend == "cpu"
+    p = config.parallel
+    if mesh is None and (p.dp != 1 or p.tp != 1 or p.sp != 1):
+        # config asks for parallelism (dp/tp/sp != 1; 0 = infer): build
+        # the single-process mesh here so `serve`/CLI users are not
+        # silently downgraded to one device (multi-process meshes are
+        # built by the caller after jax.distributed init)
+        from ..parallel import build_mesh
+
+        mesh = build_mesh(p)
     if params is None and config.weights_path:
         import os
 

@@ -36,6 +36,23 @@ def ndjson_frame(data: dict) -> str:
 
 
 class ServerCore:
+    """Serving-mode matrix (who turns prompts into tokens):
+
+    ========= ============== ==============================================
+    ``pump``  ``scheduler``  mode
+    ========= ============== ==============================================
+    set       --             multi-host lockstep rounds (``MultiHostPump``;
+                             every OS process runs the same fused program,
+                             host 0 owns the HTTP surface)
+    None      set (default)  single-process continuous batching — any
+                             ``dp``/``tp`` mesh; concurrent requests share
+                             decode bursts
+    None      None           ``use_scheduler=False``: dedicated engine
+                             stream per request (no cross-request batching;
+                             debugging / single-tenant)
+    ========= ============== ==============================================
+    """
+
     def __init__(self, config: Optional[FrameworkConfig] = None,
                  engine=None, reranker=None,
                  use_scheduler: bool = True, pump=None):
@@ -66,7 +83,11 @@ class ServerCore:
         # scheduler — host 0 broadcasts round plans, every process runs
         # the same fused program (BASELINE config 5 / SURVEY §7-M5)
         self.pump = pump
-        if pump is None and use_scheduler and engine.dp == 1:
+        # the scheduler serves ANY single-process mesh (dp>1 gained
+        # swap/resize/spec parity in round 4 — the old dp==1 guard
+        # silently downgraded dp>1 servers to one engine stream per
+        # request, VERDICT r4 Weak #5)
+        if pump is None and use_scheduler:
             from ..scheduler import Scheduler
 
             self.scheduler = Scheduler(engine)

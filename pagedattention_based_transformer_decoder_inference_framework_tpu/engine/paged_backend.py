@@ -9,6 +9,7 @@ Pallas paged flash-attention kernel over the page pool.
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import jax
@@ -17,8 +18,10 @@ import jax.numpy as jnp
 from ..config import CacheConfig, ModelConfig
 from ..kvcache.pool import PagePool
 from ..ops.kv_append import kv_append
-from ..ops.paged_attention import (packable_decode, paged_attention,
+from ..ops.paged_attention import (decode_append_supported,
+                                   packable_decode, paged_attention,
                                    paged_attention_decode,
+                                   paged_attention_decode_append,
                                    paged_attention_decode_grouped,
                                    paged_attention_decode_packed)
 from ..utils.platform import default_interpret
@@ -81,10 +84,6 @@ class PagedKVBackend:
                 q = jnp.pad(q, padw)
                 k = jnp.pad(k, padw)
                 v = jnp.pad(v, padw)
-            kv = kv_append(kv, k, v, layer, app_pos, block_tables,
-                           page_size=self.cache.page_size,
-                           interpret=self.interpret)
-            scales = kv[1] if len(kv) == 2 else None
             # padded pools must NOT rescale by 1/sqrt(dh_pool)
             eff_scale = self.cfg.attn_scale
             if eff_scale is None and dh_pool != dh:
@@ -97,6 +96,33 @@ class PagedKVBackend:
                 assert self.cfg.sliding_window_pattern == 1, (
                     "per-layer sliding windows require unrolled layers")
                 window = self.cfg.sliding_window
+            if (q.shape[1] == 1 and score_sink is None
+                    and gather_axis is None
+                    and os.environ.get("PBT_FUSED_APPEND") == "1"
+                    and decode_append_supported(
+                        kv, self.cache.page_size,
+                        block_tables.shape[1], dh_pool)):
+                # T=1 decode: append + attend as ONE kernel. Measured a
+                # WASH in context (8B int8 device 380.8 vs 380.3 tok/s;
+                # GPT-2 int8 0.379 vs 0.395 — the single-block all-
+                # pages-upfront attention core runs ~3.5 us/call slower
+                # than the triple-buffered loop, eating the ~8 us/layer
+                # append saving, and the pre-append scales gather
+                # breaks pool aliasing for one ~40 us/step copy;
+                # BENCHMARKS.md round 5). Env-gated for A/B, off by
+                # default.
+                out, kv = paged_attention_decode_append(
+                    q, kv, k, v, block_tables, seq_lens, app_pos,
+                    jnp.asarray(layer, jnp.int32),
+                    page_size=self.cache.page_size,
+                    num_q_heads=q.shape[2], window=window,
+                    softcap=self.cfg.attn_logit_softcap,
+                    scale=eff_scale, interpret=self.interpret)
+                return out[..., :dh], kv
+            kv = kv_append(kv, k, v, layer, app_pos, block_tables,
+                           page_size=self.cache.page_size,
+                           interpret=self.interpret)
+            scales = kv[1] if len(kv) == 2 else None
             # num_q_heads from q itself: under TP (shard_map) the local
             # head count is num_heads / tp, not cfg.num_heads.
             if (q.shape[1] == 1 and score_sink is None

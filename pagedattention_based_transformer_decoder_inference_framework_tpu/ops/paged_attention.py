@@ -40,6 +40,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..utils.common import round_up
+from .kv_append import DUMP_PAGE, _tile_rows
 
 import os
 
@@ -1107,3 +1108,342 @@ def paged_attention_decode_packed(
       layer_arr, *inputs)
 
     return out[:, :, :G, :].reshape(B, 1, H, dh)
+
+
+# -- fused append + attend decode (T=1) --------------------------------------
+
+def _decode_append_kernel(bt_ref, sl_ref, l_ref, pid_ref, slot_ref,
+                          q_ref, news_ref, *rest,
+                          page_size: int, scale: float, quantized: bool,
+                          window: int, softcap: float, vslab_rows: int,
+                          sslab_rows: int, B: int):
+    rest = list(rest)
+    if quantized:
+        gsc_ref = rest.pop(0)          # [1, 2, KH, S] old page scales
+        nsc_ref = rest.pop(0)          # [B, 2, KH, 1, 1] new scales
+        # lane-materialized copy for the slab patch: a (1, 1)->(8, 128)
+        # sublane+lane double broadcast of a VMEM tile faults Mosaic at
+        # runtime, so the lane dim is broadcast OUTSIDE the kernel
+        nscl_ref = rest.pop(0)         # [B, 2, KH, 1, 128]
+    # READS go through the input refs, WRITES through the output refs:
+    # identical buffers under aliasing, and the interpret debug mode
+    # (no aliasing) then still reads real pool data
+    kv_in = rest.pop(0)                # values pool HBM (alias of out)
+    sc_in = rest.pop(0) if quantized else None
+    out_ref = rest.pop(0)
+    kv_out = rest.pop(0)               # aliased values pool HBM
+    sc_out = rest.pop(0) if quantized else None
+    kv_buf = rest.pop(0)               # VMEM [2, KH, S, dh]
+    psem = rest.pop(0)                 # DMA (mp,)
+    vslab = rest.pop(0)                # VMEM [2, KH, vslab_rows, dh]
+    vsem = rest.pop(0)                 # DMA (2,)
+    if quantized:
+        sslab = rest.pop(0)            # VMEM [2, KH, sslab_rows, 128]
+        ssem = rest.pop(0)             # DMA (2,)
+
+    b = pl.program_id(0)
+    layer = l_ref[0]
+    KH, rows, dh = q_ref.shape[1:]
+    S = kv_buf.shape[2]
+    mp = S // page_size
+    sl_in = sl_ref[b]                  # post-append length
+    old = sl_in - 1                    # previously cached tokens
+    n_old = (old + page_size - 1) // page_size
+    pid_b = pid_ref[b]
+    slot_b = slot_ref[b]
+
+    # tail-slab RMW reads ride alongside the page stream
+    v0 = (slot_b // vslab_rows) * vslab_rows
+    vsrc = kv_in.at[layer, :, :, pid_b, pl.ds(v0, vslab_rows), :]
+    vdst = kv_out.at[layer, :, :, pid_b, pl.ds(v0, vslab_rows), :]
+    pltpu.make_async_copy(vsrc, vslab, vsem.at[0]).start()
+    if quantized and not os.environ.get("PBT_DA_NO_SC_RMW"):
+        g_b = pid_b * page_size + slot_b
+        r0 = ((g_b // 128) // sslab_rows) * sslab_rows
+        ssrc = sc_in.at[layer, :, :, pl.ds(r0, sslab_rows), :]
+        sdst = sc_out.at[layer, :, :, pl.ds(r0, sslab_rows), :]
+        pltpu.make_async_copy(ssrc, sslab, ssem.at[0]).start()
+
+    # ALL old pages' DMAs in flight at once (no per-page loop/pipeline
+    # bookkeeping — at decode the per-page compute is far too small to
+    # hide per-iteration scalar-core cost; serving contexts bound
+    # S = mp * page so the whole window fits one VMEM buffer)
+    def page_dma(i):
+        pid = bt_ref[b, i]
+        return pltpu.make_async_copy(
+            kv_in.at[layer, :, :, pid],
+            kv_buf.at[:, :, pl.ds(i * page_size, page_size), :],
+            psem.at[i])
+
+    for i in range(mp):
+        @pl.when(i < n_old)
+        def _start(i=i):
+            page_dma(i).start()
+    for i in range(mp):
+        @pl.when(i < n_old)
+        def _wait(i=i):
+            page_dma(i).wait()
+
+    q = q_ref[0].astype(jnp.float32) * scale        # [KH, rows, dh]
+    k = kv_buf[0].astype(jnp.float32)               # [KH, S, dh]
+    v = kv_buf[1].astype(jnp.float32)
+    # zero V's invalid rows: their probs are exactly 0, but un-DMA'd
+    # buffer garbage could be inf/NaN and 0 * NaN poisons the PV dot
+    vmask = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1) < old
+    v = jnp.where(vmask, v, 0.0)
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)         # [KH, rows, S]
+    if quantized:
+        s = s * gsc_ref[0, 0][:, None, :]
+    if softcap > 0:
+        s = softcap * jnp.tanh(s / softcap)
+    key_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+    mask = key_idx < old
+    if window > 0:
+        mask &= key_idx >= sl_in - window
+    s = jnp.where(mask, s, -1e30)
+
+    # the just-appended token never round-trips through HBM: its score
+    # rides the quantized news directly (the pool stores exactly these
+    # bytes). Scales fold into kn/vn BEFORE the reductions — a [KH]
+    # lane->major relayout of the scale vector is unsupported.
+    kn = news_ref[0, 0, :, 0, :].astype(jnp.float32)      # [KH, dh]
+    if quantized:
+        kn = kn * nsc_ref[b, 0, :, 0, :]                  # [KH, 1]
+    sn = jnp.sum(q * kn[:, None, :], axis=-1, keepdims=True)
+    if softcap > 0:
+        sn = softcap * jnp.tanh(sn / softcap)
+
+    m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), sn)
+    p = jnp.exp(s - m)
+    pn = jnp.exp(sn - m)
+    l = jnp.sum(p, axis=-1, keepdims=True) + pn
+    if quantized:
+        p = p * gsc_ref[0, 1][:, None, :]
+    acc = jax.lax.dot_general(
+        p, v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)         # [KH, rows, dh]
+    vn = news_ref[0, 1, :, 0, :].astype(jnp.float32)
+    if quantized:
+        vn = vn * nsc_ref[b, 1, :, 0, :]
+    acc = acc + pn * vn[:, None, :]
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    out_ref[0] = (acc / l_safe).astype(out_ref.dtype)
+
+    # append RMW: patch the tail slabs and write back. Write-backs are
+    # ordered after this program's page reads (waited above), and rows
+    # never share a live tail page (dump-page collisions write
+    # attention-masked garbage by design).
+    pltpu.make_async_copy(vsrc, vslab, vsem.at[0]).wait()
+    io = jax.lax.broadcasted_iota(
+        jnp.int32, (2, KH, vslab_rows, dh), 2)
+    nv = news_ref[0, :, :, 0, :]                    # [2, KH, dh]
+    vslab[...] = jnp.where(io == slot_b - v0, nv[:, :, None, :],
+                           vslab[...])
+    pltpu.make_async_copy(vslab, vdst, vsem.at[1]).start()
+    if quantized and not os.environ.get("PBT_DA_NO_SC_RMW"):
+        # the flat scales view spans many pages per 8-sublane slab, so
+        # overlapping slabs are patched with EVERY row's token —
+        # duplicate or torn write-backs then carry identical bytes
+        # (same argument as ops/kv_append._rmw_batch_kernel)
+        pltpu.make_async_copy(ssrc, sslab, ssem.at[0]).wait()
+        if not os.environ.get("PBT_DA_NO_SC_PATCH"):
+            io_r = jax.lax.broadcasted_iota(
+                jnp.int32, (2, KH, sslab_rows, 128), 2)
+            io_l = jax.lax.broadcasted_iota(
+                jnp.int32, (2, KH, sslab_rows, 128), 3)
+            acc_s = sslab[...]
+            for b2 in range(B):
+                g2 = pid_ref[b2] * page_size + slot_ref[b2]
+                hit = (io_r == g2 // 128 - r0) & (io_l == g2 % 128)
+                acc_s = jnp.where(hit, nscl_ref[b2], acc_s)
+            sslab[...] = acc_s
+        pltpu.make_async_copy(sslab, sdst, ssem.at[1]).start()
+        pltpu.make_async_copy(sslab, sdst, ssem.at[1]).wait()
+    pltpu.make_async_copy(vslab, vdst, vsem.at[1]).wait()
+
+
+def decode_append_supported(kv, page_size: int, mp: int, dh: int) -> bool:
+    """Geometry gate for :func:`paged_attention_decode_append`: lane-
+    aligned head dim, tile-divisible page, the whole context window in
+    one VMEM buffer, and (INT8) a slab-tileable flat scales view."""
+    if dh % 128 != 0 or page_size % _tile_rows(kv[0].dtype) != 0:
+        return False
+    KH = kv[0].shape[2]
+    if 2 * KH * mp * page_size * dh * kv[0].dtype.itemsize > 4 << 20:
+        return False
+    if len(kv) == 2:
+        # 8-sublane slab tiling of the flat scales view, strictly:
+        # kv_append's whole-dim slab fallback (R <= 32, not
+        # 8-divisible) faults as a dynamic-ds DMA on hardware
+        S_pool = kv[1].shape[3] * kv[1].shape[4]
+        R = S_pool // 128
+        if S_pool % 128 != 0 or R % 8 != 0:
+            return False
+    return True
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("page_size", "num_q_heads", "window", "softcap",
+                     "scale", "interpret"))
+def paged_attention_decode_append(
+        q: jax.Array, kv, k_new: jax.Array, v_new: jax.Array,
+        block_tables: jax.Array, seq_lens: jax.Array,
+        positions: jax.Array, layer: jax.Array, *, page_size: int,
+        num_q_heads: int, window: int = 0, softcap: float = 0.0,
+        scale: Optional[float] = None, interpret: bool = False):
+    """T=1 decode attention with the KV append FUSED into the kernel.
+
+    The split form pays one RMW append program per layer per step just
+    to write B rows of K/V (~8 us/layer at GPT-2 — pure fixed cost,
+    BENCHMARKS.md round 5); here the tail-slab RMW rides the attention
+    kernel's own DMA stream, and the new token's contribution enters
+    the softmax directly from VMEM (``kv_cache + attention`` fused the
+    way the reference's ``get_write_ptr`` write path and
+    ``paged_flash_attention_kernel_fused.cu`` are separate calls).
+    Unlike :func:`paged_attention_decode`'s triple-buffered page loop,
+    ALL pages stream concurrently into one VMEM buffer and the softmax
+    runs single-block — at serving contexts the page loop's
+    per-iteration scalar-core cost dominates the tiny per-page compute.
+
+    ``seq_lens`` are POST-append lengths (as the unfused attention
+    receives); ``positions [B, 1]`` are the append targets (as
+    ``kv_append`` receives). Returns ``(out [B,1,H,dh], kv')``.
+    """
+    from ..kvcache.pool import stack_new_kv
+
+    B, T, H, dh = q.shape
+    assert T == 1
+    vals = kv[0]
+    quantized = len(kv) == 2
+    assert vals.ndim == 6, "decode_append needs the layer-pooled cache"
+    if interpret and not os.environ.get("PBT_DA_INTERP_KERNEL"):
+        # tests: functional append + the unfused decode kernel over the
+        # updated pool — semantically identical (the fused kernel reads
+        # the new token's pool-exact bytes from VMEM); pool aliasing
+        # has no interpret-mode story (see ops/kv_append.py).
+        # PBT_DA_INTERP_KERNEL=1 runs the REAL kernel interpreted
+        # (pool outputs are then fresh copies) — debugging only.
+        from ..kvcache.pool import append_to_pages_at_layer
+
+        kv2 = append_to_pages_at_layer(kv, k_new, v_new, layer,
+                                       positions, block_tables)
+        out = paged_attention_decode(
+            q, kv2[0], block_tables, seq_lens,
+            kv2[1] if quantized else None, layer,
+            page_size=page_size, num_q_heads=num_q_heads, window=window,
+            softcap=softcap, scale=scale, interpret=True)
+        return out, kv2
+    KH, P, page_sz = vals.shape[2:5]
+    assert page_sz == page_size and H == num_q_heads
+    G = H // KH
+    rows = round_up(max(G, 8), 8)
+    if scale is None:
+        scale = 1.0 / math.sqrt(dh)
+    mp = block_tables.shape[1]
+    S = mp * page_size
+
+    news = stack_new_kv(kv, k_new, v_new)
+    valid = positions[:, 0] >= 0
+    pos = jnp.maximum(positions[:, 0], 0)
+    pid = jnp.take_along_axis(block_tables,
+                              (pos // page_size)[:, None], axis=1)[:, 0]
+    pid = jnp.where(valid, pid, DUMP_PAGE).astype(jnp.int32)
+    slot = jnp.where(valid, pos % page_size, 0).astype(jnp.int32)
+
+    qr = q.reshape(B, KH, G, dh)
+    if rows != G:
+        qr = jnp.pad(qr, ((0, 0), (0, 0), (0, rows - G), (0, 0)))
+
+    vslab_rows = (_tile_rows(vals.dtype)
+                  if page_size % _tile_rows(vals.dtype) == 0
+                  and page_size > _tile_rows(vals.dtype) else page_size)
+    in_specs = [
+        pl.BlockSpec((1, KH, rows, dh), lambda b, *_: (b, 0, 0, 0)),
+        pl.BlockSpec((1, 2, KH, 1, dh), lambda b, *_: (b, 0, 0, 0, 0)),
+    ]
+    inputs = [qr, news[0]]
+    sslab_rows = 0
+    if quantized:
+        sc_pool = kv[1]
+        L2, _, KH2, P2, pg2, _ = sc_pool.shape
+        S_pool = P2 * pg2
+        R = S_pool // 128
+        sslab_rows = 8 if R % 8 == 0 and R > 8 else R
+        sc_flat = sc_pool.reshape(L2, 2, KH2, R, 128)
+        g = jnp.take(sc_pool[layer], block_tables.reshape(-1), axis=2,
+                     fill_value=0)                 # [2, KH, B*mp, pg, 1]
+        g = g[..., 0].reshape(2, KH, B, S).transpose(2, 0, 1, 3)
+        nsc = news[1].astype(jnp.float32)      # [B, 2, KH, 1, 1]
+        nscl = jnp.broadcast_to(nsc, (B, 2, KH, 1, 128))
+        in_specs += [
+            pl.BlockSpec((1, 2, KH, S), lambda b, *_: (b, 0, 0, 0)),
+            pl.BlockSpec((B, 2, KH, 1, 1), lambda b, *_: (0,) * 5),
+            pl.BlockSpec((B, 2, KH, 1, 128), lambda b, *_: (0,) * 5),
+        ]
+        inputs += [g, nsc, nscl]
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    inputs.append(vals)
+    if quantized:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        inputs.append(sc_flat)
+
+    out_specs = [
+        pl.BlockSpec((1, KH, rows, dh), lambda b, *_: (b, 0, 0, 0)),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((B, KH, rows, dh), q.dtype),
+                 jax.ShapeDtypeStruct(vals.shape, vals.dtype)]
+    if quantized:
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        out_shape.append(jax.ShapeDtypeStruct(sc_flat.shape,
+                                              sc_flat.dtype))
+
+    scratch = [pltpu.VMEM((2, KH, S, dh), vals.dtype),
+               pltpu.SemaphoreType.DMA((mp,)),
+               pltpu.VMEM((2, KH, vslab_rows, dh), vals.dtype),
+               pltpu.SemaphoreType.DMA((2,))]
+    if quantized:
+        scratch += [pltpu.VMEM((2, KH, sslab_rows, 128), sc_pool.dtype),
+                    pltpu.SemaphoreType.DMA((2,))]
+
+    # pool inputs alias pool outputs (in-place append); interpret mode
+    # skips aliasing (CPU buffer-allocator interaction — the outputs
+    # are then fresh copies, which tests handle fine)
+    n_lead = 5 + len(inputs) - (2 if quantized else 1)
+    aliases = {} if interpret else {
+        n_lead + i: 1 + i for i in range(2 if quantized else 1)}
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch,
+    )
+    kernel = functools.partial(
+        _decode_append_kernel, page_size=page_size, scale=scale,
+        quantized=quantized, window=window, softcap=softcap,
+        vslab_rows=vslab_rows, sslab_rows=sslab_rows, B=B)
+    layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=tuple(out_shape),
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            has_side_effects=True),
+        interpret=interpret,
+    )(block_tables.astype(jnp.int32), seq_lens.astype(jnp.int32),
+      layer_arr, pid, slot, *inputs)
+
+    out = outs[0][:, :, :G, :].reshape(B, 1, H, dh)
+    if quantized:
+        kv2 = (outs[1], outs[2].reshape(kv[1].shape))
+    else:
+        kv2 = (outs[1],)
+    return out, kv2

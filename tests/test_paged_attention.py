@@ -631,3 +631,99 @@ def test_decode_batched_window_softcap_pooled():
         interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-6, rtol=2e-6)
+
+
+@pytest.mark.parametrize("int8", [False, True])
+@pytest.mark.parametrize("KH,G", [(2, 1), (2, 3)])
+def test_decode_append_matches_split(KH, G, int8):
+    """Fused append+attend (T=1) ≡ kv_append followed by the decode
+    kernel: same output, same pool bytes. Runs the REAL kernel
+    interpreted (PBT_DA_INTERP_KERNEL) so the in-kernel RMW/patch logic
+    is covered, not just the functional fallback."""
+    import os
+
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.kvcache.pool import (
+        append_to_pages_at_layer)
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.ops.paged_attention import (
+        paged_attention_decode, paged_attention_decode_append)
+
+    rng = np.random.default_rng(11)
+    B, dh = 3, 128
+    H = KH * G
+    seq_lens = [13, PAGE * 2, 1]          # pre-append lengths
+    kv, block_tables, k, v = make_paged_state(rng, B, KH, dh, seq_lens,
+                                              int8=int8)
+    kv = tuple(x[None] if x.ndim == 5 else x for x in kv)  # re-pool L=1
+    kv = tuple(jnp.concatenate([jnp.zeros_like(x), x]) for x in kv)
+    layer = jnp.asarray(1, jnp.int32)
+    q = jnp.asarray(rng.normal(size=(B, 1, H, dh)), jnp.float32)
+    k_new = jnp.asarray(rng.normal(size=(B, 1, KH, dh)), jnp.float32)
+    v_new = jnp.asarray(rng.normal(size=(B, 1, KH, dh)), jnp.float32)
+    sl_old = jnp.asarray(seq_lens, jnp.int32)
+
+    os.environ["PBT_DA_INTERP_KERNEL"] = "1"
+    try:
+        out_f, kv_f = paged_attention_decode_append(
+            q, kv, k_new, v_new, block_tables, sl_old + 1,
+            sl_old[:, None], layer, page_size=PAGE, num_q_heads=H,
+            interpret=True)
+    finally:
+        del os.environ["PBT_DA_INTERP_KERNEL"]
+
+    kv_r = append_to_pages_at_layer(kv, k_new, v_new, layer,
+                                    sl_old[:, None], block_tables)
+    out_r = paged_attention_decode(
+        q, kv_r[0], block_tables, sl_old + 1,
+        kv_r[1] if int8 else None, layer, page_size=PAGE,
+        num_q_heads=H, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                               atol=2e-6, rtol=2e-6)
+    # interpret mode skips aliasing: outputs carry only the written
+    # slabs — compare the appended slots exactly
+    for b, L in enumerate(seq_lens):
+        pid = int(block_tables[b, L // PAGE])
+        slot = L % PAGE
+        np.testing.assert_array_equal(
+            np.asarray(kv_f[0][1, :, :, pid, slot]),
+            np.asarray(kv_r[0][1, :, :, pid, slot]))
+        if int8:
+            np.testing.assert_allclose(
+                np.asarray(kv_f[1][1, :, :, pid, slot]),
+                np.asarray(kv_r[1][1, :, :, pid, slot]))
+
+
+def test_decode_append_functional_path_through_backend():
+    """Default interpret dispatch (functional append + unfused kernel)
+    through the fused wrapper, window + softcap + GQA."""
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.kvcache.pool import (
+        append_to_pages_at_layer)
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.ops.paged_attention import (
+        paged_attention_decode, paged_attention_decode_append)
+
+    rng = np.random.default_rng(12)
+    B, KH, G, dh = 2, 2, 2, 128
+    H = KH * G
+    seq_lens = [29, 17]
+    kv, block_tables, k, v = make_paged_state(rng, B, KH, dh, seq_lens)
+    kv = tuple(jnp.concatenate([jnp.zeros_like(x[None])[0:0]] + [x[None]])
+               for x in kv)
+    layer = jnp.asarray(0, jnp.int32)
+    q = jnp.asarray(rng.normal(size=(B, 1, H, dh)), jnp.float32)
+    k_new = jnp.asarray(rng.normal(size=(B, 1, KH, dh)), jnp.float32)
+    v_new = jnp.asarray(rng.normal(size=(B, 1, KH, dh)), jnp.float32)
+    sl_old = jnp.asarray(seq_lens, jnp.int32)
+
+    out_f, kv_f = paged_attention_decode_append(
+        q, kv, k_new, v_new, block_tables, sl_old + 1, sl_old[:, None],
+        layer, page_size=PAGE, num_q_heads=H, window=12, softcap=20.0,
+        interpret=True)
+    kv_r = append_to_pages_at_layer(kv, k_new, v_new, layer,
+                                    sl_old[:, None], block_tables)
+    out_r = paged_attention_decode(
+        q, kv_r[0], block_tables, sl_old + 1, None, layer,
+        page_size=PAGE, num_q_heads=H, window=12, softcap=20.0,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                               atol=2e-6, rtol=2e-6)
+    np.testing.assert_array_equal(np.asarray(kv_f[0]),
+                                  np.asarray(kv_r[0]))

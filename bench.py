@@ -78,6 +78,7 @@ def main() -> None:
     ap.add_argument("--mode", default="fused",
                     choices=("fused", "scheduler", "beam", "spec"))
     ap.add_argument("--decode-burst", type=int, default=16)
+    ap.add_argument("--beam-burst-max", type=int, default=0)
     ap.add_argument("--spec-k", type=int, default=8)
     # scheduler mode with speculative bursts (pattern-heavy prompts)
     ap.add_argument("--scheduler-spec", action="store_true")
@@ -114,6 +115,7 @@ def main() -> None:
              "--reps", str(args.reps), "--page-size",
              str(args.page_size), "--mode", args.mode,
              "--decode-burst", str(args.decode_burst),
+             "--beam-burst-max", str(args.beam_burst_max),
              "--spec-k", str(args.spec_k)]
             + (["--scheduler-spec"] if args.scheduler_spec else [])
             + (["--no-trace"] if args.no_trace else [])
@@ -167,6 +169,8 @@ def main() -> None:
     cfg.model.quant = args.quant
     cfg.runtime.max_batch_size = args.batch
     cfg.runtime.decode_burst = args.decode_burst
+    if args.beam_burst_max:
+        cfg.runtime.beam_burst_max = args.beam_burst_max
     if args.megakernel:
         cfg.runtime.megakernel = True
         cfg.runtime.megakernel_drop_weights = True
@@ -176,9 +180,9 @@ def main() -> None:
         cfg.cache.max_pages_per_seq += cdiv(args.spec_k, page) + 1
         cfg.cache.num_pages += args.batch * (cdiv(args.spec_k, page) + 1)
     if args.mode == "beam":
-        # device beam bursts pre-allocate beam_burst * W fresh pages
-        # per dispatch (unused ones return to the pool after replay)
-        cfg.cache.num_pages += cfg.runtime.beam_burst * args.batch
+        # device beam bursts pre-allocate up to beam_burst_max * W
+        # fresh pages per dispatch (unused ones return to the pool)
+        cfg.cache.num_pages += cfg.runtime.beam_burst_max * args.batch
 
     eng = Engine(cfg, seed=0)
     samp = SamplingParams(temperature=0.0, eos_token_id=-1)

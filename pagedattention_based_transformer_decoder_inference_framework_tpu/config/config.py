@@ -235,6 +235,14 @@ class RuntimeConfig:
     # Each burst pre-allocates beam_burst * beam_width fresh pages
     # (unused ones return to the pool); 1 = per-step dispatching.
     beam_burst: int = 16
+    # burst-length ceiling when the step budget allows a longer run:
+    # each burst's D2H sync costs a host/tunnel round trip. Bursts are
+    # pow2-bucketed up to min(remaining steps, this); the fresh-page
+    # pre-allocation halves on pool pressure (engine/beam.py). 32
+    # measured best at 8B (227 tok/s vs 217 @16 and 163 @64 — the
+    # 64-step scan runs ~30% slower per step on device); set equal to
+    # beam_burst to disable the extension.
+    beam_burst_max: int = 32
     # path to a fine-tuned cross-encoder (reranker/finetune.py output);
     # "" = score with the decoder's own log-probs (LogProbScorer)
     reranker_model: str = ""

@@ -91,6 +91,11 @@ class BeamSearcher:
         # on device, host touched once per burst); 1 disables
         self.burst = (engine.config.runtime.beam_burst
                       if burst is None else burst)
+        # an explicit ctor burst pins the length; the config default
+        # extends to beam_burst_max when the step budget allows
+        self.burst_max = (max(self.burst,
+                              engine.config.runtime.beam_burst_max)
+                          if burst is None else self.burst)
         self._beam_burst = (engine._build_decode_beam_burst()
                             if engine.mesh is None and self.burst > 1
                             else None)
@@ -224,21 +229,27 @@ class BeamSearcher:
         if pending is None:
             pending = (np.zeros((W,), np.int32), np.zeros((W,), np.int32))
         while steps > 0 and alive.any():
-            # clamp the burst to the remaining step budget AND the page
-            # budget (the device scan + host replay advance seq_lens for
-            # the full burst — an overshoot near max_pages_per_seq would
-            # push block tables past their width; ADVICE r4). pow2-floor
-            # bounds the compile count to log2(burst) program shapes.
-            budget = min(self.burst, steps,
-                         mp * page - 1 - int(state.seq_lens[0]))
-            if budget < 1:
-                break                      # per-step path for the rest
+            # burst length: pow2 bucket of min(remaining steps,
+            # burst_max) — overshooting the STEP budget is fine (the
+            # tail of the scan is discarded) but overshooting the PAGE
+            # budget is not (replay would push block tables past their
+            # width; ADVICE r4). Longer bursts = fewer D2H syncs, each
+            # of which costs a host/tunnel round trip.
+            page_budget = mp * page - 1 - int(state.seq_lens[0])
             K = 1
-            while K * 2 <= budget:
+            while K < min(self.burst_max, max(steps, 1)):
                 K *= 2
-            try:
-                fresh_flat = self.allocator.alloc_many(K * W)
-            except OutOfPagesError:
+            while K > page_budget:
+                K //= 2
+            # fresh-page pool for the burst, halving on pool pressure
+            fresh_flat = None
+            while K >= 1:
+                try:
+                    fresh_flat = self.allocator.alloc_many(K * W)
+                    break
+                except OutOfPagesError:
+                    K //= 2
+            if K < 1 or fresh_flat is None:
                 break                      # per-step path for the rest
             fresh = np.asarray(fresh_flat, np.int32).reshape(K, W)
             # cover this burst's first append slot (per-row exclusive
@@ -257,11 +268,13 @@ class BeamSearcher:
                     jnp.asarray(pending[0]), jnp.asarray(pending[1]),
                     jnp.asarray(fresh),
                     jnp.asarray(eos_token_id, jnp.int32), num_steps=K)
-            pars = np.asarray(pars)
-            toks = np.asarray(toks)
+            # ONE batched fetch: serial np.asarray calls pay a full
+            # device/tunnel round trip EACH (~28 ms x 6 arrays per
+            # burst — most of the round-4 beam wall gap)
+            pars, toks, vals, alives, csrc, cdst = jax.device_get(
+                (pars, toks, vals, alives, csrc, cdst))
             vals = np.asarray(vals, np.float64)
-            alives = np.asarray(alives)
-            pending = (np.asarray(csrc), np.asarray(cdst))
+            pending = (csrc, cdst)
             self._replay_burst(state, pars, fresh)
             for k in range(K):
                 if steps <= 0 or not alive.any():
@@ -352,8 +365,8 @@ class BeamSearcher:
                     jnp.asarray(pending[0]), jnp.asarray(pending[1]))
                 pending = None
                 state.seq_lens += 1
-                cands = zip(np.asarray(p2), np.asarray(t2),
-                            np.asarray(v2, np.float64))
+                p2, t2, v2 = jax.device_get((p2, t2, v2))
+                cands = zip(p2, t2, np.asarray(v2, np.float64))
             else:
                 step_logits = eng.decode_forced(state, toks)   # [W, V]
                 lp = np.stack([_log_softmax(row) for row in step_logits])

@@ -46,6 +46,106 @@ def tree_bytes(tree) -> int:
                for x in jax.tree_util.tree_leaves(tree))
 
 
+def run_multihost(args) -> None:
+    """N-process lockstep decode bench through the serving
+    :class:`MultiHostPump` (the deployment path of ``cli serve
+    --coordinator``): host 0 submits ``--batch`` requests per rep and
+    pumps rounds inline; every process executes the same fused program
+    over the global mesh. Emits ONE JSON line from host 0 with
+    tokens/s/chip and, when ``--ref-tok-per-chip`` is given, the
+    scaling efficiency vs the 1-chip bench."""
+    import sys
+
+    import jax
+    import numpy as np
+
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.config import (
+        CacheConfig, FrameworkConfig, preset)
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.engine.engine import (
+        Engine)
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.engine.sampling import (
+        SamplingParams)
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.parallel import (
+        build_mesh)
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.parallel.mesh import (
+        init_distributed)
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.parallel.multihost import (
+        MultiHostPump, is_primary)
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.utils.common import (
+        cdiv)
+
+    init_distributed(coordinator=args.coordinator,
+                     num_processes=args.num_processes,
+                     process_id=args.process_id)
+    n_chips = len(jax.devices())
+
+    cfg = FrameworkConfig()
+    cfg.model = preset(args.model)
+    total_len = args.prompt_len + args.steps + 1
+    page = args.page_size
+    n_pages = args.batch * cdiv(total_len, page) + 64
+    grain = max(1, 1024 // page)
+    n_pages = cdiv(n_pages, grain) * grain
+    # pages shard over dp: keep the global pool dp-divisible
+    dp = max(args.dp, 1)
+    n_pages = cdiv(n_pages, dp * grain) * dp * grain
+    cfg.cache = CacheConfig(
+        page_size=page, num_pages=n_pages,
+        max_pages_per_seq=cdiv(total_len, page) + 2,
+        kv_dtype=args.kv_dtype)
+    cfg.runtime.prefill_chunk = 256
+    cfg.model.quant = args.quant
+    cfg.runtime.max_batch_size = args.batch
+    cfg.parallel.dp = args.dp
+    cfg.parallel.tp = args.tp
+    mesh = build_mesh(cfg.parallel)
+    eng = Engine(cfg, seed=0, mesh=mesh)
+    pump = MultiHostPump(eng, batch=args.batch)
+
+    if not is_primary():
+        pump.run_forever()              # exits on the stop round
+        return
+
+    samp = SamplingParams(temperature=0.0, eos_token_id=-1)
+    rng = np.random.default_rng(0)
+    prompts = rng.integers(0, cfg.model.vocab_size,
+                           (args.batch, args.prompt_len)).tolist()
+
+    def serve_round():
+        base = pump.n_finished
+        reqs = [pump.submit(p, args.steps, samp) for p in prompts]
+        while pump.n_finished - base < len(reqs):
+            pump.run_round()
+        for r in reqs:
+            toks = list(r.stream())
+            assert r.error is None, r.error
+            assert len(toks) == args.steps
+
+    serve_round()                       # compile all shapes
+    times = []
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        serve_round()
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    pump._stop.set()
+    pump.run_round()                    # broadcast the stop round
+
+    toks_per_s = args.batch * args.steps / dt
+    per_chip = toks_per_s / max(n_chips, 1)
+    rec = {
+        "metric": (f"multi-host decode tokens/s/chip ({args.model}, "
+                   f"dp={args.dp} tp={args.tp}, "
+                   f"{args.num_processes} processes, {n_chips} chips)"),
+        "value": round(per_chip, 1),
+        "unit": "tokens/s/chip",
+        "tokens_per_s_total": round(toks_per_s, 1),
+        "vs_baseline": round(per_chip / args.ref_tok_per_chip, 4)
+        if args.ref_tok_per_chip else 0.0,
+    }
+    print(json.dumps(rec))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     # default = BASELINE.json's north-star config: INT8 Llama-3-8B
@@ -75,8 +175,14 @@ def main() -> None:
     # "spec": prompt-lookup speculative decoding on a pattern-heavy
     # prompt — greedy-exact; vs_baseline may exceed 1.0 because the
     # roofline assumes one token per weight stream.
+    # "longctx": decode-only probe at long context — prefill runs as
+    # the chunked host loop ONCE (the whole-request fused program at
+    # 32k unrolls to ~10 MB of MLIR and OOMs the remote compile
+    # helper), then timed fused decode bursts attend over the full
+    # cached context (SURVEY §5.7 scale-sequence-length mandate).
     ap.add_argument("--mode", default="fused",
-                    choices=("fused", "scheduler", "beam", "spec"))
+                    choices=("fused", "scheduler", "beam", "spec",
+                             "longctx"))
     ap.add_argument("--decode-burst", type=int, default=16)
     ap.add_argument("--beam-burst-max", type=int, default=0)
     ap.add_argument("--spec-k", type=int, default=8)
@@ -87,7 +193,27 @@ def main() -> None:
     ap.add_argument("--megakernel", action="store_true")
     # skip the profiler-traced rep (device-time ground truth field)
     ap.add_argument("--no-trace", action="store_true")
+    # -- multi-host scaling harness (BASELINE.md: >=85% at 2 hosts) --
+    # run the SAME decode bench across N jax.distributed processes via
+    # the serving MultiHostPump and report tokens/s/chip + efficiency.
+    # Every process runs the same command with its own --process-id:
+    #   host0: python bench.py --coordinator H:P --num-processes 2 \
+    #            --process-id 0 --dp 2 --tp 8 [--ref-tok-per-chip 354.5]
+    #   host1: same with --process-id 1
+    # Plumbing proven on virtual CPU devices (2 OS processes, dp=2,
+    # numbers meaningless there): see BENCHMARKS.md round 5.
+    ap.add_argument("--coordinator", default=None)
+    ap.add_argument("--num-processes", type=int, default=2)
+    ap.add_argument("--process-id", type=int, default=0)
+    ap.add_argument("--dp", type=int, default=0)
+    ap.add_argument("--tp", type=int, default=0)
+    # the 1-chip tokens/s to compute scaling efficiency against
+    ap.add_argument("--ref-tok-per-chip", type=float, default=0.0)
     args = ap.parse_args()
+
+    if args.coordinator:
+        run_multihost(args)
+        return
 
     if not args.no_fallback and args.model == "llama3-8b":
         # the tunnel's compile helper occasionally dies mid-compile on
@@ -235,6 +361,34 @@ def main() -> None:
 
         def run_once():
             ttfts.extend(serve_round())
+
+    elif args.mode == "longctx":
+        state = eng.prefill(prompts)               # chunked host loop
+        B = args.batch
+        for b in range(B):
+            eng._alloc_pages(state, b,
+                             int(state.seq_lens[b]) + args.steps + 1)
+        bt = jnp.asarray(eng._block_tables(state.pages))
+        sl = jnp.asarray(state.seq_lens)
+        toks0 = jnp.asarray(state.last_tokens)
+        emitted = jnp.zeros((B,), jnp.int32)
+        budgets = jnp.full((B,), args.steps, jnp.int32)
+        seeds = jnp.zeros((B,), jnp.int32)
+        samp_arr = samp.as_arrays(B)
+        mode_ = samp.mode()
+        dummy = jnp.zeros((B, 1), jnp.int32)
+        if eng._decode_loop_fn is None:
+            eng._decode_loop_fn = eng._build_decode_loop()
+
+        def run_once():
+            # same seq_lens every rep: the burst re-decodes the same
+            # window (identical program + traffic), so reps measure
+            # decode at a FIXED cached context length
+            out, state.kv, _ = eng._decode_loop_fn(
+                eng.params, toks0, state.kv, bt, sl, emitted, budgets,
+                seeds, samp_arr, jnp.zeros((B, 1), jnp.int32),
+                num_steps=args.steps, mode=mode_)
+            jax.block_until_ready(out)
 
     elif args.mode == "spec":
         # pattern-heavy prompts (a tiled random n-gram motif): the

@@ -191,6 +191,7 @@ class Engine:
         self._decode_logits_fn = None     # built lazily (test/debug path)
         self._prefill_sample_fn = None    # built lazily (fused sched tick)
         self._scatter_tokens_fn = None    # built lazily (fused sched tick)
+        self._scatter_hist_fn = None      # built lazily (fused spec tick)
         self._decode_beam_fn = None       # built lazily (beam search)
         self._decode_beam_burst_fn = None  # built lazily (beam bursts)
         self._copy_pages_fn = None        # built lazily (beam COW)
@@ -347,6 +348,19 @@ class Engine:
 
         return functools.partial(jax.jit, static_argnames=("bump",),
                                  donate_argnums=(0, 3))(scatter)
+
+    def _build_scatter_hist(self):
+        """Fused SPEC tick variant of the token scatter: patch the
+        gang's sampled first tokens into the history buffer the spec
+        loop drafts from — row ``rows[i]``'s pending token sits at
+        ``cur[row] - 1`` (rows >= B drop)."""
+
+        def scatter(hist, cur, first, rows):
+            safe = jnp.clip(rows, 0, cur.shape[0] - 1)
+            pos = jnp.take(cur - 1, safe)
+            return hist.at[rows, pos].set(first, mode="drop")
+
+        return functools.partial(jax.jit, donate_argnums=(0,))(scatter)
 
     def _build_score(self):
         """Teacher-forced chunk scorer for perplexity eval: forwards one

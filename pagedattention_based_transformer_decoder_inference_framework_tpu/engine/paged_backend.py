@@ -144,12 +144,18 @@ class PagedKVBackend:
                     scale=eff_scale, interpret=self.interpret)
                 # the manual-DMA kernel's int8 path gathers the FULL
                 # block-table width of scales into a VMEM block —
-                # O(max_pages_per_seq) memory per call, fine for serving
-                # windows but not for 128k-context tables. The grouped
-                # kernel streams scales per page, any table width.
+                # O(max_pages_per_seq) memory per call. Bound by the
+                # actual VMEM bytes (<= 2 MiB leaves room for the
+                # triple-buffered KV slabs), not a token count: 32k
+                # tokens at 8B geometry (KH=8, page 64), ~21k at GPT-2.
+                # Beyond that the grouped kernel streams scales per
+                # page at ~4x in-context per-layer cost (BENCHMARKS.md
+                # round 4) — the round-4 dispatch cut over at 8192
+                # tokens, a silent 4x cliff inside the fast kernel's
+                # true envelope (VERDICT r4 Weak / SURVEY §5.7).
                 mp_ok = (scales is None
-                         or block_tables.shape[1] * self.cache.page_size
-                         <= 8192)
+                         or block_tables.shape[1] * 2 * kv[0].shape[2]
+                         * self.cache.page_size * 4 <= 2 << 20)
                 # NB: paged_attention_decode_batched (whole batch, one
                 # grid program) measured WORSE in context (43.8 vs 26.2
                 # us/call at GPT-2 — per-DMA-descriptor issue cost on

@@ -8,11 +8,21 @@ blocks as split pools; pages are indexed through per-sequence block
 tables (``[batch, max_pages_per_seq]`` int32), the functional
 replacement of the device page table (``kv_cache/page_table.hpp:44-49``).
 INT8 KV keeps per-(token, head) absmax scales in a parallel
-``[L, 2, KH, P, page, 1]`` array (the trailing singleton keeps Mosaic
-block shapes tile-legal).
+``[L, 2, KH, R, 128]`` array (R = ceil(P*page/128); flat slot
+``p*page + s`` lives at row ``slot//128``, lane ``slot%128``). This —
+not the values-mirroring ``[L, 2, KH, P, page, 1]`` — because XLA lays
+a trailing-singleton lane dim out on full (8, 128) tiles: a **128x HBM
+expansion** of the scales leaf (9.7 GB of padding at a 32k-context 8B
+pool, 1.3 GB even at the batch-4 bench; round-5 OOM dump). The
+(R, 128) form is the exact slab view the RMW append kernels DMA, so
+the hot path reshapes NOTHING (a [*, S] flat form measured 380 -> 219
+tok/s at 8B: its (KH, S)-tiled layout is byte-incompatible with the
+kernels' (R, 128) view, and XLA restored it with per-layer pool
+copies).
 
-The pages axis is always ``-3`` for every pool leaf — page-granular
-helpers (COW copies, snapshots) rely on that invariant.
+The pages axis is ``-3`` for VALUES pool leaves (page-granular helpers
+— COW copies, snapshots — rely on that); the scales leaf addresses
+pages through the flat-slot math above.
 
 Unlike the reference (where ``register_tile``/``get_write_ptr`` are
 never called from the decode path — SURVEY.md Appendix A), the decode
@@ -71,8 +81,9 @@ class PagePool:
         shape = (c.num_layers, 2, c.num_kv_heads // tp,
                  cc.num_pages // dp, cc.page_size, self.pool_head_dim)
         if cc.kv_dtype == "int8":
+            R = -(-(shape[3] * shape[4]) // 128)
             return (jnp.zeros(shape, jnp.int8),
-                    jnp.zeros(shape[:-1] + (1,), jnp.float32))
+                    jnp.zeros(shape[:3] + (R, 128), jnp.float32))
         return (jnp.zeros(shape, jnp_dtype(cc.kv_dtype)),)
 
 
@@ -87,7 +98,19 @@ def resize_pool(kv, new_num_pages: int):
     ``num_live`` / page lists make that checkable). Device cost: one
     copy of the pool into the newly allocated buffer.
     """
+    page_size = kv[0].shape[4]
+
     def one(leaf):
+        if leaf.ndim == 5 and leaf.shape[-1] == 128:
+            # flat scales [L, 2, KH, R, 128]: resize at row granularity
+            R_new = -(-(new_num_pages * page_size) // 128)
+            R = leaf.shape[3]
+            if R_new == R:
+                return leaf
+            if R_new > R:
+                return jnp.pad(
+                    leaf, [(0, 0)] * 3 + [(0, R_new - R), (0, 0)])
+            return leaf[:, :, :, :R_new]
         P = leaf.shape[PAGES_AXIS]
         if new_num_pages == P:
             return leaf
@@ -146,6 +169,12 @@ def append_to_pages_at_layer(kv, k_new: jax.Array, v_new: jax.Array,
     news = stack_new_kv(kv, k_new, v_new)
 
     def scatter(pool, new):
+        if pool.ndim == 5 and pool.shape[-1] == 128:
+            # flat scales leaf [L, 2, KH, R, 128]; new [B, 2, KH, T, 1]
+            new_flat = jnp.moveaxis(new[..., 0], 3, 1).reshape(
+                (-1,) + new.shape[1:3])
+            return pool.at[layer, :, :, flat // 128, flat % 128].set(
+                new_flat.astype(pool.dtype), mode="drop")
         # pool [L, 2, KH, P, page, d] -> [L, 2, KH, P*page, d]
         pool_flat = pool.reshape(pool.shape[:3] + (P * page_size,)
                                  + pool.shape[5:])
@@ -163,9 +192,14 @@ def append_to_pages_at_layer(kv, k_new: jax.Array, v_new: jax.Array,
 def gather_kv_dense(kv_layer, block_tables: jax.Array, max_len: int):
     """Debug/oracle helper: materialize dense ``[B, max_len, KH, D]`` K/V
     from a single layer's pages ``[2, KH, P, page, d]`` (dequantizing
-    INT8). Not a hot path."""
+    INT8; flat scales leaf reshaped to per-slot). Not a hot path."""
     if len(kv_layer) == 2:
-        kv = kv_layer[0].astype(jnp.float32) * kv_layer[1]
+        vals = kv_layer[0]                # [2, KH, P, page, dh]
+        S = vals.shape[2] * vals.shape[3]
+        sc = kv_layer[1].reshape(
+            kv_layer[1].shape[:2] + (-1,))[:, :, :S]
+        kv = vals.astype(jnp.float32) * sc.reshape(vals.shape[:-1]
+                                                   + (1,))
     else:
         kv = kv_layer[0]
     _, KH, P, page_size, D = kv.shape
@@ -185,7 +219,34 @@ def copy_pages_tree(kv, src, dst):
     layout is encoded once."""
     import jax
 
+    page_size = kv[0].shape[4]
+
     def copy_leaf(leaf):
+        if leaf.ndim == 5 and leaf.shape[-1] == 128:
+            # flat scales [L, 2, KH, R, 128]: page p is a page_size-lane
+            # window of row p*page//128 (page_size divides 128 or is a
+            # multiple of it for every supported config)
+            rows = max(page_size // 128, 1)
+
+            def body(leaf, i):
+                s, d = src[i] * page_size, dst[i] * page_size
+                blk = jax.lax.dynamic_slice(
+                    leaf, (0, 0, 0, s // 128, 0),
+                    leaf.shape[:3] + (rows, 128))
+                if page_size < 128:
+                    dstrow = jax.lax.dynamic_slice(
+                        leaf, (0, 0, 0, d // 128, 0),
+                        leaf.shape[:3] + (1, 128))
+                    rolled = jnp.roll(blk, d % 128 - s % 128, axis=-1)
+                    lanes = jnp.arange(128)
+                    keep = ((lanes >= d % 128)
+                            & (lanes < d % 128 + page_size))
+                    blk = jnp.where(keep, rolled, dstrow)
+                return jax.lax.dynamic_update_slice(
+                    leaf, blk, (0, 0, 0, d // 128, 0)), None
+
+            leaf, _ = jax.lax.scan(body, leaf, jnp.arange(src.shape[0]))
+            return leaf
         ax = leaf.ndim - 3                    # PAGES_AXIS in leaf terms
 
         def body(leaf, i):
@@ -199,4 +260,4 @@ def copy_pages_tree(kv, src, dst):
         leaf, _ = jax.lax.scan(body, leaf, jnp.arange(src.shape[0]))
         return leaf
 
-    return jax.tree_util.tree_map(copy_leaf, kv)
+    return tuple(copy_leaf(leaf) for leaf in kv)

@@ -24,7 +24,20 @@ import numpy as np
 
 @jax.jit
 def _gather(kv, pages: jax.Array):
-    return tuple(leaf[:, :, :, pages] for leaf in kv)
+    page_size = kv[0].shape[4]
+
+    def one(leaf):
+        if leaf.ndim == 5 and leaf.shape[-1] == 128:
+            # flat scales [L, 2, KH, R, 128]: per-slot gather on the
+            # flattened slot axis (cold path — swap moves a handful of
+            # pages per preemption)
+            idx = (pages[:, None] * page_size
+                   + jnp.arange(page_size)[None, :]).reshape(-1)
+            flat = leaf.reshape(leaf.shape[:3] + (-1,))
+            return flat[:, :, :, idx]
+        return leaf[:, :, :, pages]
+
+    return tuple(one(leaf) for leaf in kv)
 
 
 def gather_pages(kv, pages: List[int]) -> Tuple[np.ndarray, ...]:
@@ -35,9 +48,18 @@ def gather_pages(kv, pages: List[int]) -> Tuple[np.ndarray, ...]:
 
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _scatter(kv, blobs, pages: jax.Array):
-    return tuple(
-        leaf.at[:, :, :, pages].set(blob.astype(leaf.dtype))
-        for leaf, blob in zip(kv, blobs))
+    page_size = kv[0].shape[4]
+
+    def one(leaf, blob):
+        if leaf.ndim == 5 and leaf.shape[-1] == 128:
+            # flat scales: scatter page slots on (row, lane) indices
+            idx = (pages[:, None] * page_size
+                   + jnp.arange(page_size)[None, :]).reshape(-1)
+            return leaf.at[:, :, :, idx // 128, idx % 128].set(
+                blob.astype(leaf.dtype))
+        return leaf.at[:, :, :, pages].set(blob.astype(leaf.dtype))
+
+    return tuple(one(leaf, blob) for leaf, blob in zip(kv, blobs))
 
 
 def scatter_pages(kv, blobs: Tuple[np.ndarray, ...], pages: List[int]):

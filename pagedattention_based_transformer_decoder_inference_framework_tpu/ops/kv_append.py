@@ -51,7 +51,8 @@ DUMP_PAGE = 0
 
 def _prefill_kernel(pid_ref, layer_ref, *refs, num_pools: int):
     # refs: num_pools new blocks, num_pools aliased pool inputs (unused),
-    # num_pools out page blocks. Scale pools are values with d == 1.
+    # num_pools out page blocks (values pools only — FLAT scales leaves
+    # take the DUS path in _append_pages_pallas).
     new_refs = refs[:num_pools]
     out_refs = refs[2 * num_pools:3 * num_pools]
     for i in range(num_pools):
@@ -65,9 +66,55 @@ def _append_pages_pallas(kv, news, layer_arr, pid, *, page_size: int,
     pid: ``[B, n_chunk_pages]`` target page per (seq, chunk page), with
     invalid pages already redirected to DUMP_PAGE.
     """
-    num_pools = len(kv)
     B, n_chunk_pages = pid.shape
     KH, page = kv[0].shape[2], kv[0].shape[4]
+
+    # FLAT scales leaves ([L, 2, KH, R, 128]) can't ride the
+    # page-mapped BlockSpec (a page is a sub-128 lane window of a slab
+    # row for page < 128): write them with a scan of in-place row DUS
+    # updates, one per (sequence, chunk page) — lane-merged into the
+    # resident row so the neighbouring page's scales survive
+    outs_flat = {}
+    keep = [i for i, p in enumerate(kv) if p.ndim != 5]
+    for i, p in enumerate(kv):
+        if p.ndim != 5:
+            continue
+        KHs = p.shape[2]
+        newp = news[i][..., 0]                     # [B, 2, KH, T]
+        pid_flat = pid.reshape(-1)
+        rows = max(page // 128, 1)
+        lanes = jnp.arange(128)
+
+        def body(leaf, bj, newp=newp, pid_flat=pid_flat, KHs=KHs,
+                 rows=rows, lanes=lanes):
+            b = bj // n_chunk_pages
+            j = bj % n_chunk_pages
+            g = pid_flat[bj] * page
+            seg = jax.lax.dynamic_slice(
+                newp, (b, 0, 0, j * page), (1, 2, KHs, page))[0]
+            if page < 128:
+                row = jax.lax.dynamic_slice(
+                    leaf, (layer_arr[0], 0, 0, g // 128, 0),
+                    (1, 2, KHs, 1, 128))
+                off = g % 128
+                seg128 = jnp.pad(seg, ((0, 0), (0, 0),
+                                       (0, 128 - page)))
+                seg128 = jnp.roll(seg128, off, axis=-1)
+                keepm = (lanes >= off) & (lanes < off + page)
+                blk = jnp.where(keepm, seg128[None, :, :, None, :],
+                                row).astype(leaf.dtype)
+            else:
+                blk = seg.reshape(2, KHs, rows,
+                                  128)[None].astype(leaf.dtype)
+            return jax.lax.dynamic_update_slice(
+                leaf, blk, (layer_arr[0], 0, 0, g // 128, 0)), None
+
+        out_leaf, _ = jax.lax.scan(body, p,
+                                   jnp.arange(B * n_chunk_pages))
+        outs_flat[i] = out_leaf
+    kv = tuple(kv[i] for i in keep)
+    news = tuple(news[i] for i in keep)
+    num_pools = len(kv)
 
     def out_map(b, j, pid_ref, l_ref):
         return (l_ref[0], 0, 0, pid_ref[b, j], 0, 0)
@@ -79,7 +126,8 @@ def _append_pages_pallas(kv, news, layer_arr, pid, *, page_size: int,
         for p in kv
     ] + [pl.BlockSpec(memory_space=pl.ANY)] * num_pools
     out_specs = tuple(
-        pl.BlockSpec((1, 2, KH, 1, page, p.shape[-1]), out_map) for p in kv)
+        pl.BlockSpec((1, 2, KH, 1, page, p.shape[-1]), out_map)
+        for p in kv)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -97,7 +145,11 @@ def _append_pages_pallas(kv, news, layer_arr, pid, *, page_size: int,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(pid, layer_arr, *news, *kv)
-    return tuple(out)
+    merged = []
+    it = iter(out)
+    for i in range(len(keep) + len(outs_flat)):
+        merged.append(outs_flat[i] if i in outs_flat else next(it))
+    return tuple(merged)
 
 
 def _tile_rows(dtype) -> int:
@@ -365,19 +417,27 @@ def _append_tokens_rmw(kv, news, layer_arr, pid, slot, *, page_size: int,
     return tuple(out)
 
 
-def _append_tokens_dus(kv, news, layer, pid, slot):
+def _append_tokens_dus(kv, news, layer, pid, slot, *, page_size: int):
     """Token-wise append via in-place dynamic_update_slice.
 
     pid/slot: ``[B, T]`` (invalid tokens already point at DUMP_PAGE).
-    One DUS covers K and V together (pool axis 1).
+    One DUS covers K and V together (pool axis 1). The flat scales
+    leaf (rank 4) is addressed by flat slot ``pid * page + slot``.
     """
     B, T = pid.shape
     outs = list(kv)
     for b in range(B):
         for t in range(T):
             for i, new in enumerate(news):
-                upd = new[b, :, :, t][None, :, :, None, None, :]
-                idx = (layer, 0, 0, pid[b, t], slot[b, t], 0)
+                flat = (outs[i].ndim == 5 and outs[i].shape[-1] == 128
+                        and new.shape[-1] == 1)
+                if flat:                 # native [L, 2, KH, R, 128]
+                    g = pid[b, t] * page_size + slot[b, t]
+                    upd = new[b, :, :, t, :][None, :, :, None]
+                    idx = (layer, 0, 0, g // 128, g % 128)
+                else:
+                    upd = new[b, :, :, t][None, :, :, None, None, :]
+                    idx = (layer, 0, 0, pid[b, t], slot[b, t], 0)
                 outs[i] = jax.lax.dynamic_update_slice(
                     outs[i], upd.astype(outs[i].dtype), idx)
     return tuple(outs)
@@ -454,28 +514,34 @@ def kv_append(kv: Tuple[jax.Array, ...], k_new: jax.Array,
                 # end-to-end A/B
                 vals = rmw((kv[0],), (news[0],), (False,))
                 return (vals[0], kv[1])
-            L2, _, KH2, P2, pg2, _ = kv[1].shape
-            S = P2 * pg2
-            R = S // 128
-            # fast path needs 8-sublane slab tiling of the flat view;
-            # small odd pools take a whole-dim slab (capped — beyond
-            # that the per-token slab traffic stops paying for itself)
-            ok = S % 128 == 0 and (R % 8 == 0 or R <= 32)
+            native = kv[1].ndim == 5 and kv[1].shape[-1] == 128
+            if native:
+                # the scales pool is stored NATIVELY as [L, 2, KH, R,
+                # 128] slabs (dense — the mirrored [..., page, 1]
+                # layout cost 128x lane padding in HBM, and a [.., S]
+                # flat form needed a layout-changing reshape per call):
+                # zero reshapes, the RMW kernel's exact DMA view
+                sc_flat = kv[1]
+                R = kv[1].shape[3]
+                ok = R % 8 == 0 or R <= 32
+            else:                             # legacy mirror (tests)
+                L2, _, KH2, P2, pg2, _ = kv[1].shape
+                S = P2 * pg2
+                R = S // 128
+                ok = S % 128 == 0 and (R % 8 == 0 or R <= 32)
+                if ok:
+                    sc_flat = kv[1].reshape(L2, 2, KH2, R, 128)
             if ok and os.environ.get("PBT_SCALE_RMW", "1") == "1":
-                # lane-1 scales pools admit no manual DMA directly, but
-                # the row-major (pages, page, 1) tail bitcasts for free
-                # into (S/128, 128) — in THAT view the scale write rides
-                # the same RMW kernel as the values (flat slab [2, KH,
-                # 8, 128]), replacing the per-token DUS that cost ~2%
-                # of the decode roofline (BENCHMARKS.md round 4)
-                sc_flat = kv[1].reshape(L2, 2, KH2, S // 128, 128)
                 vals, sc_out = rmw((kv[0], sc_flat), news,
                                    (False, True))
-                return (vals, sc_out.reshape(kv[1].shape))
+                return (vals, sc_out if native
+                        else sc_out.reshape(kv[1].shape))
             vals = rmw((kv[0],), (news[0],), (False,))
             scales = _append_tokens_dus(
-                (kv[1],), (news[1],), layer, pid32, slot32)
+                (kv[1],), (news[1],), layer, pid32, slot32,
+                page_size=page_size)
             return (vals[0], scales[0])
         return rmw((kv[0],), (news[0],), (False,))
     return _append_tokens_dus(kv, news, layer, pid.astype(jnp.int32),
-                              slot.astype(jnp.int32))
+                              slot.astype(jnp.int32),
+                              page_size=page_size)

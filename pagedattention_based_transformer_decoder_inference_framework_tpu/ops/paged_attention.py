@@ -52,16 +52,60 @@ import os
 _DECODE_XPREFETCH = os.environ.get("PBT_DECODE_XPREFETCH", "0") == "1"
 
 
+def _page_scales(kv_scales, layer, block_tables, page_size: int,
+                 pooled: bool):
+    """Gather per-sequence page scales: ``[2, KH, B*mp, page]``.
+
+    Accepts the FLAT scales pool (``[L, 2, KH, S]`` / ``[2, KH, S]``)
+    — flat-slot index math, no padded intermediate — or the legacy
+    per-slot mirror (``[..., P, page, 1]``; tests build both)."""
+    sc = kv_scales[layer] if pooled else kv_scales
+    if sc.shape[-1] == 128 and sc.ndim == 4:   # flat [2, KH, R, 128]
+        # slab-row gather (vmapped dynamic_slice of whole rows, then a
+        # static window select), NOT a per-slot take: element-indexed
+        # gathers lower catastrophically on TPU (8B decode measured
+        # 380 -> 219 tok/s device on a flat-take variant)
+        KH = sc.shape[1]
+        pages = block_tables.reshape(-1)
+        rows = max(page_size // 128, 1)
+
+        def one(p):
+            return jax.lax.dynamic_slice(
+                sc, (0, 0, p * page_size // 128, 0),
+                (2, KH, rows, 128))
+        g = jax.vmap(one)(pages)                # [N, 2, KH, rows, 128]
+        if page_size >= 128:
+            g = g.reshape(-1, 2, KH, page_size)
+        else:
+            # pick the page's lane window by parity
+            per = 128 // page_size
+            g = g.reshape(-1, 2, KH, per, page_size)
+            par = (pages % per)[:, None, None, None, None]
+            g = jnp.take_along_axis(g, par, axis=3)[:, :, :, 0]
+        return g.transpose(1, 2, 0, 3)          # [2, KH, N, page]
+    g = jnp.take(sc, block_tables.reshape(-1), axis=2, fill_value=0)
+    return g[..., 0]                               # [2, KH, B*mp, page]
+
+
 
 def _attend(q, k, v, m_scr, l_scr, acc_scr, mask, row_valid=None,
-            softcap: float = 0.0):
+            softcap: float = 0.0, sc_k=None, sc_v=None):
     """One online-softmax step over a [KH, page, dh] KV slab.
+
+    ``sc_k``/``sc_v`` ([KH, page] per-token INT8 scales from the FLAT
+    scales pool) fold into scores and probs — q.(k*sc) == (q.k)*sc
+    exactly for int8 dots, and the page axis rides the LANES of both
+    ``s`` and the flat scale slab, so no relayout is paid (the old
+    per-slot [..., page, 1] slab dequantized ``kv`` via a lane
+    broadcast instead).
 
     Returns the masked max logit of this slab (scalar) — the kernel's
     per-page score export (see ``return_scores``)."""
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)            # [KH, rows, page]
+    if sc_k is not None:
+        s = s * sc_k[:, None, :]
     if softcap > 0:                 # Gemma-2 tanh logit capping
         s = softcap * jnp.tanh(s / softcap)
     s = jnp.where(mask, s, -1e30)
@@ -79,6 +123,8 @@ def _attend(q, k, v, m_scr, l_scr, acc_scr, mask, row_valid=None,
     p = jnp.where(mask, p, 0.0)
     alpha = jnp.exp(m_prev - m_new)                    # [KH, rows, 1]
     l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    if sc_v is not None:                # V scales into probs (exact)
+        p = p * sc_v[:, None, :]
     pv = jax.lax.dot_general(
         p, v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)            # [KH, rows, dh]
@@ -93,7 +139,7 @@ def _kernel(bt_ref, sl_ref, qo_ref, l_ref,     # scalar prefetch (SMEM)
             *rest,
             page_size: int, group: int, scale: float, quantized: bool,
             pooled: bool, window: int, softcap: float,
-            with_scores: bool, n_rows_live: int):
+            with_scores: bool, n_rows_live: int, flat_sc: bool = True):
     rest = list(rest)
     sc_ref = rest.pop(0) if quantized else None
     out_ref = rest.pop(0)
@@ -126,13 +172,16 @@ def _kernel(bt_ref, sl_ref, qo_ref, l_ref,     # scalar prefetch (SMEM)
     @pl.when(live)
     def _compute():
         q = q_ref[0].astype(jnp.float32) * scale       # [KH, rows, dh]
+        sc_k = sc_v = None
+        if quantized and flat_sc:       # gathered (1, 1, 2, KH, page)
+            sc_k, sc_v = sc_ref[0, 0, 0], sc_ref[0, 0, 1]
         if pooled:                               # (1, 2, KH, 1, page, d)
             kv = kv_ref[0, :, :, 0].astype(jnp.float32)
-            if quantized:                        # scales: d == 1
+            if quantized and not flat_sc:
                 kv = kv * sc_ref[0, :, :, 0]
         else:                                    # (2, KH, 1, page, d)
             kv = kv_ref[:, :, 0].astype(jnp.float32)
-            if quantized:
+            if quantized and not flat_sc:
                 kv = kv * sc_ref[:, :, 0]
         k, v = kv[0], kv[1]                      # [KH, page, dh]
 
@@ -149,7 +198,7 @@ def _kernel(bt_ref, sl_ref, qo_ref, l_ref,     # scalar prefetch (SMEM)
             row_valid = jax.lax.broadcasted_iota(
                 jnp.int32, (rows,), 0) < n_rows_live - r * rows
         ps = _attend(q, k, v, m_scr, l_scr, acc_scr, mask[None],
-                     row_valid, softcap=softcap)
+                     row_valid, softcap=softcap, sc_k=sc_k, sc_v=sc_v)
         if with_scores:
             # masked dynamic-lane store (lane i of the resident row)
             lane = jax.lax.broadcasted_iota(
@@ -237,6 +286,13 @@ def paged_attention(q: jax.Array, kv_pages: jax.Array,
         last = jnp.maximum((sl_ref[b] - 1) // page_size, 0)
         return bt_ref[b, jnp.minimum(i, last)]
 
+    # FLAT scales pool ([L, 2, KH, S] / [2, KH, S]): a page is a
+    # sub-128 lane window of the slot axis, which no BlockSpec can
+    # select — pre-gather per-(sequence, table-slot) page scales (an
+    # XLA gather; mp*page*8*KH bytes per call) and pipeline blocks of
+    # the GATHERED array, whose trailing dim is full. Legacy per-slot
+    # mirrors ([..., page, 1]) keep the old pool-block path (tests).
+    flat_sc = quantized and kv_scales.shape[-1] == 128
     if pooled:
         def kv_index_map(b, r, i, bt_ref, sl_ref, qo_ref, l_ref):
             return (l_ref[0], 0, 0, page_of(b, i, sl_ref, bt_ref), 0, 0)
@@ -256,7 +312,16 @@ def paged_attention(q: jax.Array, kv_pages: jax.Array,
         pl.BlockSpec(kv_block, kv_index_map),
     ]
     inputs = [qr, kv_pages]
-    if quantized:
+    if quantized and flat_sc:
+        g = _page_scales(kv_scales, layer, block_tables, page_size,
+                         pooled)
+        g = g.transpose(2, 0, 1, 3).reshape(B, max_pages, 2, KH,
+                                            page_size)
+        in_specs.append(pl.BlockSpec(
+            (1, 1, 2, KH, page_size),
+            lambda b, r, i, *_: (b, i, 0, 0, 0)))
+        inputs.append(g)
+    elif quantized:
         in_specs.append(pl.BlockSpec(sc_block, kv_index_map))
         inputs.append(kv_scales)
 
@@ -287,7 +352,8 @@ def paged_attention(q: jax.Array, kv_pages: jax.Array,
     kernel = functools.partial(
         _kernel, page_size=page_size, group=G, scale=scale,
         quantized=quantized, pooled=pooled, window=window,
-        softcap=softcap, with_scores=return_scores, n_rows_live=T * G)
+        softcap=softcap, with_scores=return_scores, n_rows_live=T * G,
+        flat_sc=flat_sc)
 
     layer_arr = jnp.asarray(
         [0 if layer is None else layer], jnp.int32).reshape(1)
@@ -312,7 +378,7 @@ def _decode_grouped_kernel(bt_ref, sl_ref, l_ref,  # scalar prefetch
                            *refs,
                            page_size: int, scale: float, J: int,
                            quantized: bool, pooled: bool, window: int,
-                           softcap: float):
+                           softcap: float, flat_sc: bool = True):
     refs = list(refs)
     q_ref = refs.pop(0)
     kv_refs = [refs.pop(0) for _ in range(J)]
@@ -342,13 +408,17 @@ def _decode_grouped_kernel(bt_ref, sl_ref, l_ref,  # scalar prefetch
 
         @pl.when(live)
         def _compute(i=i, j=j, start=start):
+            sc_k = sc_v = None
+            if quantized and flat_sc:   # gathered (1, 1, 2, KH, page)
+                sc_k = sc_refs[j][0, 0, 0]
+                sc_v = sc_refs[j][0, 0, 1]
             if pooled:
                 kv = kv_refs[j][0, :, :, 0].astype(jnp.float32)
-                if quantized:
+                if quantized and not flat_sc:
                     kv = kv * sc_refs[j][0, :, :, 0]
             else:
                 kv = kv_refs[j][:, :, 0].astype(jnp.float32)
-                if quantized:
+                if quantized and not flat_sc:
                     kv = kv * sc_refs[j][:, :, 0]
             key_idx = start + jax.lax.broadcasted_iota(
                 jnp.int32, (rows, page_size), 1)
@@ -356,7 +426,7 @@ def _decode_grouped_kernel(bt_ref, sl_ref, l_ref,  # scalar prefetch
             if window > 0:
                 mask &= key_idx >= seq_len - window
             _attend(q, kv[0], kv[1], m_scr, l_scr, acc_scr,
-                    mask[None], softcap=softcap)
+                    mask[None], softcap=softcap, sc_k=sc_k, sc_v=sc_v)
 
     @pl.when(g == num_groups - 1)
     def _finalize():
@@ -422,6 +492,16 @@ def paged_attention_decode_grouped(
         return lambda b, g, bt, sl, l: (
             0, 0, page_of(b, g, j, sl, bt), 0, 0)
 
+    # flat scales pool: pre-gather per-(sequence, slot) page scales
+    # and pipeline blocks of the gathered array (a page is a sub-128
+    # lane window of the flat slot axis, which no BlockSpec can select;
+    # legacy per-slot mirrors keep the pool-block path — tests)
+    flat_sc = quantized and kv_scales.shape[-1] == 128
+
+    def sc_map(j):
+        return lambda b, g, bt, sl, l: (
+            b, jnp.minimum(g * J + j, mp - 1), 0, 0, 0)
+
     kv_block = ((1, 2, KH, 1, page_size, dh) if pooled
                 else (2, KH, 1, page_size, dh))
     sc_block = ((1, 2, KH, 1, page_size, 1) if pooled
@@ -431,7 +511,14 @@ def paged_attention_decode_grouped(
                              lambda b, g, *_: (b, 0, 0, 0))]
     in_specs += [pl.BlockSpec(kv_block, kv_map(j)) for j in range(J)]
     inputs = [qr] + [kv_pages] * J
-    if quantized:
+    if quantized and flat_sc:
+        gsc = _page_scales(kv_scales, layer, block_tables, page_size,
+                           pooled)
+        gsc = gsc.transpose(2, 0, 1, 3).reshape(B, mp, 2, KH, page_size)
+        in_specs += [pl.BlockSpec((1, 1, 2, KH, page_size), sc_map(j))
+                     for j in range(J)]
+        inputs += [gsc] * J
+    elif quantized:
         in_specs += [pl.BlockSpec(sc_block, kv_map(j)) for j in range(J)]
         inputs += [kv_scales] * J
 
@@ -449,6 +536,7 @@ def paged_attention_decode_grouped(
     )
     kernel = functools.partial(
         _decode_grouped_kernel, page_size=page_size, scale=scale, J=J,
+        flat_sc=flat_sc,
         quantized=quantized, pooled=pooled, window=window,
         softcap=softcap)
     layer_arr = jnp.asarray(
@@ -637,11 +725,9 @@ def paged_attention_decode(q: jax.Array, kv_pages: jax.Array,
         # a few KB per sequence) and pipeline them as a VMEM block
         # (leading-b blocks stay contiguous — a middle-axis-b BlockSpec
         # made the scale DMA strided and cost ~5% at 8B, BENCHMARKS r4)
-        sc = kv_scales[layer] if pooled else kv_scales
-        g = jnp.take(sc, block_tables.reshape(-1), axis=2,
-                     fill_value=0)                 # [2, KH, B*mp, pg, 1]
-        g = g[..., 0].transpose(2, 0, 1, 3).reshape(B, mp, 2, KH,
-                                                    page_size)
+        g = _page_scales(kv_scales, layer, block_tables, page_size,
+                         pooled)
+        g = g.transpose(2, 0, 1, 3).reshape(B, mp, 2, KH, page_size)
         in_specs.append(pl.BlockSpec((1, mp, 2, KH, page_size),
                                      lambda b, *_: (b, 0, 0, 0, 0)))
         inputs.append(g)
@@ -831,10 +917,9 @@ def paged_attention_decode_batched(
                           kv_pages.dtype),
                pltpu.SemaphoreType.DMA((B * mp,))]
     if quantized:
-        sc = kv_scales[layer] if pooled else kv_scales
-        g = jnp.take(sc, block_tables.reshape(-1), axis=2,
-                     fill_value=0)                 # [2, KH, B*mp, pg, 1]
-        g = g[..., 0].reshape(2, KH, B, mp, page_size)
+        g = _page_scales(kv_scales, layer, block_tables, page_size,
+                         pooled)
+        g = g.reshape(2, KH, B, mp, page_size)
         in_specs.append(pl.BlockSpec((2, KH, B, mp, page_size),
                                      lambda *_: (0, 0, 0, 0, 0)))
         inputs.append(g)
@@ -1073,10 +1158,9 @@ def paged_attention_decode_packed(
     if quantized:
         # pre-gather each sequence's page scales, parity-split so the
         # kernel indexes class c's [R] scales contiguously
-        sc = kv_scales[layer] if pooled else kv_scales
-        g = jnp.take(sc, block_tables.reshape(-1), axis=2,
-                     fill_value=0)                 # [2, KH, B*mp, pg, 1]
-        g = g[..., 0].transpose(2, 0, 1, 3)        # [B*mp, 2, KH, pg]
+        g = _page_scales(kv_scales, layer, block_tables, page_size,
+                         pooled)
+        g = g.transpose(2, 0, 1, 3)                # [B*mp, 2, KH, pg]
         g = g.reshape(B, mp, 2, KH, R, rep).transpose(0, 1, 2, 3, 5, 4)
         in_specs.append(pl.BlockSpec((1, mp, 2, KH, rep, R),
                                      lambda b, *_: (b, 0, 0, 0, 0, 0)))
@@ -1274,12 +1358,17 @@ def decode_append_supported(kv, page_size: int, mp: int, dh: int) -> bool:
     if 2 * KH * mp * page_size * dh * kv[0].dtype.itemsize > 4 << 20:
         return False
     if len(kv) == 2:
-        # 8-sublane slab tiling of the flat scales view, strictly:
+        # 8-sublane slab tiling of the flat scales pool, strictly:
         # kv_append's whole-dim slab fallback (R <= 32, not
         # 8-divisible) faults as a dynamic-ds DMA on hardware
-        S_pool = kv[1].shape[3] * kv[1].shape[4]
-        R = S_pool // 128
-        if S_pool % 128 != 0 or R % 8 != 0:
+        if kv[1].shape[-1] == 128:               # native flat slabs
+            R = kv[1].shape[3]
+        else:                                    # legacy mirror
+            S_pool = kv[1].shape[3] * kv[1].shape[4]
+            if S_pool % 128 != 0:
+                return False
+            R = S_pool // 128
+        if R % 8 != 0:
             return False
     return True
 
@@ -1368,14 +1457,16 @@ def paged_attention_decode_append(
     sslab_rows = 0
     if quantized:
         sc_pool = kv[1]
-        L2, _, KH2, P2, pg2, _ = sc_pool.shape
-        S_pool = P2 * pg2
-        R = S_pool // 128
+        if sc_pool.shape[-1] == 128:           # native [L,2,KH,R,128]
+            sc_flat = sc_pool
+            R = sc_pool.shape[3]
+        else:                                  # legacy mirror (tests)
+            L2, _, KH2, P2, pg2, _ = sc_pool.shape
+            R = P2 * pg2 // 128
+            sc_flat = sc_pool.reshape(L2, 2, KH2, R, 128)
         sslab_rows = 8 if R % 8 == 0 and R > 8 else R
-        sc_flat = sc_pool.reshape(L2, 2, KH2, R, 128)
-        g = jnp.take(sc_pool[layer], block_tables.reshape(-1), axis=2,
-                     fill_value=0)                 # [2, KH, B*mp, pg, 1]
-        g = g[..., 0].reshape(2, KH, B, S).transpose(2, 0, 1, 3)
+        g = _page_scales(kv[1], layer, block_tables, page_size, True)
+        g = g.reshape(2, KH, B, S).transpose(2, 0, 1, 3)
         nsc = news[1].astype(jnp.float32)      # [B, 2, KH, 1, 1]
         nscl = jnp.broadcast_to(nsc, (B, 2, KH, 1, 128))
         in_specs += [

@@ -109,10 +109,11 @@ def kv_pspec(kv_state, parallel: ParallelConfig):
     across shards, and no HBM is wasted on replicated pools.
     """
     m, d = parallel.model_axis, parallel.data_axis
-    # pool leaves are [L, 2, KH, P, page, d(+)]: KH over 'model',
-    # pages over 'data'
+    # pool leaves: values [L, 2, KH, P, page, dh] and FLAT scales
+    # [L, 2, KH, S] — both put KH on dim 2 ('model') and the page/slot
+    # axis on dim 3 ('data'; S = P*page stays dp-divisible because P is)
     return jax.tree_util.tree_map(
-        lambda x: P(None, None, m, d) if x.ndim >= 5 else P(), kv_state)
+        lambda x: P(None, None, m, d) if x.ndim >= 4 else P(), kv_state)
 
 
 def samp_pspecs(samp: Dict[str, Any], parallel: ParallelConfig):

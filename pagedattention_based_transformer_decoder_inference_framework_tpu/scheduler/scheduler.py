@@ -1058,7 +1058,7 @@ class Scheduler:
         """
         rt = self.config.runtime
         eng = self.engine
-        if (self.dp != 1 or eng.mesh is not None or rt.spec_k > 0
+        if (self.dp != 1 or eng.mesh is not None
                 or rt.prefill_chunks_per_tick > 1):
             return None
         pending = [l for l in self.lanes
@@ -1084,6 +1084,14 @@ class Scheduler:
         post = decoding + finishing      # lanes decoding after the chunk
         samp_arrays, mode = self._samp_plan(post)
         fin_idx = {l.idx for l in finishing}
+        # speculative burst rides the fused tick too, under the same
+        # feature gates as the legacy spec tick (the spec loop threads
+        # neither penalty histograms nor stop sets nor logit bias —
+        # such lanes take the fused PLAIN burst instead)
+        spec_k = rt.spec_k
+        use_spec = (spec_k > 0 and not any(
+            (s := (l.request.sampling or self._samp)).has_penalties
+            or s.stop_token_ids or s.logit_bias for l in post))
 
         # burst length: the post-chunk view of _burst_steps
         burst = max(1, rt.decode_burst)
@@ -1102,18 +1110,24 @@ class Scheduler:
         n_steps = min(n_steps, burst)
 
         # pages for the whole tick BEFORE any dispatch; on pool
-        # pressure fall back — the legacy tick preempts properly
+        # pressure fall back — the legacy tick preempts properly.
+        # spec: each iteration may verify spec_k drafts (+1), with
+        # spec_k write-ahead KV rows past the emitted tokens
+        horizon = n_steps * (spec_k + 1) if use_spec else n_steps
+        ahead = spec_k if use_spec else 0
         self._reclaim_window_pages()
         try:
             for lane in decoding:
                 self._grow_lane(lane, lane.seq_len,
-                                len(lane.request.tokens), n_steps)
+                                len(lane.request.tokens), horizon,
+                                ahead)
             for lane in finishing:
                 # fresh rows count their in-program first token as
                 # emitted; resume rows sample nothing
                 em = len(lane.request.tokens) + (
                     0 if lane.prefill.resume_token is not None else 1)
-                self._grow_lane(lane, lane.prefill.L, em, n_steps)
+                self._grow_lane(lane, lane.prefill.L, em, horizon,
+                                ahead)
         except OutOfPagesError:
             return None
 
@@ -1212,6 +1226,31 @@ class Scheduler:
             budgets[i] = lane.request.max_new_tokens
             seeds[i] = lane.request.seed
 
+        hist = cur = kv_limits = cur0 = None
+        if use_spec:
+            # spec-burst inputs: per-lane token history (the draft
+            # source), with a placeholder at position L for each fresh
+            # finishing lane — the device scatter patches the gang's
+            # sampled first token in before the loop drafts from it
+            max_need = 1
+            for lane in post:
+                i = lane.idx
+                max_need = max(max_need, int(sl[i]) + 1
+                               + min(n_steps * (spec_k + 1),
+                                     int(budgets[i] - emitted[i]))
+                               + spec_k + 1)
+            M = cdiv(max_need, 256) * 256
+            hist = np.zeros((self.B, M), np.int32)
+            cur = np.ones((self.B,), np.int32)
+            kv_limits = np.zeros((self.B,), np.int32)
+            for lane in post:
+                i = lane.idx
+                req = lane.request
+                seq = req.prompt + req.tokens
+                hist[i, :len(seq)] = seq
+                cur[i] = sl[i] + 1
+                kv_limits[i] = len(req.prompt) + req.max_new_tokens
+
         if eng._prefill_sample_fn is None:
             eng._prefill_sample_fn = eng._build_prefill_sample()
         if eng._scatter_tokens_fn is None:
@@ -1268,24 +1307,54 @@ class Scheduler:
                     lane.last_token = job.resume_token
                 else:
                     deliver.append((gidx, i, lane))
+        hist_np = cur_np = None
         try:
-            start = jnp.asarray(dec)
-            for first_dev, rows in firsts:
-                start, counts = eng._scatter_tokens_fn(
-                    start, first_dev, jnp.asarray(rows), counts,
-                    bump=mode.use_penalties)
-            if rem > 0:
-                out_dev, self.kv, counts = eng._decode_loop_fn(
-                    eng.params, start, self.kv, jnp.asarray(bt),
-                    jnp.asarray(sl), jnp.asarray(emitted),
-                    jnp.asarray(budgets), jnp.asarray(seeds),
-                    samp_arrays, counts, num_steps=n_steps, mode=mode)
-            # the burst is already dispatched: these D2H taxes nothing
-            first_nps = [np.asarray(f) for f, _ in firsts]
+            if use_spec:
+                if eng._decode_spec_loop_fn is None:
+                    eng._decode_spec_loop_fn = \
+                        eng._build_decode_spec_loop()
+                if eng._scatter_hist_fn is None:
+                    eng._scatter_hist_fn = eng._build_scatter_hist()
+                hist_dev = jnp.asarray(hist)
+                cur_dev = jnp.asarray(cur)
+                for first_dev, rows in firsts:
+                    hist_dev = eng._scatter_hist_fn(
+                        hist_dev, cur_dev, first_dev, jnp.asarray(rows))
+                cur0 = cur.copy()
+                hist_out, cur_out, _, self.kv = \
+                    eng._decode_spec_loop_fn(
+                        eng.params, hist_dev, self.kv, jnp.asarray(bt),
+                        cur_dev, jnp.asarray(emitted),
+                        jnp.asarray(budgets), jnp.asarray(seeds),
+                        jnp.asarray(kv_limits), samp_arrays,
+                        num_iters=n_steps, spec_k=spec_k,
+                        ngram=max(1, rt.spec_ngram), mode=mode,
+                        stochastic=rt.spec_stochastic)
+                # the burst is already dispatched: async D2H
+                first_nps = [np.asarray(f) for f, _ in firsts]
+                hist_np = np.asarray(hist_out)
+                cur_np = np.asarray(cur_out)
+            else:
+                start = jnp.asarray(dec)
+                for first_dev, rows in firsts:
+                    start, counts = eng._scatter_tokens_fn(
+                        start, first_dev, jnp.asarray(rows), counts,
+                        bump=mode.use_penalties)
+                if rem > 0:
+                    out_dev, self.kv, counts = eng._decode_loop_fn(
+                        eng.params, start, self.kv, jnp.asarray(bt),
+                        jnp.asarray(sl), jnp.asarray(emitted),
+                        jnp.asarray(budgets), jnp.asarray(seeds),
+                        samp_arrays, counts, num_steps=n_steps,
+                        mode=mode)
+                # burst already dispatched: these D2H taxes nothing
+                first_nps = [np.asarray(f) for f, _ in firsts]
         except Exception as e:
             self._reset_device_state(e)
             return sum(not l.free for l in self.lanes)
-        if mode.use_penalties:
+        if use_spec:
+            pass                        # spec gates out penalty lanes
+        elif mode.use_penalties:
             self._counts = counts
         else:
             self._dummy_counts = counts
@@ -1301,7 +1370,19 @@ class Scheduler:
             except Exception as e:
                 lane.request.error = f"prefill finish failed: {e!r}"
                 self._release(lane, RequestState.FAILED)
-        if out_dev is not None:
+        if use_spec and cur_np is not None:
+            for i, lane in enumerate(self.lanes):
+                if budgets[i] == 0:
+                    continue
+                new = int(cur_np[i]) - int(cur0[i])
+                lane.seq_len = int(cur_np[i]) - 1
+                lane.last_token = int(hist_np[i, int(cur_np[i]) - 1])
+                for t in range(new):
+                    if not lane.decoding:
+                        break          # released (EOS / budget) earlier
+                    self._deliver(lane,
+                                  int(hist_np[i, int(cur0[i]) + t]))
+        elif out_dev is not None:
             out_np = np.asarray(out_dev)
             for i, lane in enumerate(self.lanes):
                 if budgets[i] == 0:

@@ -175,7 +175,7 @@ def test_rmw_multitoken_append_matches_scatter():
         (pool,), (news[0],), layer_arr, pid, slot,
         page_size=page, flats=(False,), interpret=True)[0]
     out_dus = _append_tokens_dus((pool,), (news[0],), jnp.asarray(1), pid,
-                                 slot)[0]
+                                 slot, page_size=page)[0]
     assert jnp.array_equal(out_rmw, out_dus)
 
 
@@ -212,7 +212,8 @@ def test_rmw_flat_scales_append_matches_scatter():
         page_size=page, flats=(False, True), interpret=True)
     s_rmw = s_rmw.reshape(scales.shape)
     v_dus, s_dus = _append_tokens_dus(
-        (vals, scales), news, jnp.asarray(1), pid, slot)
+        (vals, scales), news, jnp.asarray(1), pid, slot,
+        page_size=page)
     assert jnp.array_equal(v_rmw, v_dus)
     assert jnp.array_equal(s_rmw, s_dus)
 
@@ -252,7 +253,8 @@ def test_rmw_batch_append_matches_scatter():
         page_size=page, flats=(False, True), interpret=True)
     s_rmw = s_rmw.reshape(scales.shape)
     v_dus, s_dus = _append_tokens_dus(
-        (vals, scales), news, jnp.asarray(1), pid, slot)
+        (vals, scales), news, jnp.asarray(1), pid, slot,
+        page_size=page)
     assert jnp.array_equal(v_rmw, v_dus)
     assert jnp.array_equal(s_rmw, s_dus)
 
@@ -385,3 +387,46 @@ def test_scheduler_spec_more_requests_than_lanes():
     plain = _run_sched(0, reqs)
     spec = _run_sched(2, reqs)
     assert spec == plain
+
+
+def test_scheduler_spec_fused_tick_fires_and_matches():
+    """With spec_k > 0 the fused tick must handle the finishing-prefill
+    + spec-burst chain itself (round 4 fell back to the 3-dispatch
+    legacy path for any spec run), including a request joining a
+    running lane mid-decode — outputs identical to the plain path."""
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.scheduler import (
+        RequestState, Scheduler)
+    from pagedattention_based_transformer_decoder_inference_framework_tpu.scheduler.scheduler import (
+        Scheduler as S)
+
+    reqs = [
+        ([5, 9, 3, 14, 5, 9, 3, 14, 5, 9], 12, GREEDY, 1),
+        ([1, 2, 3, 4, 5, 6, 7], 9, GREEDY, 2),
+    ]
+    late = ([4, 4, 2, 4, 4, 2, 4, 4], 11, GREEDY, 7)
+    plain_all = _run_sched(0, reqs + [late])
+
+    eng = Engine(_sched_cfg(3), interpret=True)
+    sched = Scheduler(eng)
+    fused_ran = []
+    orig = S._fused_tick
+
+    def spy(self):
+        out = orig(self)
+        fused_ran.append(out is not None)
+        return out
+
+    S._fused_tick = spy
+    try:
+        handles = [sched.submit(p, n, s, seed=seed)
+                   for (p, n, s, seed) in reqs]
+        sched.step()
+        sched.step()
+        handles.append(sched.submit(*late[:3], seed=late[3]))
+        sched.run_until_idle()
+    finally:
+        S._fused_tick = orig
+    assert all(h.state == RequestState.FINISHED for h in handles), (
+        [h.error for h in handles])
+    assert any(fused_ran), "fused spec tick never fired"
+    assert [h.tokens for h in handles] == plain_all

@@ -308,6 +308,10 @@ def _append_tokens_rmw_batch(kv, news, layer_arr, pid, slot, *,
     num_pools = len(kv)
     B = pid.shape[0]
     KH, page = kv[0].shape[2], kv[0].shape[4]
+    # lane-materialize flat-pool news (see _append_tokens_rmw)
+    news = tuple(
+        jnp.broadcast_to(n, n.shape[:-1] + (128,)) if flats[i] else n
+        for i, n in enumerate(news))
 
     def slab_rows(i, p):
         t = _tile_rows(p.dtype)
@@ -368,6 +372,14 @@ def _append_tokens_rmw(kv, news, layer_arr, pid, slot, *, page_size: int,
     """
     num_pools = len(kv)
     flats = flats or (False,) * num_pools
+    # flat pools patch a [2, KH, slab, 128] buffer from a lane-1 news
+    # row: materialize the lane broadcast OUTSIDE the kernel — a
+    # (1, 1) -> (slab, 128) sublane+lane double broadcast of a VMEM
+    # tile is unimplemented in Mosaic (caught by the round-5 kernel
+    # smoke matrix at KH=4; bench geometries happened to compile)
+    news = tuple(
+        jnp.broadcast_to(n, n.shape[:-1] + (128,)) if flats[i] else n
+        for i, n in enumerate(news))
     B, T = pid.shape
     if T == 1:
         # unified entry: T=1 decode takes the single-program batch

@@ -54,9 +54,19 @@ def run_multihost(args) -> None:
     over the global mesh. Emits ONE JSON line from host 0 with
     tokens/s/chip and, when ``--ref-tok-per-chip`` is given, the
     scaling efficiency vs the 1-chip bench."""
+    import os
     import sys
 
     import jax
+
+    # virtual-device plumbing proof: JAX_PLATFORMS=cpu
+    # JAX_NUM_CPU_DEVICES=N must be applied before the first backend
+    # touch (the axon plugin's init order ignores the env var alone)
+    n_cpu = os.environ.get("JAX_NUM_CPU_DEVICES")
+    if n_cpu and os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", int(n_cpu))
+
     import numpy as np
 
     from pagedattention_based_transformer_decoder_inference_framework_tpu.config import (

@@ -132,3 +132,44 @@ def test_two_process_distributed_serving(tmp_path):
     eng.free(state)
     np.testing.assert_allclose(np.asarray(got["logits"]), ref,
                                atol=1e-3, rtol=1e-3)
+
+
+def test_two_process_bench_harness(tmp_path):
+    """The multi-host scaling bench (``bench.py --coordinator``,
+    VERDICT r4 Next #6) runs end-to-end across 2 OS processes on a
+    dp=2 x tp=2 virtual mesh: lockstep rounds through the serving
+    MultiHostPump, one JSON record emitted by host 0 with
+    tokens/s/chip. Numbers are meaningless on CPU — this pins the
+    PLUMBING so the harness is ready the day real multi-host hardware
+    exists (BASELINE.md: >=85% at 2 hosts)."""
+    port = _free_port()
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        JAX_NUM_CPU_DEVICES="2",
+        PALLAS_AXON_POOL_IPS="",
+        PYTHONPATH=str(REPO),
+    )
+    argv = [sys.executable, str(REPO / "bench.py"),
+            "--coordinator", f"127.0.0.1:{port}",
+            "--num-processes", "2", "--model", "llama-tiny",
+            "--batch", "4", "--steps", "8", "--prompt-len", "8",
+            "--page-size", "8", "--kv-dtype", "float32",
+            "--quant", "none", "--dp", "2", "--tp", "2",
+            "--reps", "1", "--no-trace",
+            "--ref-tok-per-chip", "100.0"]
+    procs = [
+        subprocess.Popen(argv + ["--process-id", str(pid)], env=env,
+                         stdout=subprocess.PIPE,
+                         stderr=subprocess.STDOUT)
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=900)[0].decode() for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    line = next(l for l in outs[0].splitlines() if l.startswith("{"))
+    rec = json.loads(line)
+    assert rec["unit"] == "tokens/s/chip"
+    assert rec["value"] > 0
+    assert rec["tokens_per_s_total"] > 0
+    assert rec["vs_baseline"] > 0          # efficiency vs --ref
+    assert "4 chips" in rec["metric"]

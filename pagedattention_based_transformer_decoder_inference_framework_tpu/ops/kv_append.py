@@ -195,18 +195,53 @@ def _rmw_kernel(pid_ref, slot_ref, layer_ref, *refs, num_pools: int,
         return (out_refs[i].at[l, :, :, pid, pl.ds(s0, rows), :],
                 slot - s0, None)
 
-    # per token: the pools' slab DMAs run in PARALLEL (start all, wait
-    # all, patch, write all, wait all) — two serialized in+out round
-    # trips per pool measured ~0.8% of the 8B decode roofline on their
-    # own (BENCHMARKS.md round 4 A/B)
+    def region_of(i, t):
+        # scalar id of the slab region token t patches in pool i: two
+        # tokens share a VMEM slab iff these ids are equal (same flat
+        # row window / same (pid, sublane window))
+        rows = slabs[i]
+        pid = pid_ref[b, t]
+        slot = slot_ref[b, t]
+        if flats[i]:
+            g = pid * page + slot
+            return ((g // 128) // rows) * rows
+        return pid * page + (slot // rows) * rows
+
+    # region-cached RMW: a burst's T tokens are CONSECUTIVE positions,
+    # so runs of tokens land in the same slab (int8 values: 32-row
+    # slabs = 32 tokens/slab; flat f32 scales: 8 rows x 128 lanes =
+    # 1024 slots/slab). The slab stays resident in VMEM across such a
+    # run and is written back + refetched only when the region id
+    # changes (pl.when on scalar-prefetched pid/slot) — ~2 DMA round
+    # trips per pool per burst instead of 2*T. The T=9 speculative
+    # verify measured ~31 us/layer with the per-token round trips
+    # (~32% of the whole draft-verify iteration at TinyLlama,
+    # BENCHMARKS.md round 5); region changes always write back BEFORE
+    # the next fetch, so HBM is current for any fetch order.
     for t in range(T):
         metas = [src_of(i, t) for i in range(num_pools)]
-        for i in range(num_pools):
-            pltpu.make_async_copy(metas[i][0], slab_refs[i],
-                                  sem_refs[i]).start()
-        for i in range(num_pools):
-            pltpu.make_async_copy(metas[i][0], slab_refs[i],
-                                  sem_refs[i]).wait()
+        if t == 0:
+            for i in range(num_pools):
+                pltpu.make_async_copy(metas[i][0], slab_refs[i],
+                                      sem_refs[i]).start()
+            for i in range(num_pools):
+                pltpu.make_async_copy(metas[i][0], slab_refs[i],
+                                      sem_refs[i]).wait()
+        else:
+            for i in range(num_pools):
+                changed = region_of(i, t) != region_of(i, t - 1)
+
+                @pl.when(changed)
+                def _(i=i, t=t, cur=metas[i][0]):
+                    prev = src_of(i, t - 1)[0]
+                    pltpu.make_async_copy(slab_refs[i], prev,
+                                          sem_refs[i]).start()
+                    pltpu.make_async_copy(slab_refs[i], prev,
+                                          sem_refs[i]).wait()
+                    pltpu.make_async_copy(cur, slab_refs[i],
+                                          sem_refs[i]).start()
+                    pltpu.make_async_copy(cur, slab_refs[i],
+                                          sem_refs[i]).wait()
         for i in range(num_pools):
             src, hit_row, hit_lane = metas[i]
             row = new_refs[i][0, :, :, t, :]          # [2, KH, d]
@@ -220,12 +255,13 @@ def _rmw_kernel(pid_ref, slot_ref, layer_ref, *refs, num_pools: int,
             slab_refs[i][:] = jnp.where(
                 hit, row[:, :, None, :].astype(slab_refs[i].dtype),
                 slab_refs[i][:])
-        for i in range(num_pools):
-            pltpu.make_async_copy(slab_refs[i], metas[i][0],
-                                  sem_refs[i]).start()
-        for i in range(num_pools):
-            pltpu.make_async_copy(slab_refs[i], metas[i][0],
-                                  sem_refs[i]).wait()
+    last = [src_of(i, T - 1) for i in range(num_pools)]
+    for i in range(num_pools):
+        pltpu.make_async_copy(slab_refs[i], last[i][0],
+                              sem_refs[i]).start()
+    for i in range(num_pools):
+        pltpu.make_async_copy(slab_refs[i], last[i][0],
+                              sem_refs[i]).wait()
 
 
 def _rmw_batch_kernel(pid_ref, slot_ref, layer_ref, *refs,
